@@ -1,0 +1,40 @@
+"""Crawl configuration — the logical plan.
+
+Mirrors the reference's CrawlConfig (/root/reference/src/lib.rs:28-41)
+plus the scale knobs the Ray rebuild adds (shard counts, wave budget,
+politeness). Times are virtual-clock milliseconds so tests are
+deterministic (the reference uses wall-clock SystemTime,
+/root/reference/src/retry.rs:31-44).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    # reference-equivalent knobs
+    seeds: list[str] = field(default_factory=list)
+    limit: int | None = None            # artifact limit incl. the limit=0 quirk (workload.rs:213-222)
+    retry_policy: str = "first"         # "no" | "first" | "last" (workload.rs:37-42)
+    retry_threshold_ms: int = 10_000    # fire threshold (cfg.rs:76-77)
+    retry_count: int = 3                # give-up attempts (cfg.rs:78-80)
+    robot: str = "DoonopRobot"          # robot name (cfg.rs:94-95)
+    use_robots: bool = False
+    ignore_regexes: tuple[str, ...] = ()
+    allow_domains: tuple[str, ...] | None = None
+    engines: int = 1                    # -j: fetch parallelism cap (cfg.rs:23,249)
+
+    # rebuild-only scale knobs
+    num_seen_shards: int = 1
+    num_frontier_shards: int = 1
+    wave_budget: int | None = None      # max URLs released per wave (None → engines)
+    max_per_host_per_wave: int | None = None  # politeness token bucket; None = off
+    fetch_batch_size: int = 256
+    checkpoint_dir: str | None = None
+    checkpoint_every_waves: int = 1
+    seen_mode: str = "exact"            # "exact" | "cuckoo" | "both"
+
+    def wave_size(self) -> int:
+        return self.wave_budget if self.wave_budget is not None else self.engines
