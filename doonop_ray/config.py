@@ -35,6 +35,9 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     checkpoint_every_waves: int = 1
     seen_mode: str = "exact"            # "exact" | "cuckoo" | "both"
+    use_actor_pools: bool = False       # True: per-wave actor pools (real
+                                        # model-loading fetchers); False:
+                                        # tasks + per-worker state cache
 
     def wave_size(self) -> int:
         return self.wave_budget if self.wave_budget is not None else self.engines

@@ -1,0 +1,172 @@
+"""URL-seen set: cuckoo filter + exact set, sharded across actors.
+
+Reference: a single driver-held ``HashSet<Url>`` with insert-at-discovery
+semantics (/root/reference/src/workload.rs:28,202-211). The rebuild
+shards by ``hash(canonical_url) % num_shards`` so membership checks are
+a hash-partitioned anti-join instead of a driver bottleneck, and bounds
+memory with a cuckoo filter (Fan et al., "Cuckoo Filter: Practically
+Better Than Bloom", CoNEXT 2014):
+
+- ``exact`` mode (default): python set is the authority — bit-exact
+  conformance with the reference's seen set; the cuckoo filter is kept
+  in sync to exercise the scale path.
+- ``cuckoo`` mode: the filter is the authority — fixed memory at
+  10^10-URL scale, with a documented false-positive rate (a false
+  positive drops a URL exactly once; deletion-capable so retries could
+  un-mark if ever needed).
+
+``check_and_add`` is batch-first: one actor round-trip per wave per
+shard, not per URL.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+_FP_BITS = 16
+_BUCKET = 4
+_MAX_KICKS = 500
+
+
+def url_hash64(url: str) -> int:
+    """Stable 64-bit hash of a canonical URL (FNV-1a; no PYTHONHASHSEED)."""
+    h = 0xCBF29CE484222325
+    for b in url.encode("utf-8", "surrogatepass"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def shard_of(url: str, num_shards: int) -> int:
+    return url_hash64(url) % num_shards
+
+
+class CuckooFilter:
+    """Numpy-backed (n_buckets x 4) 16-bit-fingerprint cuckoo filter."""
+
+    def __init__(self, capacity: int, seed: int = 0):
+        n = max(16, int(capacity / (_BUCKET * 0.95)))
+        self.n_buckets = 1 << (n - 1).bit_length()  # power of two
+        self.table = np.zeros((self.n_buckets, _BUCKET), dtype=np.uint16)
+        self.rng = np.random.default_rng(seed)
+        self.count = 0
+        # rare eviction-failure stash of (bucket_index, fingerprint) pairs;
+        # both valid buckets of the homeless fingerprint are recorded
+        self.overflow: set[tuple[int, int]] = set()
+
+    def _fp_and_index(self, h: int) -> tuple[int, int]:
+        fp = (h & 0xFFFF) or 1  # fingerprint 0 means empty slot
+        i1 = (h >> 16) % self.n_buckets
+        return fp, i1
+
+    def _alt_index(self, i: int, fp: int) -> int:
+        # standard partial-key cuckoo: i2 = i1 xor hash(fp)
+        return (i ^ (fp * 0x5BD1E995)) % self.n_buckets
+
+    def contains_hash(self, h: int) -> bool:
+        fp, i1 = self._fp_and_index(h)
+        if fp in self.table[i1] or (i1, fp) in self.overflow:
+            return True
+        i2 = self._alt_index(i1, fp)
+        return fp in self.table[i2] or (i2, fp) in self.overflow
+
+    def add_hash(self, h: int) -> None:
+        fp, i1 = self._fp_and_index(h)
+        for i in (i1, self._alt_index(i1, fp)):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return
+        # evict loop
+        i = i1
+        for _ in range(_MAX_KICKS):
+            slot = int(self.rng.integers(0, _BUCKET))
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = self._alt_index(i, fp)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return
+        # table effectively full: stash the homeless fingerprint under both
+        # of its valid buckets so membership stays false-negative-free
+        self.overflow.add((i, fp))
+        self.overflow.add((self._alt_index(i, fp), fp))
+        self.count += 1
+
+    def __contains__(self, url: str) -> bool:
+        return self.contains_hash(url_hash64(url))
+
+    def add(self, url: str) -> None:
+        self.add_hash(url_hash64(url))
+
+
+class SeenCore:
+    """One shard of the seen set (embeddable in an actor or used inline)."""
+
+    def __init__(self, mode: str = "exact", capacity: int = 1 << 16, seed: int = 0):
+        assert mode in ("exact", "cuckoo")
+        self.mode = mode
+        self.exact: set[str] = set()
+        self.filter = CuckooFilter(capacity, seed)
+
+    def check_and_add(self, urls: list[str]) -> list[bool]:
+        """True = first discovery (kept), False = already seen (dropped).
+
+        Duplicates *within* the batch resolve in list order — first
+        occurrence wins, matching sequential insertion
+        (workload.rs:202-211).
+        """
+        out = []
+        if self.mode == "exact":
+            for u in urls:
+                if u in self.exact:
+                    out.append(False)
+                else:
+                    self.exact.add(u)
+                    self.filter.add(u)
+                    out.append(True)
+        else:
+            for u in urls:
+                h = url_hash64(u)
+                if self.filter.contains_hash(h):
+                    out.append(False)
+                else:
+                    self.filter.add_hash(h)
+                    out.append(True)
+        return out
+
+    def __len__(self) -> int:
+        return len(self.exact) if self.mode == "exact" else self.filter.count
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {
+                "mode": self.mode,
+                "exact": self.exact,
+                "table": self.filter.table,
+                "overflow": self.filter.overflow,
+                "count": self.filter.count,
+            },
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    def restore(self, blob: bytes) -> None:
+        st = pickle.loads(blob)
+        self.mode = st["mode"]
+        self.exact = st["exact"]
+        self.filter.table = st["table"]
+        self.filter.overflow = st["overflow"]
+        self.filter.count = st["count"]
+
+
+class SeenShard(SeenCore):
+    """Ray-actor-ready shard: decorate at use site with @ray.remote so the
+    module stays importable without a Ray session."""
+
+    def urls(self) -> list[str]:
+        return sorted(self.exact)
