@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in doonop_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship crawl pipeline (fetch → decode+validate →
+  link routing over frontier/seen shard actors) on the tiny synthetic
+  world tier mapped to sf0.001.
+- ``queries()`` — one callable per implemented operator/pipeline from
+  SURVEY.md §2 plus the training-data-pipeline operator suite (dedup,
+  text analysis, ANN, windows); each takes an sf_dir.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+  query, with identical column names and identical rounding (floats
+  rounded to 4 decimals on both sides). Crawl/sketch queries
+  (stateful scheduler, minhash/simhash, image decode) have no SQL
+  equivalent and get rows-only checks; they are pinned against the
+  reference-semantics oracle in tests/ instead.
 """
 
 from __future__ import annotations
@@ -18,27 +22,223 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+STOP_PAT = r"\b(the|a|and|of|to|in|is|for)\b"
+_TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from doonop_ray.pipelines.flagship import flagship_crawl
+
+    return flagship_crawl("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from doonop_ray.ops import ann, dedup, relational, text, windows
+    from doonop_ray.pipelines import flagship
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / TPC-H-shaped (SURVEY.md §2d)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_revenue_by_nation": relational.q5_revenue_by_nation,
+        "top_orders_by_value": relational.top_orders_by_value,
+        "filter_parts_regex": relational.filter_parts_regex,
+        "events_by_type": relational.events_by_type,
+        "distinct_segments": relational.distinct_segments,
+        "nation_customer_counts": relational.nation_customer_counts,
+        # text analysis
+        "token_counts": text.token_counts,
+        "quality_scores": text.quality_scores,
+        "lang_guess": text.lang_guess,
+        "doc_fingerprints": text.doc_fingerprints,
+        "top_tokens": text.top_tokens,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_prefix": dedup.dedup_prefix,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_signatures": dedup.simhash_signatures,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        # similarity search
+        "ann_topk_cosine": ann.ann_topk_cosine,
+        "ann_topk_lsh": ann.ann_topk_lsh,
+        # stream-shaped windows
+        "events_hourly": windows.events_hourly,
+        "user_sessions": windows.user_sessions,
+        "user_stats": windows.user_stats,
+        "events_sliding_counts": windows.events_sliding_counts,
+        # crawl engine (reference-semantics; rows-only — pinned vs the
+        # workload.rs oracle in tests/test_crawler.py)
+        "crawl_flagship": flagship.flagship_crawl,
+        "crawl_conformance_order": flagship.conformance_order,
+        "image_validate": flagship.image_validate,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order,
+                   ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+                   ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-30'
+              AND l_shipdate > TIMESTAMP '1998-06-30'
+            GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_revenue_by_nation": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "top_orders_by_value": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "filter_parts_regex": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            WHERE regexp_matches(p_name, 'red|blue') ORDER BY p_partkey
+        """,
+        "events_by_type": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1
+        """,
+        "nation_customer_counts": """
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   ROUND(SUM(c_acctbal), 4) AS sum_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_scores": rf"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+                       CAST(len(regexp_extract_all(lower(text), '{STOP_PAT}')) AS BIGINT)
+                           AS n_stopwords
+                FROM documents)
+            SELECT doc_id, n_chars, n_tokens, n_stopwords,
+                   ROUND(n_stopwords * 1.0 / GREATEST(1, n_tokens), 4) AS stop_ratio,
+                   (n_tokens BETWEEN 10 AND 1000 AND n_stopwords > 0) AS is_quality
+            FROM t ORDER BY doc_id
+        """,
+        "lang_guess": r"""
+            WITH s AS (
+                SELECT doc_id,
+                    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT) AS s_en,
+                    CAST(len(regexp_extract_all(lower(text), '\b(der|und|die|das|ist)\b')) AS BIGINT) AS s_de,
+                    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|est)\b')) AS BIGINT) AS s_fr,
+                    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|es)\b')) AS BIGINT) AS s_es
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS guess,
+                   s_en, s_de, s_fr, s_es
+            FROM s ORDER BY doc_id
+        """,
+        "doc_fingerprints": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "top_tokens": f"""
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT unnest({_TOKENS}) AS token FROM documents)
+            GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1
+        """,
+        "dedup_prefix": f"""
+            SELECT MIN(doc_id) AS doc_id FROM (
+                SELECT doc_id,
+                       array_to_string(list_slice({_TOKENS}, 1, 3), ' ') AS k
+                FROM documents)
+            GROUP BY k ORDER BY 1
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ORDER BY 1, 2
+        """,
+        "ann_topk_cosine": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       ORDER BY vec_id LIMIT 5),
+                 s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                              list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                                     CAST(e.embedding AS DOUBLE[])) AS sim
+                       FROM q, embeddings e WHERE e.vec_id <> q.qid)
+            SELECT query_id, rank, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY sim DESC, neighbor_id)
+                            AS BIGINT) AS rank
+                FROM s)
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events)
+            SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "user_stats": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_sliding_counts": """
+            SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT event_type,
+                       date_trunc('hour', ts) - j * (INTERVAL 1 HOUR) AS window_start
+                FROM events, (SELECT unnest(range(2)) AS j))
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # minhash_lsh_pairs / simhash_signatures / ann_topk_lsh /
+        # crawl_* / image_validate: non-SQL-expressible (sketches,
+        # stateful scheduler, image decode) → rows-only checks; pinned
+        # against brute-force/oracle equivalents in tests/.
+    }

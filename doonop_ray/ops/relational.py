@@ -1,0 +1,218 @@
+"""Relational operator suite over the TPC-H-ish testdata tables.
+
+Each function takes ``sf_dir`` and returns a small pandas DataFrame whose
+column names match the paired oracle SQL in ``__ray_entry__.oracle_sql``.
+
+Patterns exercised (SURVEY.md §2d — what the rebuild adds on top of the
+reference's driver-side counters):
+- partial aggregation inside map_batches before the groupby shuffle;
+- broadcast hash joins (dimension dict via ray.put, lookup per batch)
+  instead of all-to-all shuffle joins for small sides;
+- vectorized Arrow predicates (regex, date) pushed into the read/batch;
+- global sort + limit on pre-reduced data only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from datetime import datetime
+
+from .common import finish, r4, read, read_arrow
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary with
+    partial per-batch aggregation before the tiny groupby shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(datetime(1999, 6, 30))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("l_quantity_count", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = r4(out["sum_qty"] / out["count_order"])
+    out["avg_price"] = r4(out["sum_base_price"] / out["count_order"])
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = r4(out[c])
+    return finish(out, ["l_returnflag", "l_linestatus"])
+
+
+def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer/orders small sides
+    into a lineitem map_batches lookup, partial-agg, top-10."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = set(
+        pc.filter(
+            cust["c_custkey"], pc.equal(cust["c_mktsegment"], "BUILDING")
+        ).to_pylist()
+    )
+    orders = read_arrow(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    omask = pc.and_(
+        pc.less(orders["o_orderdate"], pa.scalar(datetime(1998, 6, 30))),
+        pc.is_in(orders["o_custkey"], value_set=pa.array(list(building))),
+    )
+    okeys_ref = ray.put(set(pc.filter(orders["o_orderkey"], omask).to_pylist()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        okeys = ray.get(okeys_ref)
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(datetime(1998, 6, 30))))
+        keep = np.fromiter(
+            (k in okeys for k in t["l_orderkey"].to_pylist()), bool, len(t)
+        )
+        t = t.filter(pa.array(keep))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("rev", rev)
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    out = (
+        read(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = r4(out["revenue"])
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
+                          kind="mergesort").head(10)
+    return out.reset_index(drop=True)
+
+
+def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: star join via broadcast dimension dicts."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    c_nat = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    s_nat = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()))
+    orders = read_arrow(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_cust = dict(zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()))
+    dims_ref = ray.put((n_name, c_nat, s_nat, o_cust))
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_name, c_nat, s_nat, o_cust = ray.get(dims_ref)
+        ok = t["l_orderkey"].to_pylist()
+        sk = t["l_suppkey"].to_pylist()
+        ep = t["l_extendedprice"].to_numpy()
+        dc = t["l_discount"].to_numpy()
+        names, revs = [], []
+        for i in range(len(ok)):
+            cn = c_nat.get(o_cust.get(ok[i]))
+            sn = s_nat.get(sk[i])
+            if cn is not None and cn == sn:  # local-supplier condition
+                names.append(n_name[cn])
+                revs.append(ep[i] * (1.0 - dc[i]))
+        out = pa.table({"n_name": pa.array(names, pa.string()),
+                        "rev": pa.array(revs, pa.float64())})
+        return out.group_by("n_name").aggregate([("rev", "sum")])
+
+    out = (
+        read(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = r4(out["revenue"])
+    return finish(out, ["n_name"])
+
+
+def top_orders_by_value(sf_dir: str) -> pd.DataFrame:
+    """Global sort + limit (ds.sort is the shuffle; result is tiny)."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return out.to_pandas()
+
+
+def filter_parts_regex(sf_dir: str) -> pd.DataFrame:
+    """Vectorized regex predicate (RE2 via pyarrow) — the M6 filter shape."""
+    ds = read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    out = ds.map_batches(
+        lambda t: t.filter(pc.match_substring_regex(t["p_name"], "red|blue")),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return finish(out, ["p_partkey"])
+
+
+def events_by_type(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out = (
+        read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sum_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = r4(out["sum_value"])
+    return finish(out, ["event_type"])
+
+
+def distinct_segments(sf_dir: str) -> pd.DataFrame:
+    """Distinct + sort (the seed clean_urls sort+dedup shape, M10)."""
+    ds = read(sf_dir, "customer", ["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+def nation_customer_counts(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join customer→nation then count per nation name."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = ray.put(n_name)
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        names = [m.get(k) for k in t["c_nationkey"].to_pylist()]
+        return t.append_column("n_name", pa.array(names, pa.string()))
+
+    out = (
+        read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"),
+                   Sum("c_acctbal", alias_name="sum_acctbal"))
+        .to_pandas()
+    )
+    out["sum_acctbal"] = r4(out["sum_acctbal"])
+    return finish(out, ["n_name"])

@@ -1,0 +1,160 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline staples (language-ID heuristic, quality scoring,
+token counting, fingerprinting, vocabulary stats).
+
+All hot paths are vectorized pyarrow/RE2 kernels inside map_batches;
+every computation has an exactly-matching DuckDB oracle (same RE2 regex
+engine on both sides).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .common import finish, r4, read
+
+TOKEN_RE = r"\w+"
+
+# tiny per-language stopword marker sets for the heuristic language ID
+LANG_MARKERS = [
+    ("en", ("the", "and", "of", "to", "is")),
+    ("de", ("der", "und", "die", "das", "ist")),
+    ("fr", ("le", "la", "et", "les", "est")),
+    ("es", ("el", "la", "de", "que", "es")),
+]
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for")
+
+
+def _count_re(t: pa.Table, col: str, pattern: str) -> pa.Array:
+    return pc.count_substring_regex(t[col], pattern)
+
+
+def token_counts(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens) — \\w+ token count per document."""
+    out = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_tokens": pc.cast(_count_re(t, "text", TOKEN_RE), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return finish(out, ["doc_id"])
+
+
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    """Heuristic quality signals: lengths, stopword hits/ratio, verdict.
+
+    All-integer signals except the ratio (rounded 4), so the oracle
+    comparison is exact."""
+
+    def score(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        lt = pa.table({"low": low})
+        n_tokens = pc.cast(_count_re(lt, "low", TOKEN_RE), pa.int64())
+        stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+        n_stop = pc.cast(_count_re(lt, "low", stop_pat), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        ratio = r4(
+            n_stop.to_numpy(zero_copy_only=False)
+            / np.maximum(1, n_tokens.to_numpy(zero_copy_only=False))
+        )
+        nt = n_tokens.to_numpy(zero_copy_only=False)
+        ns = n_stop.to_numpy(zero_copy_only=False)
+        is_q = (nt >= 10) & (nt <= 1000) & (ns > 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "n_stopwords": n_stop,
+                "stop_ratio": pa.array(ratio, pa.float64()),
+                "is_quality": pa.array(is_q),
+            }
+        )
+
+    out = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return finish(out, ["doc_id"])
+
+
+def lang_guess(sf_dir: str) -> pd.DataFrame:
+    """N-gram-free stopword-marker language ID. Ties break in LANG_MARKERS
+    order (en > de > fr > es) — the oracle CASE expression mirrors it."""
+
+    def guess(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        lt = pa.table({"low": low})
+        scores = {}
+        for lang, words in LANG_MARKERS:
+            pat = r"\b(" + "|".join(words) + r")\b"
+            scores[lang] = _count_re(lt, "low", pat).to_numpy(zero_copy_only=False)
+        s = np.stack([scores[l] for l, _ in LANG_MARKERS])  # (4, n)
+        idx = np.argmax(s, axis=0)  # first max wins = marker order
+        langs = np.array([l for l, _ in LANG_MARKERS])
+        cols = {"doc_id": t["doc_id"], "guess": pa.array(langs[idx])}
+        for lang, _ in LANG_MARKERS:
+            cols[f"s_{lang}"] = pa.array(scores[lang].astype(np.int64))
+        return pa.table(cols)
+
+    out = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(guess, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return finish(out, ["doc_id"])
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """MD5 fingerprint of whitespace-normalized lowercase text."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        norm = pc.replace_substring_regex(low, r"\s+", " ")
+        fps = [hashlib.md5(s.encode()).hexdigest() for s in norm.to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps, pa.string())})
+
+    out = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fp, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return finish(out, ["doc_id"])
+
+
+def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global top-k token frequencies: per-batch partial counts (flat
+    token explode stays inside the batch) → small groupby → sort."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        all_tokens = pc.split_pattern_regex(low, r"\W+")
+        flat = pc.list_flatten(all_tokens)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        tt = pa.table({"token": flat})
+        return tt.group_by("token").aggregate([([], "count_all")])
+
+    out = (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return out.reset_index(drop=True)

@@ -1,0 +1,150 @@
+"""Flagship crawl pipelines parameterized by scale factor — the
+queries()-facing entry points for the crawl engine itself.
+
+The synthetic world is deterministic in (seed=42, scale tier) and cached
+under /tmp so repeated queries()/bench calls don't regenerate it. Scale
+tiers map the driver's sf dirs onto world sizes (FIXTURES.md §7):
+sf0.001 → tiny, sf0.01 → small, sf0.1 → bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from ..synth import World, WorldParams, build_world, read_world
+
+_TIERS = {
+    "0.001": dict(n_hosts=8, pages_per_host=30),
+    "0.01": dict(n_hosts=16, pages_per_host=150),
+    "0.1": dict(n_hosts=40, pages_per_host=600),
+}
+_CACHE: dict[str, World] = {}
+
+
+def tier_of(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    sf = name.replace("sf", "") if name.startswith("sf") else "0.001"
+    return sf if sf in _TIERS else "0.001"
+
+
+def world_params(tier: str) -> WorldParams:
+    t = _TIERS[tier]
+    return WorldParams(
+        seed=42,
+        n_hosts=t["n_hosts"],
+        pages_per_host=t["pages_per_host"],
+        fanout=6,
+        p_cross=0.3,
+        p_dead=0.03,
+        p_invalid=0.03,
+        n_seeds=t["n_hosts"],
+    )
+
+
+def world_for(sf_dir: str, cache_root: str = "/tmp/doonop_worlds") -> World:
+    tier = tier_of(sf_dir)
+    if tier in _CACHE:
+        return _CACHE[tier]
+    path = os.path.join(cache_root, f"tier_{tier}")
+    marker = os.path.join(path, "_complete")
+    if os.path.exists(marker):
+        w = read_world(path)
+        w.params = world_params(tier)
+    else:
+        w = build_world(world_params(tier))
+        w.write(path)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    _CACHE[tier] = w
+    return w
+
+
+def _crawl_cfg(w: World, tier: str, **kw) -> CrawlConfig:
+    scale = {"0.001": (4, 64), "0.01": (8, 512), "0.1": (16, 4096)}[tier]
+    engines, wave = scale
+    base = dict(
+        seeds=w.seeds.column("url").to_pylist(),
+        use_robots=True,
+        retry_threshold_ms=0,
+        engines=engines,
+        wave_budget=wave,
+        fetch_batch_size=max(16, wave // (engines * 2)),
+        num_seen_shards=max(1, engines // 4),
+        num_frontier_shards=max(1, engines // 4),
+    )
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+def flagship_crawl(sf_dir: str, out_dir: str | None = None, **cfg_kw) -> pd.DataFrame:
+    """Scaled crawl of the tier's world: fetch → decode+validate →
+    link routing; returns the per-visit artifact table."""
+    tier = tier_of(sf_dir)
+    w = world_for(sf_dir)
+    out_dir = out_dir or f"/tmp/doonop_out/flagship_{tier}_{os.getpid()}"
+    cfg = _crawl_cfg(w, tier, **cfg_kw)
+    from .crawler import RayCrawler
+
+    crawler = RayCrawler(cfg, w.pages, w.images, w.robots_map(), out_dir,
+                         world_seed=w.params.seed)
+    crawler.run()
+    t = pq.read_table(
+        out_dir,
+        columns=["url", "depth", "status", "image_id", "caption_ok",
+                 "pixel_ok", "psnr_db"],
+    )
+    df = t.to_pandas()
+    return df.sort_values(["url", "status"], kind="mergesort").reset_index(drop=True)
+
+
+def conformance_order(sf_dir: str) -> pd.DataFrame:
+    """Reference-exact j=1 crawl order of the tiny world: (seq, url)."""
+    w = world_for("sf0.001")  # conformance is pinned at the tiny tier
+    from .crawler import run_conformance
+
+    cfg = _crawl_cfg(w, "0.001")
+    res = run_conformance(cfg, w.pages, w.images, w.robots_map(), w.params.seed)
+    return pd.DataFrame(
+        {"seq": range(len(res["order"])), "url": res["order"]}
+    )
+
+
+def image_validate(sf_dir: str) -> pd.DataFrame:
+    """Decode + validate every image of the tier's world through the Ray
+    pipeline (the minimum slice: read → map_batches(validate) → table)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.fetch import make_validate_fn
+
+    w = world_for(sf_dir)
+    images_ref = ray.put(w.images)
+    ids = w.images.select(["image_id"])
+    n_blocks = max(1, min(32, len(ids) // 256))
+    step = -(-len(ids) // n_blocks)
+    import pyarrow as pa
+
+    blocks = []
+    for i in range(0, len(ids), step):
+        sl = ids.slice(i, step)
+        blocks.append(
+            pa.table(
+                {
+                    "url": pa.array([""] * len(sl)),
+                    "depth": pa.array([0] * len(sl), pa.int32()),
+                    "status": pa.array(["ok"] * len(sl)),
+                    "image_id": sl.column("image_id"),
+                }
+            )
+        )
+    out = (
+        rd.from_arrow(blocks)
+        .map_batches(make_validate_fn(images_ref, w.params.seed),
+                     batch_format="pyarrow", batch_size=256)
+        .to_pandas()[["image_id", "fmt", "caption_ok", "pixel_ok", "psnr_db"]]
+    )
+    return out.sort_values("image_id", kind="mergesort").reset_index(drop=True)
