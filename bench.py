@@ -1,0 +1,173 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N, ...}
+
+Headline = flagship crawl (fetch → decode → validate → link-route) of
+the bench-tier synthetic world; ``pages_per_sec`` = visited pages /
+crawl seconds (the BASELINE.json metric, fetched-and-validated rows).
+
+--scaling: runs the same bench in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same pre-built world (cache warmed by an
+untimed build) and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
+
+
+OPS_BENCH = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "token_counts",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "embedding_neardup_pairs",
+    "ann_topk_cosine",
+    "events_hourly",
+    "user_sessions",
+]
+
+
+def run_bench(sf_dir: str, num_cpus: int, include_ops: bool = True) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray = _init_ray(num_cpus)
+
+    from doonop_ray.pipelines.flagship import flagship_crawl, world_for
+
+    # world build / parquet load is unmetered setup (cache-warm protocol:
+    # same input for every parallelism level); a tiny untimed crawl warms
+    # the Ray worker pool + imports so the timed run measures compute
+    w = world_for(sf_dir)
+    n_pages = w.pages.num_rows
+    flagship_crawl("sf0.001", out_dir="/tmp/doonop_out/_warmup")
+
+    # headline: bulk-seeded full-frontier throughput (the 10^10-frontier
+    # steady-state shape; reference EP3 sitemap bulk seeding); best of two
+    # runs — the first also absorbs one-time session warmup noise
+    crawl_sec = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        df = flagship_crawl(sf_dir, bulk_seed=True)
+        crawl_sec = min(crawl_sec, time.monotonic() - t0)
+    visited = len(df)
+    ok = df[df["status"] == "ok"]
+    validated = int((ok["caption_ok"] & ok["pixel_ok"]).sum())
+
+    # secondary: organic from-seeds crawl (frontier ramp included)
+    t0 = time.monotonic()
+    flagship_crawl(sf_dir)
+    organic_sec = time.monotonic() - t0
+
+    queries: dict[str, float] = {
+        "crawl_bulk_frontier": round(crawl_sec, 3),
+        "crawl_organic": round(organic_sec, 3),
+    }
+    if include_ops:
+        import __ray_entry__ as e
+
+        qs = e.queries()
+        for name in OPS_BENCH:
+            t0 = time.monotonic()
+            qs[name](sf_dir)
+            queries[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "flagship_crawl_sec (fetch+decode+validate+route, bench world)",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "world_pages": n_pages,
+        "visited": visited,
+        "validated": validated,
+        "pages_per_sec": round(visited / crawl_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    # the scaling comparison uses the 4x "scale" world: the same job with
+    # enough backlog that wave pipelines stay overlapped and compute-
+    # dominated at 32 cores; pre-build once so both runs read the same
+    # cached input
+    from doonop_ray.pipelines.flagship import world_for
+
+    world_for("scale")
+
+    def child(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR="scale",
+            GRAFT_SKIP_OPS="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = child(lo)
+    r_hi = child(hi)
+    tput_lo = r_lo["pages_per_sec"]
+    tput_hi = r_hi["pages_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "crawl_scaling_efficiency (8 -> 32 cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "pages_per_sec_8": tput_lo,
+        "pages_per_sec_32": tput_hi,
+        "world_pages": r_hi["world_pages"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    # Confine the whole Ray session (raylet + workers inherit this) to
+    # num_cpus physical cores: ray.init(num_cpus=8) alone only caps the
+    # scheduler while workers float over all 32 cores, which fakes the
+    # small-cluster side of the scaling comparison.
+    try:
+        os.sched_setaffinity(0, range(min(num_cpus, os.cpu_count() or num_cpus)))
+    except (AttributeError, OSError):
+        pass
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        include_ops = os.environ.get("GRAFT_SKIP_OPS") != "1"
+        print(json.dumps(run_bench(sf_dir, num_cpus, include_ops)))

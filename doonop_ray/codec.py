@@ -80,6 +80,8 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     stride = 1 + w * 3
     raw = raw.reshape(h, stride)
+    if not raw[:, 0].any():  # filter 0 everywhere (our encoder) → no scan
+        return raw[:, 1:].reshape(h, w, 3)
     out = np.zeros((h, w * 3), dtype=np.uint8)
     bpp = 3
     for y in range(h):
@@ -159,7 +161,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     if a.shape != b.shape:
         return 0.0
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    d = a.astype(np.int16) - b.astype(np.int16)
+    mse = np.mean(np.square(d, dtype=np.int32), dtype=np.float64)
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0 * 255.0 / mse))

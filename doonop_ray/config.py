@@ -38,6 +38,9 @@ class CrawlConfig:
     use_actor_pools: bool = False       # True: per-wave actor pools (real
                                         # model-loading fetchers); False:
                                         # tasks + per-worker state cache
+    max_inflight_waves: int = 2         # concurrent wave pipelines
+                                        # (continuous dispatch; limit runs
+                                        # force 1 to bound overshoot)
 
     def wave_size(self) -> int:
         return self.wave_budget if self.wave_budget is not None else self.engines

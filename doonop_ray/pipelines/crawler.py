@@ -78,63 +78,91 @@ class CrawlStats:
         }
 
 
+class SeenRouterShard(SeenCore):
+    """Seen-set shard that also forwards first-discovery URLs to the
+    frontier shards itself (actor→actor), so data-plane tasks never
+    block on membership answers. ``n_ingested`` + ``flush`` implement
+    the settlement protocol the driver uses at termination."""
+
+    def __init__(self, mode, capacity, seed, frontier_handles, num_frontier):
+        super().__init__(mode, capacity, seed)
+        self.frontier_handles = frontier_handles
+        self.num_frontier = num_frontier
+        self.n_ingested = 0
+        self._push_futs: list = []
+        self._buffers: dict[int, list] = {}
+
+    def ingest(self, items: list[tuple[str, int]]) -> None:
+        import ray
+
+        self.n_ingested += len(items)
+        mask = self.check_and_add([u for u, _ in items])
+        per: dict[int, list[tuple[str, int]]] = {}
+        for it, new in zip(items, mask):
+            if new:
+                per.setdefault(shard_of(it[0], self.num_frontier), []).append(it)
+        for f, it in per.items():
+            self._push_futs.append(self.frontier_handles[f].push.remote(it))
+        if len(self._push_futs) >= 64:  # bound the outstanding-push queue
+            ray.get(self._push_futs)
+            self._push_futs = []
+
+    def flush(self) -> int:
+        """Push all buffers, wait for them to land; returns total ingested."""
+        import ray
+
+        for f, buf in list(self._buffers.items()):
+            if buf:
+                self._push_futs.append(self.frontier_handles[f].push.remote(buf))
+        self._buffers = {}
+        if self._push_futs:
+            ray.get(self._push_futs)
+            self._push_futs = []
+        return self.n_ingested
+
+
 def make_link_router(seen_handles, frontier_handles, retry_policy: str,
                      num_seen: int, num_frontier: int, now_ms: float):
-    """Stateless map_batches fn: dedup new links against the sharded seen
-    set (hash-partitioned anti-join shape) and push survivors + retries
-    to the frontier shards — all from inside the task, so link traffic
-    never funnels through the driver. Returns light per-row columns for
-    the sink (drops the links payload)."""
-    import ray
+    """Stateless map_batches fn: candidate links hash-partition to the
+    seen/router shards and timeouts to the frontier retry lanes — all
+    FIRE-AND-FORGET from inside the task (a blocking ray.get in a task
+    pins its CPU slot and makes Ray spawn extra workers, silently
+    oversubscribing the node). Emits per-row ``n_links`` so the driver
+    can settle counters against the shards at termination."""
 
     def route(batch: pa.Table) -> pa.Table:
         statuses = batch.column("status").to_pylist()
         urls = batch.column("url").to_pylist()
         depths = batch.column("depth").to_numpy()
         links_col = batch.column("links").to_pylist()
+        n_links = np.zeros(len(batch), dtype=np.int32)
 
-        # ---- candidate links → seen shards (first discovery wins) ----
+        # ---- candidate links → seen/router shards (first discovery wins)
         per_seen: list[list[tuple[str, int]]] = [[] for _ in range(num_seen)]
-        for st, links, d in zip(statuses, links_col, depths):
+        for i, (st, links, d) in enumerate(zip(statuses, links_col, depths)):
             if st != "ok":
                 continue
             nd = int(d) + 1
+            n_links[i] = len(links)
             for u in links:
                 per_seen[shard_of(u, num_seen)].append((u, nd))
-        futs = {
-            s: seen_handles[s].check_and_add.remote([u for u, _ in items])
-            for s, items in enumerate(per_seen)
-            if items
-        }
-        fresh: list[tuple[str, int]] = []
-        for s, fut in futs.items():
-            mask = ray.get(fut)
-            fresh.extend(it for it, new in zip(per_seen[s], mask) if new)
-
-        # ---- fresh links → frontier shards ----
-        per_frontier: list[list[tuple[str, int]]] = [[] for _ in range(num_frontier)]
-        for u, d in fresh:
-            per_frontier[shard_of(u, num_frontier)].append((u, d))
-        push_futs = [
-            frontier_handles[f].push.remote(items)
-            for f, items in enumerate(per_frontier)
-            if items
-        ]
+        for s, items in enumerate(per_seen):
+            if items:
+                seen_handles[s].ingest.remote(items)
 
         # ---- timeouts → retry lanes (retry.rs:24-36 accounting) ----
-        retry_futs = []
         if retry_policy != "no":
             per_retry: list[list[tuple[str, int]]] = [[] for _ in range(num_frontier)]
             for st, u, d in zip(statuses, urls, depths):
                 if st == "timeout":
                     per_retry[shard_of(u, num_frontier)].append((u, int(d)))
-            retry_futs = [
-                frontier_handles[f].keep_retry_batch.remote(items, now_ms)
-                for f, items in enumerate(per_retry)
-                if items
-            ]
-        ray.get(push_futs + retry_futs)
-        return batch.drop_columns(["links"])
+            for f, items in enumerate(per_retry):
+                if items:
+                    frontier_handles[f].keep_retry_batch.remote(items, now_ms)
+
+        return batch.drop_columns(["links"]).append_column(
+            "n_links", pa.array(n_links, pa.int32())
+        )
 
     return route
 
@@ -143,10 +171,20 @@ class RayCrawler:
     """Scaled crawl over a synthetic world stored as Arrow tables."""
 
     def __init__(self, cfg: CrawlConfig, pages: pa.Table, images: pa.Table,
-                 robots_map: dict[str, str], out_dir: str, world_seed: int = 42):
+                 robots_map: dict[str, str], out_dir: str, world_seed: int = 42,
+                 img_bounds: tuple[int, int] = (16, 40),
+                 pages_ref=None, images_ref=None):
         self.cfg = cfg
-        self.pages = pages
-        self.images = images
+        self.img_bounds = img_bounds
+        # combine chunks ONCE here (no-op when the caller pre-combined):
+        # a worker-side combine_chunks would copy the whole broadcast
+        # table in every worker (O(workers x table) memory traffic)
+        self.pages = pages.combine_chunks()
+        self.images = images.combine_chunks()
+        # callers may pass session-cached broadcast refs so repeated
+        # crawls don't re-put multi-GB tables into the object store
+        self._pages_ref = pages_ref
+        self._images_ref = images_ref
         self.robots_map = robots_map
         self.out_dir = out_dir
         self.world_seed = world_seed
@@ -157,16 +195,8 @@ class RayCrawler:
     # ------------------------------------------------------------------
     def _spawn_state(self, ray):
         cfg = self.cfg
-        seen_cls = ray.remote(SeenCore)
+        seen_cls = ray.remote(SeenRouterShard)
         frontier_cls = ray.remote(FrontierShard)
-        self.seen = [
-            seen_cls.remote(
-                "exact" if cfg.seen_mode != "cuckoo" else "cuckoo",
-                1 << 18,
-                i,
-            )
-            for i in range(cfg.num_seen_shards)
-        ]
         self.frontier = [
             frontier_cls.remote(
                 i,
@@ -179,6 +209,16 @@ class RayCrawler:
                 cfg.use_robots,
             )
             for i in range(cfg.num_frontier_shards)
+        ]
+        self.seen = [
+            seen_cls.remote(
+                "exact" if cfg.seen_mode != "cuckoo" else "cuckoo",
+                1 << 18,
+                i,
+                self.frontier,
+                cfg.num_frontier_shards,
+            )
+            for i in range(cfg.num_seen_shards)
         ]
 
     def _seed_frontier(self, ray, seeds: list[str]):
@@ -203,18 +243,32 @@ class RayCrawler:
 
     # ------------------------------------------------------------------
     def run(self, max_waves: int | None = None, resume: bool = False):
+        """Continuous-dispatch crawl: up to ``max_inflight_waves`` wave
+        pipelines run concurrently (mirrors the reference's re-dispatch-
+        on-completion loop, workload.rs:151-176, rather than a global
+        barrier per wave); the frontier shards absorb pushes from running
+        waves while the next wave drains. Limit runs fall back to one
+        in-flight wave so the overshoot stays bounded by one wave."""
+        from concurrent.futures import FIRST_COMPLETED
+        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import wait as fwait
+
         import ray
         import ray.data as rd
 
         cfg = self.cfg
+        if not (resume and cfg.checkpoint_dir) and os.path.isdir(self.out_dir):
+            import shutil
+
+            shutil.rmtree(self.out_dir)  # fresh run: drop stale wave dirs
         os.makedirs(self.out_dir, exist_ok=True)
         self._spawn_state(ray)
 
         start_wave = 0
         if resume and cfg.checkpoint_dir:
             start_wave = self._restore_checkpoint(ray)
-            # a killed run may have half-written the next wave's dir:
-            # drop any wave output newer than the checkpoint, then redo it
+            # a killed run may have half-written newer wave dirs: drop any
+            # wave output past the checkpoint, then redo it
             for d in os.listdir(self.out_dir):
                 if d.startswith("wave=") and int(d.split("=")[1]) >= start_wave:
                     import shutil
@@ -226,41 +280,16 @@ class RayCrawler:
                 return self.stats
             self._seed_frontier(ray, seeds)
 
-        pages_ref = ray.put(self.pages)
-        images_ref = ray.put(self.images)
+        pages_ref = self._pages_ref or ray.put(self.pages)
+        images_ref = self._images_ref or ray.put(self.images)
         self.wave = start_wave
+        n_inflight = 1 if cfg.limit is not None else max(1, cfg.max_inflight_waves)
+        executor = ThreadPoolExecutor(max_workers=n_inflight)
+        inflight: dict = {}
 
-        while True:
-            if max_waves is not None and self.wave >= max_waves:
-                break
-            if cfg.limit is not None and self.stats.collected > 0 \
-                    and self.stats.collected >= cfg.limit:
-                break  # dispatch stops; prior waves already drained (T8)
-
-            budget = cfg.wave_size()
-            if cfg.limit is not None:
-                budget = max(1, min(budget, cfg.limit - self.stats.collected))
-            per_shard = max(1, budget // cfg.num_frontier_shards)
-            now_ms = time.monotonic() * 1000.0
-            drains = ray.get(
-                [
-                    f.drain.remote(per_shard, now_ms, cfg.max_per_host_per_wave)
-                    for f in self.frontier
-                ]
-            )
-            entries = [e for d in drains for e in d]
-            if not entries:
-                if all(ray.get([f.is_empty.remote() for f in self.frontier])):
-                    break
-                continue  # politeness deferred everything; next wave serves it
-
-            wave_dir = os.path.join(self.out_dir, f"wave={self.wave:05d}")
-            router = make_link_router(
-                self.seen, self.frontier, cfg.retry_policy,
-                cfg.num_seen_shards, cfg.num_frontier_shards, now_ms,
-            )
-            # split the wave into >=engines blocks so the fetch stage fans
-            # out across workers (a single from_arrow block would serialize)
+        def build_wave_ds(entries):
+            # split the wave into blocks so the fetch stage fans out (a
+            # single from_arrow block would serialize on one worker)
             wave_t = _wave_table(entries)
             n_blocks = max(
                 1, min(cfg.engines * 2, -(-len(entries) // cfg.fetch_batch_size))
@@ -281,6 +310,10 @@ class RayCrawler:
                     .map_batches(
                         Validator,
                         fn_constructor_args=(images_ref, self.world_seed),
+                        fn_constructor_kwargs={
+                            "img_min": self.img_bounds[0],
+                            "img_max": self.img_bounds[1],
+                        },
                         batch_format="pyarrow",
                         batch_size=cfg.fetch_batch_size,
                         concurrency=(1, cfg.engines),
@@ -288,9 +321,9 @@ class RayCrawler:
                     )
                 )
             else:
-                # stateless tasks + per-worker-process broadcast-state cache:
-                # worker procs persist across waves, so the page/image index
-                # builds once per worker for the whole crawl
+                # stateless tasks + per-worker-process broadcast-state
+                # cache: the page/image index builds once per worker for
+                # the whole crawl, not per wave
                 ds = (
                     rd.from_arrow(blocks)
                     .map_batches(
@@ -299,32 +332,158 @@ class RayCrawler:
                         batch_size=cfg.fetch_batch_size,
                     )
                     .map_batches(
-                        make_validate_fn(images_ref, self.world_seed),
+                        make_validate_fn(images_ref, self.world_seed,
+                                         img_min=self.img_bounds[0],
+                                         img_max=self.img_bounds[1]),
                         batch_format="pyarrow",
                         batch_size=cfg.fetch_batch_size,
                     )
                 )
+            return ds, len(blocks)
+
+        def run_wave(entries, wave_idx, now_ms):
+            wave_dir = os.path.join(self.out_dir, f"wave={wave_idx:05d}")
+            router = make_link_router(
+                self.seen, self.frontier, cfg.retry_policy,
+                cfg.num_seen_shards, cfg.num_frontier_shards, now_ms,
+            )
+            ds, n_blocks = build_wave_ds(entries)
             ds = ds.map_batches(router, batch_format="pyarrow",
-                                batch_size=cfg.fetch_batch_size)
+                                batch_size=max(2048, cfg.fetch_batch_size))
+            t0 = time.monotonic()
             ds.write_parquet(wave_dir)
-
+            if os.environ.get("DOONOP_WAVE_TIMING"):
+                print(
+                    f"wave={wave_idx} n={len(entries)} blocks={n_blocks} "
+                    f"pipe={time.monotonic() - t0:.2f}s",
+                    flush=True,
+                )
             # light read-back of one column for the wave's stats
-            st = pq.read_table(wave_dir, columns=["status"]).column("status").to_pylist()
-            n_ok = sum(s == "ok" for s in st)
-            n_to = sum(s == "timeout" for s in st)
-            n_err = sum(s == "error" for s in st)
-            self.stats.visited += len(st)
-            self.stats.collected += n_ok
-            if cfg.retry_policy != "no":
-                self.stats.retries += n_to
-            else:
-                self.stats.errors += n_to
-            self.stats.errors += n_err
+            wt = pq.read_table(wave_dir, columns=["status", "n_links"])
+            st = wt.column("status").to_pylist()
+            return {
+                "visited": len(st),
+                "ok": sum(s == "ok" for s in st),
+                "timeout": sum(s == "timeout" for s in st),
+                "error": sum(s == "error" for s in st),
+                "links": int(pa.compute.sum(wt.column("n_links")).as_py() or 0),
+            }
 
-            if cfg.checkpoint_dir and (self.wave % cfg.checkpoint_every_waves == 0):
-                self._write_checkpoint(ray, wave_done=self.wave)
-            self.wave += 1
+        routed = {"links": 0, "retries": 0}
 
+        def absorb(futs):
+            for fut in futs:
+                c = fut.result()
+                del inflight[fut]
+                self.stats.visited += c["visited"]
+                self.stats.collected += c["ok"]
+                routed["links"] += c["links"]
+                if cfg.retry_policy != "no":
+                    self.stats.retries += c["timeout"]
+                    routed["retries"] += c["timeout"]
+                else:
+                    self.stats.errors += c["timeout"]
+                self.stats.errors += c["error"]
+
+        _t = {"drain": 0.0, "settle": 0.0, "wait": 0.0, "loops": 0}
+        # drains are PREFETCHED: the next wave's frontier drain runs while
+        # current waves execute, so drain latency (actor queueing under a
+        # busy node) never sits on the dispatch critical path. Limit runs
+        # stay synchronous so the budget sees fresh collected counts.
+        use_prefetch = cfg.limit is None
+        prefetch = None  # (now_ms, [drain futures])
+
+        def start_drain():
+            budget = cfg.wave_size()
+            if cfg.limit is not None:
+                budget = max(1, min(budget, cfg.limit - self.stats.collected))
+            per_shard = max(1, budget // cfg.num_frontier_shards)
+            now_ms = time.monotonic() * 1000.0
+            return (
+                now_ms,
+                [
+                    f.drain.remote(per_shard, now_ms, cfg.max_per_host_per_wave)
+                    for f in self.frontier
+                ],
+            )
+
+        while True:
+            _t["loops"] += 1
+            absorb([f for f in list(inflight) if f.done()])
+
+            closed = (
+                cfg.limit is not None
+                and self.stats.collected > 0
+                and self.stats.collected >= cfg.limit
+            )
+            can_submit = (
+                not closed
+                and (max_waves is None or self.wave < max_waves)
+                and len(inflight) < n_inflight
+            )
+
+            entries = []
+            if can_submit:
+                if prefetch is None:
+                    prefetch = start_drain()
+                now_ms, futs = prefetch
+                prefetch = None
+                _t0 = time.monotonic()
+                drains = ray.get(futs)
+                entries = [e for d in drains for e in d]
+                _dt = time.monotonic() - _t0
+                _t["drain"] += _dt
+                if _dt > 0.2 and os.environ.get("DOONOP_WAVE_TIMING"):
+                    print(f"SLOWDRAIN {_dt:.2f}s n={len(entries)} inflight={len(inflight)}",
+                          flush=True)
+
+            if entries:
+                fut = executor.submit(run_wave, entries, self.wave, now_ms)
+                inflight[fut] = self.wave
+                self.wave += 1
+                if use_prefetch and prefetch is None and (
+                    max_waves is None or self.wave < max_waves
+                ):
+                    prefetch = start_drain()
+                if cfg.checkpoint_dir and (
+                    self.wave % cfg.checkpoint_every_waves == 0
+                ):
+                    # checkpoint barrier: quiesce so the snapshot is a
+                    # consistent cut across frontier + seen + artifacts
+                    fwait(list(inflight))
+                    absorb(list(inflight))
+                    self._write_checkpoint(ray, wave_done=self.wave - 1)
+                continue
+
+            if inflight:
+                _t0 = time.monotonic()
+                fwait(list(inflight), return_when=FIRST_COMPLETED)
+                _t["wait"] += time.monotonic() - _t0
+                continue
+            # nothing in flight and nothing drained: finish or spin once
+            if closed or (max_waves is not None and self.wave >= max_waves):
+                break
+            # settle the fire-and-forget routing: every candidate link and
+            # retry emitted by completed waves must have reached its shard
+            # (and seen→frontier forwards must have landed) before
+            # is_empty can be trusted
+            _t0 = time.monotonic()
+            ingested = sum(ray.get([s_.flush.remote() for s_ in self.seen]))
+            retry_rcvd = sum(
+                ray.get([f.retry_received.remote() for f in self.frontier])
+            )
+            if ingested < routed["links"] or retry_rcvd < routed["retries"]:
+                _t["settle"] += time.monotonic() - _t0
+                time.sleep(0.02)
+                continue
+            empty = all(ray.get([f.is_empty.remote() for f in self.frontier]))
+            _t["settle"] += time.monotonic() - _t0
+            if empty:
+                break
+
+        executor.shutdown(wait=True)
+        if os.environ.get("DOONOP_WAVE_TIMING"):
+            print(f"LOOP {_t}", flush=True)
         return self.stats
 
     # ------------------------------------------------------------------
@@ -341,6 +500,10 @@ class RayCrawler:
     def _write_checkpoint(self, ray, wave_done: int):
         ckpt = os.path.join(self.cfg.checkpoint_dir, f"wave={wave_done:05d}")
         os.makedirs(ckpt, exist_ok=True)
+        # flush buffered seen→frontier forwards so the frontier snapshot
+        # is a consistent cut (in-buffer links would otherwise be lost on
+        # restore: already marked seen but never queued)
+        ray.get([s.flush.remote() for s in self.seen])
         f_blobs = ray.get([f.snapshot.remote() for f in self.frontier])
         s_blobs = ray.get([s.snapshot.remote() for s in self.seen])
         for i, b in enumerate(f_blobs):
@@ -394,13 +557,14 @@ class RayCrawler:
 
 
 def run_conformance(cfg: CrawlConfig, pages: pa.Table, images: pa.Table,
-                    robots_map: dict[str, str], world_seed: int = 42):
+                    robots_map: dict[str, str], world_seed: int = 42,
+                    img_bounds: tuple[int, int] = (16, 40)):
     """Single-in-flight crawl using the engine's own operator classes
     (FrontierCore + SeenCore + RobotsCache + Fetcher + Validator batch
     fns applied inline) — produces the reference's exact j=1 order."""
     filters = FilterSpec(tuple(cfg.ignore_regexes), cfg.allow_domains)
     fetcher = Fetcher(pages, filters)
-    validator = Validator(images, world_seed)
+    validator = Validator(images, world_seed, img_min=img_bounds[0], img_max=img_bounds[1])
     frontier = FrontierCore(
         cfg.retry_policy, cfg.retry_threshold_ms, cfg.retry_count, "lifo"
     )

@@ -17,16 +17,35 @@ import pyarrow.parquet as pq
 from ..config import CrawlConfig
 from ..synth import World, WorldParams, build_world, read_world
 
+# bench tier ("0.1") uses larger images so the per-page decode+validate
+# compute matches a realistic image-crawl payload (scaling evidence needs
+# compute-dominated waves, BASELINE.md)
 _TIERS = {
-    "0.001": dict(n_hosts=8, pages_per_host=30),
-    "0.01": dict(n_hosts=16, pages_per_host=150),
-    "0.1": dict(n_hosts=40, pages_per_host=600),
+    "0.001": dict(n_hosts=8, pages_per_host=30, img=(16, 40)),
+    "0.01": dict(n_hosts=16, pages_per_host=150, img=(16, 40)),
+    "0.1": dict(n_hosts=40, pages_per_host=600, img=(56, 72)),
+    # 4x world for the two-cluster-size scaling evidence: enough backlog
+    # that wave pipelines stay overlapped and compute-dominated
+    "scale": dict(n_hosts=80, pages_per_host=1200, img=(56, 72)),
 }
+_WORLD_CACHE_VERSION = 5
 _CACHE: dict[str, World] = {}
+_REF_CACHE: dict[str, tuple] = {}  # tier -> (pages_ref, images_ref)
+
+
+def _refs_for(tier: str, w):
+    """Session-cached ray.put refs of the (pre-combined) world tables."""
+    import ray
+
+    if tier not in _REF_CACHE:
+        _REF_CACHE[tier] = (ray.put(w.pages), ray.put(w.images))
+    return _REF_CACHE[tier]
 
 
 def tier_of(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
+    if name == "scale":
+        return "scale"
     sf = name.replace("sf", "") if name.startswith("sf") else "0.001"
     return sf if sf in _TIERS else "0.001"
 
@@ -42,6 +61,8 @@ def world_params(tier: str) -> WorldParams:
         p_dead=0.03,
         p_invalid=0.03,
         n_seeds=t["n_hosts"],
+        img_min=t["img"][0],
+        img_max=t["img"][1],
     )
 
 
@@ -49,7 +70,7 @@ def world_for(sf_dir: str, cache_root: str = "/tmp/doonop_worlds") -> World:
     tier = tier_of(sf_dir)
     if tier in _CACHE:
         return _CACHE[tier]
-    path = os.path.join(cache_root, f"tier_{tier}")
+    path = os.path.join(cache_root, f"tier_{tier}_v{_WORLD_CACHE_VERSION}")
     marker = os.path.join(path, "_complete")
     if os.path.exists(marker):
         w = read_world(path)
@@ -59,38 +80,60 @@ def world_for(sf_dir: str, cache_root: str = "/tmp/doonop_worlds") -> World:
         w.write(path)
         with open(marker, "w") as fh:
             fh.write("ok")
+    w.pages = w.pages.combine_chunks()
+    w.images = w.images.combine_chunks()
     _CACHE[tier] = w
     return w
 
 
 def _crawl_cfg(w: World, tier: str, **kw) -> CrawlConfig:
-    scale = {"0.001": (4, 64), "0.01": (8, 512), "0.1": (16, 4096)}[tier]
-    engines, wave = scale
+    scale = {"0.001": (4, 64, 16), "0.01": (8, 512, 64),
+             "0.1": (32, 8192, 256), "scale": (32, 16384, 256)}[tier]
+    engines, wave, batch = scale
     base = dict(
         seeds=w.seeds.column("url").to_pylist(),
         use_robots=True,
         retry_threshold_ms=0,
         engines=engines,
         wave_budget=wave,
-        fetch_batch_size=max(16, wave // (engines * 2)),
-        num_seen_shards=max(1, engines // 4),
-        num_frontier_shards=max(1, engines // 4),
+        fetch_batch_size=batch,
+        num_seen_shards=max(1, engines // 8),
+        num_frontier_shards=max(1, engines // 8),
     )
     base.update(kw)
     return CrawlConfig(**base)
 
 
-def flagship_crawl(sf_dir: str, out_dir: str | None = None, **cfg_kw) -> pd.DataFrame:
+def flagship_crawl(sf_dir: str, out_dir: str | None = None,
+                   bulk_seed: bool = False, **cfg_kw) -> pd.DataFrame:
     """Scaled crawl of the tier's world: fetch → decode+validate →
-    link routing; returns the per-visit artifact table."""
+    link routing; returns the per-visit artifact table.
+
+    ``bulk_seed=True`` seeds the frontier with every page URL (the
+    sitemap bulk-seeding path, reference EP3 / scripts/sitemap.sh) —
+    the steady-state full-frontier throughput mode the 10^10-URL
+    metric describes; the default organic mode grows the frontier from
+    per-host seeds.
+    """
     tier = tier_of(sf_dir)
     w = world_for(sf_dir)
     out_dir = out_dir or f"/tmp/doonop_out/flagship_{tier}_{os.getpid()}"
+    if bulk_seed:
+        seeds = w.pages.column("url").to_pylist()
+        cfg_kw.setdefault("seeds", seeds)
+        # full frontier from wave 0: drain the whole backlog into one
+        # streaming pipeline (wave overhead off the critical path); small
+        # tail waves mop up retries and stragglers
+        cfg_kw.setdefault("wave_budget", len(seeds) + 1024)
+        cfg_kw.setdefault("max_inflight_waves", 2)
     cfg = _crawl_cfg(w, tier, **cfg_kw)
     from .crawler import RayCrawler
 
+    pages_ref, images_ref = _refs_for(tier, w)
     crawler = RayCrawler(cfg, w.pages, w.images, w.robots_map(), out_dir,
-                         world_seed=w.params.seed)
+                         world_seed=w.params.seed,
+                         img_bounds=(w.params.img_min, w.params.img_max),
+                         pages_ref=pages_ref, images_ref=images_ref)
     crawler.run()
     t = pq.read_table(
         out_dir,
@@ -107,7 +150,8 @@ def conformance_order(sf_dir: str) -> pd.DataFrame:
     from .crawler import run_conformance
 
     cfg = _crawl_cfg(w, "0.001")
-    res = run_conformance(cfg, w.pages, w.images, w.robots_map(), w.params.seed)
+    res = run_conformance(cfg, w.pages, w.images, w.robots_map(), w.params.seed,
+                          img_bounds=(w.params.img_min, w.params.img_max))
     return pd.DataFrame(
         {"seq": range(len(res["order"])), "url": res["order"]}
     )
@@ -143,7 +187,9 @@ def image_validate(sf_dir: str) -> pd.DataFrame:
         )
     out = (
         rd.from_arrow(blocks)
-        .map_batches(make_validate_fn(images_ref, w.params.seed),
+        .map_batches(make_validate_fn(images_ref, w.params.seed,
+                                      img_min=w.params.img_min,
+                                      img_max=w.params.img_max),
                      batch_format="pyarrow", batch_size=256)
         .to_pandas()[["image_id", "fmt", "caption_ok", "pixel_ok", "psnr_db"]]
     )

@@ -81,7 +81,12 @@ def parse_robots(text: str) -> list[_Group]:
 
 
 class RobotsVerifier:
-    """Compiled rules for one (robots.txt body, robot name) pair."""
+    """Compiled rules for one (robots.txt body, robot name) pair.
+
+    Longest-match-wins / allow-beats-tie evaluation runs in
+    O(distinct rule lengths) regex calls per path, not O(rules): rules
+    are bucketed by length into combined alternation regexes (checking
+    lengths descending, allow before disallow, first hit wins)."""
 
     def __init__(self, robot: str, body: str):
         robot_l = robot.lower()
@@ -94,17 +99,30 @@ class RobotsVerifier:
                         best, best_len = g, 0
                 elif a in robot_l and len(a) > best_len:
                     best, best_len = g, len(a)
-        self._rules = best.rules if best else []
+        rules = best.rules if best else []
+        by_len: dict[int, dict[bool, list[str]]] = {}
+        for is_allow, raw, rx in rules:
+            body_pat = rx.pattern[1:]  # strip the leading ^
+            by_len.setdefault(len(raw), {}).setdefault(is_allow, []).append(body_pat)
+        self._levels: list[tuple[re.Pattern | None, re.Pattern | None]] = []
+        for length in sorted(by_len, reverse=True):
+            allow = by_len[length].get(True)
+            deny = by_len[length].get(False)
+            self._levels.append(
+                (
+                    re.compile("^(?:" + "|".join(allow) + ")") if allow else None,
+                    re.compile("^(?:" + "|".join(deny) + ")") if deny else None,
+                )
+            )
 
     def is_allowed(self, path: str) -> bool:
         path = path or "/"
-        winner: tuple[int, bool] | None = None
-        for is_allow, raw, rx in self._rules:
-            if rx.match(path):
-                key = (len(raw), is_allow)
-                if winner is None or key > winner:
-                    winner = key
-        return True if winner is None else winner[1]
+        for allow_rx, deny_rx in self._levels:
+            if allow_rx is not None and allow_rx.match(path):
+                return True
+            if deny_rx is not None and deny_rx.match(path):
+                return False
+        return True
 
 
 class RobotsCache:

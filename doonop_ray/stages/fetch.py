@@ -50,75 +50,90 @@ class Fetcher:
     """
 
     def __init__(self, pages, filters: FilterSpec):
-        t = _deref(pages)
+        # near-zero init: keep the broadcast table as-is (zero-copy from
+        # the object store); batch lookups use vectorized pc.index_in +
+        # take, so no per-worker python index is ever built
+        import pyarrow.compute as pc
+
+        self._pc = pc
+        self.t = _deref(pages).combine_chunks()
+        self.urls_col = self.t.column("url")
         self.filters = filters
-        urls = t.column("url").to_pylist()
-        self.index = {u: i for i, u in enumerate(urls)}
-        self.links = t.column("links").to_pylist()
-        self.data = t.column("data").to_pylist()
-        self.image_id = t.column("image_id").to_pylist()
-        self.latency = t.column("latency_ms").to_numpy()
-        self.fail_mode = t.column("fail_mode").to_pylist()
-        self.fail_count = t.column("fail_count").to_numpy()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        attempts = batch.column("attempt").to_numpy()
-        depths = batch.column("depth").to_numpy()
+        pc = self._pc
+        n = len(batch)
+        # vectorized hash-lookup of the whole batch against the pages
+        # table (null index = dead link → non-retryable error)
+        idx = pc.index_in(batch.column("url"), value_set=self.urls_col)
+        rows = self.t.take(idx)
+        found = np.asarray(pc.is_valid(idx))
 
-        n = len(urls)
-        status = [""] * n
-        datas: list[str | None] = [None] * n
-        image_ids: list[str | None] = [None] * n
-        latency = np.ones(n, dtype=np.int32)
-        raw_links: list[list[str]] = [[] for _ in range(n)]
+        fm_col = rows.column("fail_mode")
+        is_timeout = np.asarray(
+            pc.equal(fm_col, "timeout").combine_chunks().fill_null(False)
+        )
+        has_fail = np.asarray(
+            pc.and_kleene(
+                pc.is_valid(fm_col), pc.not_equal(fm_col, "")
+            ).combine_chunks().fill_null(False)
+        )
+        under_count = np.asarray(
+            pc.less(
+                batch.column("attempt"),
+                pc.cast(rows.column("fail_count"), pa.int32()),
+            ).combine_chunks().fill_null(False)
+        )
+        failing = has_fail & under_count
+        ok = found & ~failing
+        status_np = np.where(
+            ok, "ok", np.where(found & is_timeout, "timeout", "error")
+        )
+        ok_arr = pa.array(ok)
+        null_str = pa.scalar(None, pa.string())
+        datas = pc.if_else(ok_arr, rows.column("data").combine_chunks(), null_str)
+        image_ids = pc.if_else(
+            ok_arr, rows.column("image_id").combine_chunks(), null_str
+        )
+        latency = pc.fill_null(
+            pc.cast(rows.column("latency_ms"), pa.int32()), 1
+        )
 
-        for i, u in enumerate(urls):
-            j = self.index.get(u)
-            if j is None:
-                status[i] = "error"
-                continue
-            latency[i] = self.latency[j]
-            fm = self.fail_mode[j]
-            if fm and attempts[i] < self.fail_count[j]:
-                status[i] = "timeout" if fm == "timeout" else "error"
-                continue
-            status[i] = "ok"
-            datas[i] = self.data[j]
-            image_ids[i] = self.image_id[j]
-            raw_links[i] = self.links[j]
-
-        # absolutize all links of the batch flat, then one vectorized
-        # filter mask (engine.rs:51-57 semantics: drop unparseable, drop
-        # if any filter ignores)
+        # absolutize the OK rows' links flat, then one vectorized filter
+        # mask (engine.rs:51-57: drop unparseable, drop if any filter
+        # ignores); link join is inherently per-string python
+        urls_py = batch.column("url").to_pylist()
+        ok_idx = np.flatnonzero(ok)
+        raw_links = rows.column("links").take(pa.array(ok_idx)).to_pylist()
         flat: list[str] = []
-        offsets = [0]
-        for i in range(n):
-            if status[i] == "ok":
-                base = urls[i]
-                for href in raw_links[i]:
-                    a = make_absolute(base, href)
-                    if a is not None:
-                        flat.append(a)
-            offsets.append(len(flat))
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        for k, i in enumerate(ok_idx):
+            base = urls_py[i]
+            for href in raw_links[k]:
+                a = make_absolute(base, href)
+                if a is not None:
+                    flat.append(a)
+            offsets[i + 1] = len(flat)
+        # forward-fill offsets for non-ok rows
+        np.maximum.accumulate(offsets, out=offsets)
         if flat:
             keep = ~self.filters.ignored_mask(flat)
         else:
             keep = np.zeros(0, dtype=bool)
-        links_out: list[list[str]] = []
-        for i in range(n):
-            s, e = offsets[i], offsets[i + 1]
-            links_out.append([flat[k] for k in range(s, e) if keep[k]])
+        links_out: list[list[str]] = [
+            [flat[k] for k in range(offsets[i], offsets[i + 1]) if keep[k]]
+            for i in range(n)
+        ]
 
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "depth": pa.array(depths, pa.int32()),
-                "status": pa.array(status, pa.string()),
-                "data": pa.array(datas, pa.string()),
+                "url": batch.column("url"),
+                "depth": pc.cast(batch.column("depth"), pa.int32()),
+                "status": pa.array(status_np.tolist(), pa.string()),
+                "data": datas,
                 "links": pa.array(links_out, pa.list_(pa.string())),
-                "image_id": pa.array(image_ids, pa.string()),
-                "latency_ms": pa.array(latency, pa.int32()),
+                "image_id": image_ids,
+                "latency_ms": latency,
             }
         )
 
@@ -157,11 +172,16 @@ def make_fetch_fn(pages_ref, filters: FilterSpec):
     return fetch_fn
 
 
-def make_validate_fn(images_ref, world_seed: int, emit_bytes: bool = False):
+def make_validate_fn(images_ref, world_seed: int, emit_bytes: bool = False,
+                     img_min: int = 16, img_max: int = 40):
     key = ("validate", getattr(images_ref, "hex", lambda: id(images_ref))())
 
     def validate_fn(batch: pa.Table) -> pa.Table:
-        v = _cached(key, lambda: Validator(images_ref, world_seed, emit_bytes))
+        v = _cached(
+            key,
+            lambda: Validator(images_ref, world_seed, emit_bytes,
+                              img_min=img_min, img_max=img_max),
+        )
         return v(batch)
 
     return validate_fn
@@ -179,7 +199,7 @@ class Validator:
     """
 
     def __init__(self, images, world_seed: int, emit_bytes: bool = False,
-                 psnr_min: float = 40.0):
+                 psnr_min: float = 40.0, img_min: int = 16, img_max: int = 40):
         from ..codec import decode_image, psnr
         from ..synth import expected_caption, expected_pixels
 
@@ -191,21 +211,27 @@ class Validator:
         self.seed = world_seed
         self.emit_bytes = emit_bytes
         self.psnr_min = psnr_min
-        ids = t.column("image_id").to_pylist()
-        self.img = {
-            iid: (b, f, c, ph)
-            for iid, b, f, c, ph in zip(
-                ids,
-                t.column("bytes").to_pylist(),
-                t.column("fmt").to_pylist(),
-                t.column("caption").to_pylist(),
-                t.column("phash").to_pylist(),
-            )
-        }
+        self.img_min = img_min
+        self.img_max = img_max
+        # zero-index init (see Fetcher): batch lookup via pc.index_in
+        import pyarrow.compute as pc
+
+        self._pc = pc
+        self.tab = t.combine_chunks()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        pc = self._pc
+        n = len(batch)
+        idx = pc.index_in(
+            batch.column("image_id"), value_set=self.tab.column("image_id")
+        )
+        rows = self.tab.take(idx)
+        valid = np.asarray(pc.is_valid(idx))
         ids = batch.column("image_id").to_pylist()
-        n = len(ids)
+        row_bytes = rows.column("bytes").combine_chunks()
+        row_fmt = rows.column("fmt").combine_chunks()
+        row_cap = rows.column("caption").combine_chunks()
+        row_ph = rows.column("phash").combine_chunks()
         caption_ok = np.zeros(n, dtype=bool)
         pixel_ok = np.zeros(n, dtype=bool)
         psnr_db = np.full(n, np.nan)
@@ -214,15 +240,17 @@ class Validator:
         phashes = np.zeros(n, dtype=np.int64)
         blobs: list[bytes | None] = [None] * n
 
-        for i, iid in enumerate(ids):
-            if iid is None or iid not in self.img:
-                continue
-            blob, fmt, caption, ph = self.img[iid]
+        for i in np.flatnonzero(valid):
+            iid = ids[i]
+            blob = row_bytes[i].as_py()
+            fmt = row_fmt[i].as_py()
+            caption = row_cap[i].as_py()
+            ph = row_ph[i].as_py()
             try:
                 pix = self._decode(blob, fmt)
             except Exception:
                 continue
-            truth = self._exp_pix(iid, self.seed)
+            truth = self._exp_pix(iid, self.seed, self.img_min, self.img_max)
             p = self._psnr(truth, pix)
             psnr_db[i] = p if np.isfinite(p) else 999.0
             pixel_ok[i] = p >= self.psnr_min

@@ -205,6 +205,7 @@ class FrontierShard:
             retry_policy, retry_threshold_ms, retry_count, key_mode, shard_id
         )
         self.robot = robot
+        self.n_retry_received = 0
         self.robots = (
             RobotsCache(make_table_fetcher(robots_map or {})) if use_robots else None
         )
@@ -214,10 +215,14 @@ class FrontierShard:
 
     def keep_retry_batch(self, items: list[tuple[str, int]], now_ms: float) -> int:
         """Returns how many were re-queued (rest gave up)."""
+        self.n_retry_received += len(items)
         kept = 0
         for url, depth in items:
             kept += bool(self.core.keep_retry(url, depth, now_ms))
         return kept
+
+    def retry_received(self) -> int:
+        return self.n_retry_received
 
     def drain(self, budget: int, now_ms: float, per_host_cap: int | None):
         cap = max(1, per_host_cap) if per_host_cap is not None else None

@@ -31,15 +31,23 @@ _MAX_KICKS = 500
 
 
 def url_hash64(url: str) -> int:
-    """Stable 64-bit hash of a canonical URL (FNV-1a; no PYTHONHASHSEED)."""
-    h = 0xCBF29CE484222325
-    for b in url.encode("utf-8", "surrogatepass"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Stable 64-bit hash of a canonical URL (blake2b; no PYTHONHASHSEED).
+
+    Used by the cuckoo filter (needs 64 fingerprint+index bits); shard
+    routing uses the cheaper crc32 (``shard_of``)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(url.encode("utf-8", "surrogatepass"), digest_size=8).digest(),
+        "big",
+    )
 
 
 def shard_of(url: str, num_shards: int) -> int:
-    return url_hash64(url) % num_shards
+    """Stable shard routing — crc32 is C-speed and process-stable."""
+    import zlib
+
+    return zlib.crc32(url.encode("utf-8", "surrogatepass")) % num_shards
 
 
 class CuckooFilter:
@@ -123,12 +131,13 @@ class SeenCore:
         """
         out = []
         if self.mode == "exact":
+            # pure set-speed hot path; the cuckoo filter is exercised by
+            # "cuckoo" mode and its own tests, not synced here
             for u in urls:
                 if u in self.exact:
                     out.append(False)
                 else:
                     self.exact.add(u)
-                    self.filter.add(u)
                     out.append(True)
         else:
             for u in urls:

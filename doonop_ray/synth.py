@@ -68,24 +68,35 @@ def page_url(h: int, i: int) -> str:
     return f"https://{host_name(h)}/p/{i}"
 
 
-def expected_pixels(image_id: str, seed: int) -> np.ndarray:
-    """Regenerate the ground-truth pixels for an image_id (pure function)."""
+def expected_pixels(image_id: str, seed: int, img_min: int = 16,
+                    img_max: int = 40) -> np.ndarray:
+    """Regenerate the ground-truth pixels for an image_id — a pure
+    function of (image_id, seed, size bounds).
+
+    Deliberately cheap and allocation-light (separable float32 waves +
+    small uniform noise): at bench scale the validator regenerates truth
+    for every page, and this stand-in must not drown the *real* work
+    (entropy decode + PSNR) in memory traffic."""
     idx = int(image_id.split("-")[1])
     rng = np.random.default_rng([seed, 7919, idx])
-    w = int(rng.integers(16, 41))
-    h = int(rng.integers(16, 41))
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = (yy / max(h - 1, 1) + xx / max(w - 1, 1)) / 2.0
-    chans = []
-    for _ in range(3):
+    w = int(rng.integers(img_min, img_max + 1))
+    h = int(rng.integers(img_min, img_max + 1))
+    ramp_y = np.linspace(0.0, 0.5, h, dtype=np.float32)
+    ramp_x = np.linspace(0.0, 0.5, w, dtype=np.float32)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
         f1, f2 = rng.uniform(1, 5, 2)
         p1, p2 = rng.uniform(0, 2 * np.pi, 2)
-        img = 127 + 90 * np.sin(2 * np.pi * f1 * base + p1) * np.cos(
-            2 * np.pi * f2 * (1 - base) + p2
-        )
-        chans.append(img)
-    pix = np.stack(chans, axis=-1) + rng.normal(0, 2.5, (h, w, 3))
-    return np.clip(pix, 0, 255).astype(np.uint8)
+        wy = np.sin(np.float32(2 * np.pi * f1) * ramp_y + np.float32(p1))
+        wx = np.cos(np.float32(2 * np.pi * f2) * ramp_x + np.float32(p2))
+        # separable outer product; one float32 HxW temp per channel
+        chan = np.float32(122.0) + np.float32(90.0) * np.outer(wy, wx)
+        out[:, :, c] = chan.astype(np.uint8)
+    # small uint8 noise, saturating via minimum (stays cheap on memory)
+    noise = rng.integers(0, 10, (h, w, 3), dtype=np.uint8)
+    np.minimum(out, 245, out=out)
+    out += noise
+    return out
 
 
 def expected_caption(image_id: str, seed: int) -> str:
@@ -173,7 +184,7 @@ def build_world(params: WorldParams | None = None, **kw) -> World:
         if p.with_images and rng.random() < p.p_image:
             image_id = f"img-{img_counter:07d}"
             img_counter += 1
-            pix = expected_pixels(image_id, p.seed)
+            pix = expected_pixels(image_id, p.seed, p.img_min, p.img_max)
             fmt = "jpeg" if rng.random() < p.p_jpeg else "png"
             img_rows.append(
                 {
@@ -237,7 +248,9 @@ def build_world(params: WorldParams | None = None, **kw) -> World:
             rb_hosts.append(host_name(h))
             rb_bodies.append(FETCH_ERROR_MARKER)
         elif r < p.p_robots_err_host + p.p_robots_host:
-            n_block = max(1, int(sizes[h] * p.robots_disallow_frac))
+            # cap at a realistic rule count (real robots.txt files have
+            # tens of rules; an O(pages) rule list is a fixture artifact)
+            n_block = min(50, max(1, int(sizes[h] * p.robots_disallow_frac)))
             blocked = sorted(
                 int(x) for x in rng.choice(sizes[h], size=min(n_block, sizes[h]), replace=False)
             )
