@@ -70,7 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # workload.rs oracle in tests/test_crawler.py)
         "crawl_flagship": flagship.flagship_crawl,
         "crawl_conformance_order": flagship.conformance_order,
+        "crawl_host_counts": flagship.crawl_host_counts,
         "image_validate": flagship.image_validate,
+        "image_phash_neardup": flagship.image_phash_neardup,
     }
 
 

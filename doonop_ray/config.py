@@ -38,6 +38,13 @@ class CrawlConfig:
     use_actor_pools: bool = False       # True: per-wave actor pools (real
                                         # model-loading fetchers); False:
                                         # tasks + per-worker state cache
+    extractor: object | None = None     # M2/M3 analog: picklable
+                                        # fn(page_rows: pa.Table) ->
+                                        # pa.Array<string> overriding the
+                                        # per-page extraction result
+    seeds_canonical: bool = False       # True: seeds are pre-canonicalized
+                                        # (bulk/sitemap path) -> skip the
+                                        # per-URL canonicalize pass
     max_inflight_waves: int = 2         # concurrent wave pipelines
                                         # (continuous dispatch; limit runs
                                         # force 1 to bound overshoot)

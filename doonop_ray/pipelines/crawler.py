@@ -275,7 +275,12 @@ class RayCrawler:
 
                     shutil.rmtree(os.path.join(self.out_dir, d))
         if start_wave == 0:
-            seeds = clean_seeds(cfg.seeds, self.filters)
+            if (cfg.seeds_canonical and not cfg.ignore_regexes
+                    and cfg.allow_domains is None):
+                seeds = sorted(set(cfg.seeds))  # cfg.rs:338-342 minus the
+                # canonicalize pass (inputs already canonical)
+            else:
+                seeds = clean_seeds(cfg.seeds, self.filters)
             if not seeds:
                 return self.stats
             self._seed_frontier(ray, seeds)
@@ -301,7 +306,8 @@ class RayCrawler:
                     rd.from_arrow(blocks)
                     .map_batches(
                         Fetcher,
-                        fn_constructor_args=(pages_ref, self.filters),
+                        fn_constructor_args=(pages_ref, self.filters,
+                                             cfg.extractor),
                         batch_format="pyarrow",
                         batch_size=cfg.fetch_batch_size,
                         concurrency=(1, cfg.engines),
@@ -327,7 +333,7 @@ class RayCrawler:
                 ds = (
                     rd.from_arrow(blocks)
                     .map_batches(
-                        make_fetch_fn(pages_ref, self.filters),
+                        make_fetch_fn(pages_ref, self.filters, cfg.extractor),
                         batch_format="pyarrow",
                         batch_size=cfg.fetch_batch_size,
                     )
@@ -362,19 +368,24 @@ class RayCrawler:
             wt = pq.read_table(wave_dir, columns=["status", "n_links"])
             st = wt.column("status").to_pylist()
             return {
+                "wave": wave_idx,
                 "visited": len(st),
                 "ok": sum(s == "ok" for s in st),
                 "timeout": sum(s == "timeout" for s in st),
                 "error": sum(s == "error" for s in st),
                 "links": int(pa.compute.sum(wt.column("n_links")).as_py() or 0),
+                "wall_sec": round(time.monotonic() - t0, 3),
+                "wave_dir": wave_dir,
             }
 
         routed = {"links": 0, "retries": 0}
+        self.wave_metrics: list[dict] = getattr(self, "wave_metrics", [])
 
         def absorb(futs):
             for fut in futs:
                 c = fut.result()
                 del inflight[fut]
+                self.wave_metrics.append(c)
                 self.stats.visited += c["visited"]
                 self.stats.collected += c["ok"]
                 routed["links"] += c["links"]
@@ -482,9 +493,42 @@ class RayCrawler:
                 break
 
         executor.shutdown(wait=True)
+        self._write_metrics()
         if os.environ.get("DOONOP_WAVE_TIMING"):
             print(f"LOOP {_t}", flush=True)
         return self.stats
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def export_jsonl(artifact_dir: str, dest_dir: str) -> None:
+        """K1 analog (main.rs:36-38): export collected artifacts as JSON
+        lines via a streaming Dataset (completion ORDER is a j=1 notion;
+        run_conformance returns the ordered data list for that mode)."""
+        import ray.data as rd
+
+        ds = rd.read_parquet(artifact_dir)
+        ds.write_json(dest_dir)
+
+    def _write_metrics(self):
+        """Per-wave lineage + metrics rows (north_rule): which wave dir
+        holds which rows, with status counts and wall time — the audit
+        trail a resume inspects alongside the checkpoint manifests."""
+        if not self.wave_metrics:
+            return
+        rows = sorted(self.wave_metrics, key=lambda r: r["wave"])
+        t = pa.table(
+            {
+                "wave": pa.array([r["wave"] for r in rows], pa.int32()),
+                "visited": pa.array([r["visited"] for r in rows], pa.int64()),
+                "collected": pa.array([r["ok"] for r in rows], pa.int64()),
+                "timeouts": pa.array([r["timeout"] for r in rows], pa.int64()),
+                "errors": pa.array([r["error"] for r in rows], pa.int64()),
+                "links_routed": pa.array([r["links"] for r in rows], pa.int64()),
+                "wall_sec": pa.array([r["wall_sec"] for r in rows], pa.float64()),
+                "wave_dir": pa.array([r["wave_dir"] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(self.out_dir, "_wave_metrics.parquet"))
 
     # ------------------------------------------------------------------
     def seen_sets(self):
@@ -563,7 +607,7 @@ def run_conformance(cfg: CrawlConfig, pages: pa.Table, images: pa.Table,
     (FrontierCore + SeenCore + RobotsCache + Fetcher + Validator batch
     fns applied inline) — produces the reference's exact j=1 order."""
     filters = FilterSpec(tuple(cfg.ignore_regexes), cfg.allow_domains)
-    fetcher = Fetcher(pages, filters)
+    fetcher = Fetcher(pages, filters, cfg.extractor)
     validator = Validator(images, world_seed, img_min=img_bounds[0], img_max=img_bounds[1])
     frontier = FrontierCore(
         cfg.retry_policy, cfg.retry_threshold_ms, cfg.retry_count, "lifo"

@@ -126,6 +126,7 @@ def flagship_crawl(sf_dir: str, out_dir: str | None = None,
         # tail waves mop up retries and stragglers
         cfg_kw.setdefault("wave_budget", len(seeds) + 1024)
         cfg_kw.setdefault("max_inflight_waves", 2)
+        cfg_kw.setdefault("seeds_canonical", True)
     cfg = _crawl_cfg(w, tier, **cfg_kw)
     from .crawler import RayCrawler
 
@@ -194,3 +195,102 @@ def image_validate(sf_dir: str) -> pd.DataFrame:
         .to_pandas()[["image_id", "fmt", "caption_ok", "pixel_ok", "psnr_db"]]
     )
     return out.sort_values("image_id", kind="mergesort").reset_index(drop=True)
+
+
+def crawl_host_counts(sf_dir: str) -> pd.DataFrame:
+    """groupby(host) over the flagship artifacts — the wave-expansion
+    aggregate shape (north_star: per-host counts/budgets drive politeness;
+    skewed hosts are the politeness cap's target). Vectorized host
+    extraction + groupby; rows-only check (artifacts are not a DuckDB
+    view)."""
+    import pyarrow.compute as pcmp
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data as rd
+
+    tier = tier_of(sf_dir)
+    out_dir = f"/tmp/doonop_out/flagship_{tier}_{os.getpid()}"
+    if not os.path.isdir(out_dir):
+        flagship_crawl(sf_dir, out_dir=out_dir)
+
+    def add_host(t):
+        host = pcmp.extract_regex(t["url"], r"^https?://(?P<host>[^/]+)/")
+        return t.append_column(
+            "host", pcmp.struct_field(host, "host")
+        ).append_column(
+            "is_ok", pcmp.cast(pcmp.equal(t["status"], "ok"), "int64")
+        )
+
+    df = (
+        rd.read_parquet(out_dir, columns=["url", "status"])
+        .map_batches(add_host, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="n_visits"), Sum("is_ok", alias_name="n_ok"))
+        .to_pandas()
+    )
+    return df.sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
+def image_phash_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """Near-duplicate image pairs by perceptual hash: band the 64-bit
+    phash into 4x16-bit keys (a pair within hamming<=6 collides on >=1
+    band unless all differing bits straddle bands), groupby band keys
+    for candidates, verify exact hamming. SURVEY §2d extension enabled
+    by the input_hint phash column."""
+    import numpy as np
+    import pandas as pd_
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    w = world_for(sf_dir)
+    ids_tbl = w.images.select(["image_id", "phash"])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        ph = t.column("phash").to_numpy().astype(np.uint64)
+        out_id, out_band, out_key = [], [], []
+        for b in range(4):
+            key = (ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            out_id.extend(ids)
+            out_band.extend([b] * len(ids))
+            out_key.extend(key.tolist())
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "band": pa.array(out_band, pa.int32()),
+                "key": pa.array(out_key, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(g: pd_.DataFrame) -> pd_.DataFrame:
+        ids = sorted(g["image_id"].unique())
+        pairs = [
+            (ids[i], ids[j])
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+        ]
+        return pd_.DataFrame({"a": [p[0] for p in pairs],
+                              "b": [p[1] for p in pairs]})
+
+    cand = (
+        rd.from_arrow(ids_tbl)
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:
+        return pd_.DataFrame({"a": pd_.Series([], dtype="str"),
+                              "b": pd_.Series([], dtype="str"),
+                              "hamming": pd_.Series([], dtype="int64")})
+    cand = cand.drop_duplicates()
+    ph = dict(zip(w.images.column("image_id").to_pylist(),
+                  np.asarray(w.images.column("phash").to_numpy()).astype(np.uint64)))
+    keep = []
+    for a, b in zip(cand["a"], cand["b"]):
+        d = int(bin(int(ph[a] ^ ph[b])).count("1"))
+        if d <= max_hamming:
+            keep.append((a, b, d))
+    out = pd_.DataFrame(keep, columns=["a", "b", "hamming"])
+    return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)

@@ -49,7 +49,7 @@ class Fetcher:
     zero-copy in each actor's ``__init__`` (NOT re-shipped per batch).
     """
 
-    def __init__(self, pages, filters: FilterSpec):
+    def __init__(self, pages, filters: FilterSpec, extractor=None):
         # near-zero init: keep the broadcast table as-is (zero-copy from
         # the object store); batch lookups use vectorized pc.index_in +
         # take, so no per-worker python index is ever built
@@ -59,6 +59,10 @@ class Fetcher:
         self.t = _deref(pages).combine_chunks()
         self.urls_col = self.t.column("url")
         self.filters = filters
+        # user-extension hook (reference M2/M3: per-page extraction UDF,
+        # backend.rs:113-123 / :173-183): fn(page_rows: pa.Table) ->
+        # pa.Array<string> replacing the per-page ``data`` value
+        self.extractor = extractor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pc = self._pc
@@ -125,6 +129,23 @@ class Fetcher:
             for i in range(n)
         ]
 
+        if self.extractor is not None and ok.any():
+            page_rows = pa.table(
+                {
+                    "url": pa.array([urls_py[i] for i in ok_idx], pa.string()),
+                    "data": pc.take(datas, pa.array(ok_idx)),
+                    "links": pa.array([links_out[i] for i in ok_idx],
+                                      pa.list_(pa.string())),
+                    "image_id": pc.take(image_ids, pa.array(ok_idx)),
+                }
+            )
+            extracted = self.extractor(page_rows)
+            new_datas = datas.to_pylist() if hasattr(datas, "to_pylist") else list(datas)
+            ex_list = extracted.to_pylist() if hasattr(extracted, "to_pylist") else list(extracted)
+            for k, i in enumerate(ok_idx):
+                new_datas[i] = ex_list[k]
+            datas = pa.array(new_datas, pa.string())
+
         return pa.table(
             {
                 "url": batch.column("url"),
@@ -162,11 +183,11 @@ def _cached(key, build):
     return st
 
 
-def make_fetch_fn(pages_ref, filters: FilterSpec):
+def make_fetch_fn(pages_ref, filters: FilterSpec, extractor=None):
     key = ("fetch", getattr(pages_ref, "hex", lambda: id(pages_ref))())
 
     def fetch_fn(batch: pa.Table) -> pa.Table:
-        fetcher = _cached(key, lambda: Fetcher(pages_ref, filters))
+        fetcher = _cached(key, lambda: Fetcher(pages_ref, filters, extractor))
         return fetcher(batch)
 
     return fetch_fn

@@ -1,0 +1,157 @@
+"""Seed sources (S2/S6), extractor hook (M2/M3), JSONL sink (K1),
+cuckoo seen mode."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from doonop_ray.config import CrawlConfig
+from doonop_ray.oracle import run_oracle
+from doonop_ray.pipelines.crawler import RayCrawler, run_conformance
+from doonop_ray.sources.seeds import (
+    load_seed_file,
+    parse_seed_lines,
+    seed_dataset,
+    sitemap_urls_from_robots,
+)
+from doonop_ray.synth import WorldParams, build_world
+
+
+def test_seed_file_parsing(tmp_path):
+    p = tmp_path / "seeds.txt"
+    p.write_text("https://a.com/\n\n# comment\n  https://b.com/x  \n")
+    assert load_seed_file(str(p)) == ["https://a.com/", "https://b.com/x"]
+    assert parse_seed_lines(["", "# x", "u"]) == ["u"]
+
+
+def test_seed_dataset_ray(ray_session, tmp_path):
+    p = tmp_path / "seeds.txt"
+    p.write_text("https://A.com\nnot a url\nhttps://b.com/p\n# skip\n")
+    urls = seed_dataset(str(p)).to_pandas()["url"].tolist()
+    # block order is not guaranteed (preserve_order off); dedup/sort
+    # happen at frontier seeding anyway
+    assert sorted(urls) == ["https://a.com/", "https://b.com/p"]
+
+
+def test_sitemap_seeder():
+    robots = "User-agent: *\nDisallow: /x\nSitemap: https://s.com/map.xml\n"
+    body = """<?xml version="1.0"?><urlset>
+      <url><loc>https://s.com/p/1</loc></url>
+      <url><loc> https://s.com/p/2 </loc></url></urlset>"""
+    out = sitemap_urls_from_robots(robots, {"https://s.com/map.xml": body})
+    assert out == ["https://s.com/p/1", "https://s.com/p/2"]
+    assert sitemap_urls_from_robots("User-agent: *\n", {}) == []
+
+
+def _make_extractor():
+    # returned as a CLOSURE: cloudpickle ships it by value, so Ray
+    # workers don't need to import the test module
+    def extractor(page_rows: pa.Table) -> pa.Array:
+        import json as _json
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        urls = page_rows.column("url").to_pylist()
+        nl = _pc.list_value_length(page_rows.column("links")).to_pylist()
+        return _pa.array(
+            [_json.dumps({"u": u, "n": n}, sort_keys=True)
+             for u, n in zip(urls, nl)],
+            _pa.string(),
+        )
+
+    return extractor
+
+
+_extractor = _make_extractor()
+
+
+def test_extractor_hook_conformance():
+    w = build_world(WorldParams(seed=7, n_hosts=3, pages_per_host=6))
+    cfg = CrawlConfig(seeds=w.seeds.column("url").to_pylist(),
+                      retry_threshold_ms=0, extractor=_extractor)
+    res = run_conformance(cfg, w.pages, w.images, w.robots_map(), 7)
+    assert res["collected"]
+    for c in res["collected"]:
+        d = json.loads(c["data"])
+        assert d["u"] == c["url"] and isinstance(d["n"], int)
+    # order semantics unchanged by the extractor
+    base = run_oracle(CrawlConfig(seeds=cfg.seeds, retry_threshold_ms=0),
+                      w.pages_by_url(), w.robots_map())
+    assert res["order"] == base.order
+
+
+def test_extractor_hook_scaled_and_jsonl_export(ray_session, tmp_path):
+    w = build_world(WorldParams(seed=7, n_hosts=3, pages_per_host=6))
+    cfg = CrawlConfig(seeds=w.seeds.column("url").to_pylist(),
+                      retry_threshold_ms=0, engines=2, wave_budget=16,
+                      fetch_batch_size=8, extractor=_extractor)
+    c = RayCrawler(cfg, w.pages, w.images, w.robots_map(), str(tmp_path / "out"),
+                   world_seed=7)
+    stats = c.run()
+    assert stats.collected > 0
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(tmp_path / "out"))
+    ok = t.filter(pc.equal(t.column("status"), "ok"))
+    for u, d in zip(ok.column("url").to_pylist(), ok.column("data").to_pylist()):
+        assert json.loads(d)["u"] == u
+
+    RayCrawler.export_jsonl(str(tmp_path / "out"), str(tmp_path / "jsonl"))
+    lines = []
+    for f in (tmp_path / "jsonl").iterdir():
+        lines += [json.loads(ln) for ln in f.read_text().splitlines()]
+    assert len(lines) == t.num_rows
+    assert {"url", "status", "data"} <= set(lines[0])
+
+
+def test_cuckoo_seen_mode_scaled(ray_session, tmp_path):
+    """Cuckoo-authority seen mode: memory-bounded membership; with 16-bit
+    fingerprints the false-positive rate is ~0.1%, so on a small world
+    the crawl matches the exact-mode result exactly with high
+    probability — assert equality and allow the documented FP slack."""
+    w = build_world(WorldParams(seed=21, n_hosts=5, pages_per_host=12, fanout=4))
+    base = dict(seeds=w.seeds.column("url").to_pylist(), retry_threshold_ms=0,
+                engines=2, wave_budget=16, fetch_batch_size=8)
+    oracle = run_oracle(CrawlConfig(**base), w.pages_by_url(), w.robots_map())
+    cfg = CrawlConfig(**base, seen_mode="cuckoo")
+    c = RayCrawler(cfg, w.pages, w.images, w.robots_map(), str(tmp_path / "o"),
+                   world_seed=21)
+    stats = c.run()
+    # a false positive can only DROP pages, never duplicate them
+    assert stats.visited <= oracle.stats()["visited"]
+    assert stats.visited >= int(oracle.stats()["visited"] * 0.98)
+
+
+def test_crawl_host_counts(ray_session):
+    from doonop_ray.pipelines.flagship import crawl_host_counts
+
+    df = crawl_host_counts("sf0.001")
+    assert len(df) >= 2
+    assert (df["n_ok"] <= df["n_visits"]).all()
+    assert df["host"].str.endswith(".example.com").all()
+
+
+def test_image_phash_neardup_vs_bruteforce(ray_session):
+    import numpy as np
+
+    from doonop_ray.pipelines.flagship import image_phash_neardup, world_for
+
+    got = image_phash_neardup("sf0.001", max_hamming=6)
+    w = world_for("sf0.001")
+    ids = w.images.column("image_id").to_pylist()
+    ph = np.asarray(w.images.column("phash").to_numpy()).astype(np.uint64)
+    truth = set()
+    for i in range(len(ids)):
+        x = ph[i] ^ ph[i + 1 :]
+        for j in np.nonzero([bin(int(v)).count("1") <= 6 for v in x])[0]:
+            truth.add((ids[i], ids[i + 1 + j]))
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs <= truth  # verification removes false positives
+    if truth:
+        # banding guarantee: hamming<=6 over 4 bands -> some band equal
+        # unless bits spread 2/2/2 over >4... recall is high, not perfect
+        assert len(got_pairs & truth) / len(truth) >= 0.5
