@@ -191,6 +191,7 @@ class RayCrawler:
         self.filters = FilterSpec(tuple(cfg.ignore_regexes), cfg.allow_domains)
         self.stats = CrawlStats()
         self.wave = 0
+        self._stop_requested = False
 
     # ------------------------------------------------------------------
     def _spawn_state(self, ray):
@@ -429,6 +430,7 @@ class RayCrawler:
             )
             can_submit = (
                 not closed
+                and not self._stop_requested
                 and (max_waves is None or self.wave < max_waves)
                 and len(inflight) < n_inflight
             )
@@ -472,7 +474,9 @@ class RayCrawler:
                 _t["wait"] += time.monotonic() - _t0
                 continue
             # nothing in flight and nothing drained: finish or spin once
-            if closed or (max_waves is not None and self.wave >= max_waves):
+            if closed or self._stop_requested or (
+                max_waves is not None and self.wave >= max_waves
+            ):
                 break
             # settle the fire-and-forget routing: every candidate link and
             # retry emitted by completed waves must have reached its shard
@@ -493,12 +497,40 @@ class RayCrawler:
                 break
 
         executor.shutdown(wait=True)
+        if self._stop_requested and cfg.checkpoint_dir and self.wave > 0:
+            # graceful-shutdown checkpoint (T12 analog, main.rs:41-48 /
+            # workload.rs:191-195: drain in-flight, persist, exit)
+            self._write_checkpoint(ray, wave_done=self.wave - 1)
         self._write_metrics()
         if os.environ.get("DOONOP_WAVE_TIMING"):
             print(f"LOOP {_t}", flush=True)
         return self.stats
 
     # ------------------------------------------------------------------
+    def request_stop(self):
+        """Graceful shutdown: stop dispatching, drain in-flight waves,
+        checkpoint, return (the reference's ctrl-c path, T12)."""
+        self._stop_requested = True
+
+    def install_signal_checkpoint(self):
+        """Route SIGINT/SIGTERM to request_stop(); returns a restore fn."""
+        import signal
+
+        prev_int = signal.getsignal(signal.SIGINT)
+        prev_term = signal.getsignal(signal.SIGTERM)
+
+        def handler(signum, frame):
+            self.request_stop()
+
+        signal.signal(signal.SIGINT, handler)
+        signal.signal(signal.SIGTERM, handler)
+
+        def restore():
+            signal.signal(signal.SIGINT, prev_int)
+            signal.signal(signal.SIGTERM, prev_term)
+
+        return restore
+
     @staticmethod
     def export_jsonl(artifact_dir: str, dest_dir: str) -> None:
         """K1 analog (main.rs:36-38): export collected artifacts as JSON

@@ -294,3 +294,15 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
             keep.append((a, b, d))
     out = pd_.DataFrame(keep, columns=["a", "b", "hamming"])
     return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
+
+
+def crawl_polite(sf_dir: str) -> pd.DataFrame:
+    """Flagship crawl with per-host politeness token buckets engaged
+    (north_rule politeness budget; over-cap URLs defer, never drop).
+    Returns the artifact table; rows-only check — pinned against the
+    politeness unit tests + set-equality in tests/."""
+    return flagship_crawl(
+        sf_dir,
+        out_dir=f"/tmp/doonop_out/polite_{tier_of(sf_dir)}_{os.getpid()}",
+        max_per_host_per_wave=8,
+    )

@@ -155,3 +155,84 @@ def test_image_phash_neardup_vs_bruteforce(ray_session):
         # banding guarantee: hamming<=6 over 4 bands -> some band equal
         # unless bits spread 2/2/2 over >4... recall is high, not perfect
         assert len(got_pairs & truth) / len(truth) >= 0.5
+
+
+def test_proxy_parse_reference_cases():
+    import pytest as _pytest
+
+    from doonop_ray.stages.http_fetch import parse_proxy
+
+    p = parse_proxy("sock;address=127.0.0.1:9050;version=5")
+    assert (p.kind, p.address, p.version) == ("sock", "127.0.0.1:9050", 5)
+    p = parse_proxy("http;address=proxy.example.com:8080")
+    assert (p.kind, p.address, p.version) == ("http", "proxy.example.com:8080", None)
+    assert parse_proxy("sock;address=h:1").version == 5  # default
+    with _pytest.raises(ValueError):
+        parse_proxy("ftp;address=x")
+    with _pytest.raises(ValueError):
+        parse_proxy("sock;version=5")
+    with _pytest.raises(ValueError):
+        parse_proxy("sock;address=h:1;version=9")
+
+
+def test_http_fetcher_is_explicit_stub():
+    import pyarrow as _pa
+    import pytest as _pytest
+
+    from doonop_ray.filters import FilterSpec
+    from doonop_ray.stages.http_fetch import HttpFetcher
+
+    f = HttpFetcher(FilterSpec(), proxy="sock;address=h:1;version=4")
+    assert f.proxy.version == 4
+    with _pytest.raises(NotImplementedError):
+        f(_pa.table({"url": ["https://x/"]}))
+
+
+def test_graceful_stop_checkpoints_and_resumes(ray_session, tmp_path):
+    w = build_world(WorldParams(seed=21, n_hosts=5, pages_per_host=12, fanout=4))
+
+    def mk(tag):
+        cfg = CrawlConfig(seeds=w.seeds.column("url").to_pylist(),
+                          retry_threshold_ms=0, engines=2, wave_budget=8,
+                          fetch_batch_size=4,
+                          checkpoint_dir=str(tmp_path / "ckpt"))
+        return RayCrawler(cfg, w.pages, w.images, w.robots_map(),
+                          str(tmp_path / f"o_{tag}"), world_seed=21)
+
+    golden = mk("full")
+    golden_stats = golden.run().as_dict()
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt")
+
+    part = mk("part")
+    # request stop after the second wave completes: patch absorb counterpart
+    # by stopping from a side thread once some progress exists
+    import threading, time as _t
+
+    def stopper():
+        while part.stats.visited == 0:
+            _t.sleep(0.05)
+        part.request_stop()
+
+    th = threading.Thread(target=stopper)
+    th.start()
+    part.run()
+    th.join()
+    if part.stats.visited >= golden_stats["visited"]:
+        pytest.skip("crawl finished before the stop signal landed (timing)")
+
+    resumed = mk("part")
+    stats = resumed.run(resume=True)
+    assert stats.as_dict() == golden_stats
+
+
+def test_crawl_polite_query_matches_unrestricted_sets(ray_session):
+    import pandas as pd
+
+    from doonop_ray.pipelines.flagship import crawl_polite, flagship_crawl
+
+    free = flagship_crawl("sf0.001", out_dir="/tmp/doonop_out/tt_free")
+    polite = crawl_polite("sf0.001")
+    # politeness reorders waves but never drops: same visited set
+    assert set(polite["url"]) == set(free["url"])
