@@ -43,6 +43,33 @@ from ..stages.fetch import Fetcher, Validator, make_fetch_fn, make_validate_fn
 from ..state.frontier import FrontierCore, FrontierShard
 from ..state.seen import SeenCore, shard_of
 
+def _stub_fsspec_http_once():
+    """aiohttp is absent here, so ``fsspec.implementations.http`` can
+    never import. Ray Data's path resolution re-attempts that import on
+    every read/write (failed imports aren't cached), and two concurrent
+    wave threads racing the import surface as flaky ``ImportError:
+    cannot import name 'HTTPFileSystem'``. Register a minimal stub once,
+    single-threaded, so the import succeeds and is cached; no HTTP
+    filesystem is ever used in this sandbox."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # placeholder type; never instantiated
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 WAVE_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -257,6 +284,7 @@ class RayCrawler:
         import ray
         import ray.data as rd
 
+        _stub_fsspec_http_once()
         cfg = self.cfg
         if not (resume and cfg.checkpoint_dir) and os.path.isdir(self.out_dir):
             import shutil
