@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_conformance_order": flagship.conformance_order,
         "crawl_host_counts": flagship.crawl_host_counts,
         "crawl_polite": flagship.crawl_polite,
+        "frontier_host_budgets": flagship.frontier_host_budgets,
         "image_validate": flagship.image_validate,
         "image_phash_neardup": flagship.image_phash_neardup,
     }

@@ -306,3 +306,56 @@ def crawl_polite(sf_dir: str) -> pd.DataFrame:
         out_dir=f"/tmp/doonop_out/polite_{tier_of(sf_dir)}_{os.getpid()}",
         max_per_host_per_wave=8,
     )
+
+
+def frontier_host_budgets(sf_dir: str, per_host_budget: int = 64,
+                          salt_k: int = 8) -> pd.DataFrame:
+    """The north_star wave-expansion shuffle, stated explicitly: explode
+    candidate links → groupby(SALTED host) partial counts → merge salt
+    buckets → sort desc → per-host release budgets. Salting key
+    (host, crc32(url) % k) bounds any single reducer's share of a
+    Zipf-hot host; the merge of k salt partials is tiny. Rows-only
+    (validated against a driver-side count in tests)."""
+    import zlib as _z
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..url import host_of, make_absolute
+
+    w = world_for(sf_dir)
+
+    def explode_salted(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        links = t.column("links").to_pylist()
+        hosts, salts = [], []
+        for base, ls in zip(urls, links):
+            for href in ls:
+                a = make_absolute(base, href)
+                if a is None:
+                    continue
+                h = host_of(a)
+                if h:
+                    hosts.append(h)
+                    salts.append(_z.crc32(a.encode()) % salt_k)
+        tt = pa.table({"host": pa.array(hosts, pa.string()),
+                       "salt": pa.array(salts, pa.int32())})
+        # partial aggregation inside the batch BEFORE the shuffle
+        return tt.group_by(["host", "salt"]).aggregate([([], "count_all")])
+
+    salted = (
+        rd.from_arrow(w.pages.select(["url", "links"]))
+        .map_batches(explode_salted, batch_format="pyarrow", batch_size=4096)
+        .groupby(["host", "salt"])
+        .aggregate(Sum("count_all", alias_name="n"))
+    )
+    merged = (
+        salted.groupby("host")
+        .aggregate(Sum("n", alias_name="n_candidates"))
+        .to_pandas()
+    )
+    merged = merged.sort_values(["n_candidates", "host"],
+                                ascending=[False, True], kind="mergesort")
+    merged["budget"] = merged["n_candidates"].clip(upper=per_host_budget)
+    return merged.reset_index(drop=True)

@@ -236,3 +236,41 @@ def test_crawl_polite_query_matches_unrestricted_sets(ray_session):
     polite = crawl_polite("sf0.001")
     # politeness reorders waves but never drops: same visited set
     assert set(polite["url"]) == set(free["url"])
+
+
+def test_frontier_host_budgets_salted_expansion(ray_session):
+    from doonop_ray.pipelines.flagship import frontier_host_budgets, world_for
+    from doonop_ray.url import host_of, make_absolute
+
+    df = frontier_host_budgets("sf0.001", per_host_budget=10)
+    # brute-force driver-side count for the oracle
+    w = world_for("sf0.001")
+    counts = {}
+    for base, ls in zip(w.pages.column("url").to_pylist(),
+                        w.pages.column("links").to_pylist()):
+        for href in ls:
+            a = make_absolute(base, href)
+            if a and host_of(a):
+                counts[host_of(a)] = counts.get(host_of(a), 0) + 1
+    got = dict(zip(df["host"], df["n_candidates"]))
+    assert got == counts
+    assert (df["budget"] <= 10).all()
+    # sorted desc (Zipf world: the hot host leads)
+    assert list(df["n_candidates"]) == sorted(df["n_candidates"], reverse=True)
+
+
+def test_io_layer_lance_fallback(tmp_path):
+    import pyarrow as _pa
+
+    from doonop_ray import io as dio
+
+    t = _pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    # request the lance layout; without the lance package this must fall
+    # back to parquet transparently with the same schema
+    path = dio.dataset_path(str(tmp_path), "tbl")
+    written = dio.write_table(t, str(tmp_path / "tbl.lance"))
+    back = dio.read_table(written)
+    assert back.equals(t)
+    back2 = dio.read_table(str(tmp_path / "tbl.lance"), columns=["a"])
+    assert back2.column_names == ["a"]
+    assert (dio.HAVE_LANCE and path.endswith(".lance")) or path.endswith(".parquet")
