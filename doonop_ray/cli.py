@@ -1,0 +1,147 @@
+"""CLI entry point — the reference's EP1 surface (main.rs:13-39 +
+cfg.rs clap options) mapped onto the Ray engine.
+
+    python -m doonop_ray [opts] [URL ...]
+
+Flags mirror the reference: ``-j/--engines``, ``--limit``,
+``--retry-policy {no,first,last}``, ``--retry-threshold-ms``,
+``--retry-count``, ``-i/--ignore REGEX`` (repeatable), ``-f
+domain=NAME`` (repeatable), ``--robot NAME``, ``--no-robots``,
+``-s/--seed-file``, plus rebuild-only ``--world DIR`` (synthetic world
+tables; no live web in this sandbox), ``--out DIR``, ``--checkpoint
+DIR``, ``--resume``, ``--conformance`` (single-lane, reference j=1
+order), ``--json`` (JSONL artifacts to stdout, main.rs:36-38).
+
+Output: JSONL data values to stdout; a final
+``Statistics: visited V, collected C, errors E, retries R`` line to
+stderr (matching tests/crawling.rs:8-10's asserted format).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="doonop-ray", description=__doc__)
+    p.add_argument("urls", nargs="*", help="seed URLs (CLI position = S1)")
+    p.add_argument("-s", "--seed-file", help="one URL per line (S2)")
+    p.add_argument("-j", "--engines", type=int, default=1)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--retry-policy", choices=("no", "first", "last"),
+                   default="first")
+    p.add_argument("--retry-threshold-ms", type=int, default=10_000)
+    p.add_argument("--retry-count", type=int, default=3)
+    p.add_argument("-i", "--ignore", action="append", default=[],
+                   metavar="REGEX")
+    p.add_argument("-f", "--filter", action="append", default=[],
+                   metavar="NAME=VALUE", help="e.g. domain=example.com")
+    p.add_argument("--robot", default="DoonopRobot")
+    p.add_argument("--no-robots", action="store_true")
+    p.add_argument("--world", required=True,
+                   help="synthetic world dir (pages/images/robots/seeds parquet)")
+    p.add_argument("--out", default="/tmp/doonop_out/cli")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--conformance", action="store_true",
+                   help="single-lane reference-exact order (j=1 semantics)")
+    p.add_argument("--json", action="store_true",
+                   help="print collected data as JSON lines to stdout")
+    p.add_argument("--max-per-host", type=int, default=None,
+                   help="politeness: max URLs per host per wave")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="ray.init num_cpus when no session exists")
+    return p
+
+
+def parse_domain_filters(filters: list[str]) -> tuple[str, ...] | None:
+    domains = []
+    for f in filters:
+        name, _, value = f.partition("=")
+        if name.strip().lower() != "domain":
+            raise SystemExit(f"unknown filter {name!r} (only domain= is supported)")
+        domains.append(value.strip())
+    return tuple(domains) if domains else None
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .config import CrawlConfig
+    from .sources.seeds import load_seed_file
+    from .synth import read_world
+
+    seeds = list(args.urls)
+    if args.seed_file:
+        seeds.extend(load_seed_file(args.seed_file))
+    if not seeds:
+        print("Statistics: visited 0, collected 0, errors 0, retries 0",
+              file=sys.stderr)
+        return 0
+
+    w = read_world(args.world)
+    cfg = CrawlConfig(
+        seeds=seeds,
+        limit=args.limit,
+        retry_policy=args.retry_policy,
+        retry_threshold_ms=args.retry_threshold_ms,
+        retry_count=args.retry_count,
+        robot=args.robot,
+        use_robots=not args.no_robots,
+        ignore_regexes=tuple(args.ignore),
+        allow_domains=parse_domain_filters(args.filter),
+        engines=args.engines,
+        wave_budget=max(args.engines * 64, 64),
+        checkpoint_dir=args.checkpoint,
+    )
+    if args.max_per_host is not None:
+        cfg.max_per_host_per_wave = args.max_per_host
+
+    if args.conformance:
+        from .pipelines.crawler import run_conformance
+
+        res = run_conformance(cfg, w.pages, w.images, w.robots_map())
+        stats = res["stats"]
+        if args.json:
+            for c in res["collected"]:
+                print(json.dumps(None if c["data"] is None else
+                                 json.loads(c["data"])))
+    else:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from .pipelines.crawler import RayCrawler
+
+        crawler = RayCrawler(cfg, w.pages, w.images, w.robots_map(), args.out)
+        restore = crawler.install_signal_checkpoint()
+        try:
+            stats = crawler.run(resume=args.resume).as_dict()
+        finally:
+            restore()
+        if args.json:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(args.out, columns=["status", "data"])
+            for st, d in zip(t.column("status").to_pylist(),
+                             t.column("data").to_pylist()):
+                if st == "ok":
+                    print(json.dumps(None if d is None else json.loads(d)))
+        ray.shutdown()
+
+    print(
+        "Statistics: visited {visited}, collected {collected}, "
+        "errors {errors}, retries {retries}".format(**stats),
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

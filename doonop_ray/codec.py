@@ -56,9 +56,13 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode an RGB8 PNG produced by any encoder using filters 0-4."""
-    if data[:8] != _PNG_SIG:
+def decode_png(data) -> np.ndarray:
+    """Decode an RGB8 PNG produced by any encoder using filters 0-4.
+
+    Accepts bytes or any buffer (e.g. a zero-copy Arrow memoryview —
+    note Arrow buffers expose signed-char views, so header compares
+    must coerce through bytes())."""
+    if bytes(data[:8]) != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = bytearray()
@@ -67,6 +71,7 @@ def decode_png(data: bytes) -> np.ndarray:
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
+        tag = bytes(tag)
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
             if depth != 8 or ctype != 2 or interlace != 0:
@@ -127,13 +132,17 @@ def encode_jpeg(pixels: np.ndarray, level: int = 6) -> bytes:
     return _FJPG_MAGIC + struct.pack(">IIB", w, h, QSTEP) + body
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    if data[:4] != _FJPG_MAGIC:
+def decode_jpeg(data) -> np.ndarray:
+    """Accepts bytes or any buffer (see decode_png)."""
+    if bytes(data[:4]) != _FJPG_MAGIC:
         raise ValueError("not a FJPG payload")
     w, h, qstep = struct.unpack_from(">IIB", data, 4)
     q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
-    pix = q.astype(np.uint16) * qstep + qstep // 2
-    return np.minimum(pix, 255).astype(np.uint8).reshape(h, w, 3)
+    if qstep * 64 <= 256:  # fits uint8: q<=255//qstep so q*qstep+half<256
+        pix = q * np.uint8(qstep) + np.uint8(qstep // 2)
+    else:
+        pix = np.minimum(q.astype(np.uint16) * qstep + qstep // 2, 255).astype(np.uint8)
+    return pix.reshape(h, w, 3)
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
@@ -161,8 +170,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     if a.shape != b.shape:
         return 0.0
-    d = a.astype(np.int16) - b.astype(np.int16)
-    mse = np.mean(np.square(d, dtype=np.int32), dtype=np.float64)
+    d = (a.astype(np.int16) - b.astype(np.int16)).ravel().astype(np.float32)
+    mse = float(np.dot(d, d)) / d.size  # BLAS single pass, no square temp
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0 * 255.0 / mse))

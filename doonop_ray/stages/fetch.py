@@ -239,6 +239,13 @@ class Validator:
 
         self._pc = pc
         self.tab = t.combine_chunks()
+        # zero-copy blob accessor: slice memoryviews straight out of the
+        # binary column's data buffer instead of copying every blob with
+        # .as_py() (the copies were ~40% of validate memory traffic)
+        barr = self.tab.column("bytes").chunk(0)
+        self._blob_off = np.frombuffer(barr.buffers()[1], dtype=np.int32)
+        self._blob_mv = memoryview(barr.buffers()[2])
+        self._blob_base = barr.offset
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pc = self._pc
@@ -249,7 +256,6 @@ class Validator:
         rows = self.tab.take(idx)
         valid = np.asarray(pc.is_valid(idx))
         ids = batch.column("image_id").to_pylist()
-        row_bytes = rows.column("bytes").combine_chunks()
         row_fmt = rows.column("fmt").combine_chunks()
         row_cap = rows.column("caption").combine_chunks()
         row_ph = rows.column("phash").combine_chunks()
@@ -261,9 +267,11 @@ class Validator:
         phashes = np.zeros(n, dtype=np.int64)
         blobs: list[bytes | None] = [None] * n
 
+        src_idx = np.asarray(idx.fill_null(0))
         for i in np.flatnonzero(valid):
             iid = ids[i]
-            blob = row_bytes[i].as_py()
+            j = self._blob_base + int(src_idx[i])
+            blob = self._blob_mv[self._blob_off[j] : self._blob_off[j + 1]]
             fmt = row_fmt[i].as_py()
             caption = row_cap[i].as_py()
             ph = row_ph[i].as_py()
