@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": windows.user_sessions,
         "user_stats": windows.user_stats,
         "events_sliding_counts": windows.events_sliding_counts,
+        "events_last_order": windows.events_last_order,
+        "event_value_median": windows.event_value_median,
+        "top_orders_per_customer": relational.top_orders_per_customer,
         # crawl engine (reference-semantics; rows-only — pinned vs the
         # workload.rs oracle in tests/test_crawler.py)
         "crawl_flagship": flagship.flagship_crawl,
@@ -233,6 +236,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                    MIN(ts) AS first_ts, MAX(ts) AS last_ts
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_last_order": """
+            SELECT e.event_id,
+                   (SELECT MAX(o.o_orderkey) FROM orders o
+                    WHERE o.o_custkey % 150 = e.user_id
+                      AND o.o_orderdate = (
+                        SELECT MAX(o2.o_orderdate) FROM orders o2
+                        WHERE o2.o_custkey % 150 = e.user_id
+                          AND o2.o_orderdate <= e.ts)) AS o_orderkey
+            FROM events e ORDER BY e.event_id
+        """,
+        "event_value_median": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 4) AS median_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                           AS rank
+                FROM orders)
+            WHERE rank <= 3 ORDER BY o_custkey, rank
         """,
         "events_sliding_counts": """
             SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n FROM (

@@ -216,3 +216,23 @@ def nation_customer_counts(sf_dir: str) -> pd.DataFrame:
     )
     out["sum_acctbal"] = r4(out["sum_acctbal"])
     return finish(out, ["n_name"])
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k (window-function shape): each customer's k most
+    valuable orders with rank. groupby + per-group sort/head."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (
+        read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return finish(out, ["o_custkey", "rank"])

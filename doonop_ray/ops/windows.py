@@ -122,3 +122,84 @@ def events_sliding_counts(sf_dir: str, window_hours: int = 2,
         .to_pandas()
     )
     return finish(out, ["event_type", "window_start"])
+
+
+def events_last_order(sf_dir: str) -> pd.DataFrame:
+    """As-of join (ray_guide "As-of / range join"): for every event, the
+    most recent order of the same key at or before the event time —
+    per-key sort + pd.merge_asof inside map_groups. Key: user_id ==
+    o_custkey % 150 (the synthetic tables share no FK; the modulus makes
+    a deterministic one). Partitioning assumption: one key's rows fit a
+    group."""
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == "e"][["ts", "event_id"]].sort_values("ts")
+        # tie-break same-ts orders by orderkey so merge_asof's last-match
+        # equals the oracle's MAX(o_orderkey) deterministically
+        od = g[g["side"] == "o"][["ts", "o_orderkey"]].sort_values(
+            ["ts", "o_orderkey"], kind="mergesort")
+        if ev.empty:
+            return pd.DataFrame(columns=["event_id", "o_orderkey"])
+        if od.empty:
+            out = ev[["event_id"]].copy()
+            out["o_orderkey"] = pd.Series([pd.NA] * len(out), dtype="Int64")
+            return out
+        m = pd.merge_asof(ev, od, on="ts", direction="backward")
+        return m[["event_id", "o_orderkey"]]
+
+    import pyarrow as pa
+
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": pc.cast(t["user_id"], pa.int64()),
+                "ts": t["ts"],
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "o_orderkey": pa.nulls(len(t), pa.int64()),
+                "side": pa.array(["e"] * len(t)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": pc.cast(pc.subtract(t["o_custkey"], pc.multiply(
+                    pc.divide(t["o_custkey"], 150), 150)), pa.int64()),
+                "ts": t["o_orderdate"],
+                "event_id": pa.nulls(len(t), pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "side": pa.array(["o"] * len(t)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ev.union(od)
+        .groupby("key")
+        .map_groups(asof, batch_format="pandas")
+        .to_pandas()
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("Int64")
+    return finish(out, ["event_id"])
+
+
+def event_value_median(sf_dir: str) -> pd.DataFrame:
+    """Per-type median (linear-interpolated) of value, rounded 4."""
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "median_value": [r4(np.percentile(g["value"].to_numpy(), 50))],
+            }
+        )
+
+    out = (
+        read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(med, batch_format="pandas")
+        .to_pandas()
+    )
+    return finish(out, ["event_type"])

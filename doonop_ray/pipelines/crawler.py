@@ -387,6 +387,14 @@ class RayCrawler:
                                 batch_size=max(2048, cfg.fetch_batch_size))
             t0 = time.monotonic()
             ds.write_parquet(wave_dir)
+            if wave_idx == 0:
+                # keep the big wave's per-stage breakdown for tuning
+                try:
+                    with open(os.path.join(self.out_dir,
+                                           "_wave0_stats.txt"), "w") as fh:
+                        fh.write(ds.stats())
+                except Exception:
+                    pass
             if os.environ.get("DOONOP_WAVE_TIMING"):
                 print(
                     f"wave={wave_idx} n={len(entries)} blocks={n_blocks} "

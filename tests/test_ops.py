@@ -36,7 +36,8 @@ SQL_QUERIES = [
     "quality_scores", "lang_guess", "doc_fingerprints", "top_tokens",
     "dedup_exact", "dedup_prefix", "embedding_neardup_pairs",
     "ann_topk_cosine", "events_hourly", "user_sessions", "user_stats",
-    "events_sliding_counts",
+    "events_sliding_counts", "events_last_order", "event_value_median",
+    "top_orders_per_customer",
 ]
 
 
