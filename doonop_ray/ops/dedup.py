@@ -110,8 +110,6 @@ def minhash_lsh_pairs(
     Pipeline: map_batches(minhash) → explode band rows → groupby
     (band, band_hash) → pairs within buckets → dedup pairs → verify.
     """
-    from ray.data.aggregate import AggregateFn
-
     a_p, b_p = _minhash_params(num_perm)
     rows_per_band = num_perm // bands
 

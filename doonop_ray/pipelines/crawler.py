@@ -70,15 +70,6 @@ def _stub_fsspec_http_once():
     sys.modules["fsspec.implementations.http"] = mod
 
 
-WAVE_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("attempt", pa.int32()),
-        ("depth", pa.int32()),
-    ]
-)
-
-
 def _wave_table(entries: list[tuple[str, int, int]]) -> pa.Table:
     return pa.table(
         {

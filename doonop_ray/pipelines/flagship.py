@@ -263,23 +263,27 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
             }
         )
 
-    def bucket_pairs(g: pd_.DataFrame) -> pd_.DataFrame:
+    # band rows are tiny (4 per image, two int columns) — aggregate the
+    # collision buckets distributed, then pair up driver-side; thousands
+    # of 1-row groups through map_groups would dominate wall time. At
+    # 10^10 scale, pair-up moves into a map_groups over ONLY the
+    # colliding buckets (a tiny fraction).
+    band_df = (
+        rd.from_arrow(ids_tbl)
+        .map_batches(band_rows, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for (_, _), g in band_df.groupby(["band", "key"], sort=False):
+        if len(g) < 2:
+            continue
         ids = sorted(g["image_id"].unique())
-        pairs = [
+        rows.extend(
             (ids[i], ids[j])
             for i in range(len(ids))
             for j in range(i + 1, len(ids))
-        ]
-        return pd_.DataFrame({"a": [p[0] for p in pairs],
-                              "b": [p[1] for p in pairs]})
-
-    cand = (
-        rd.from_arrow(ids_tbl)
-        .map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+        )
+    cand = pd_.DataFrame(rows, columns=["a", "b"])
     if cand.empty:
         return pd_.DataFrame({"a": pd_.Series([], dtype="str"),
                               "b": pd_.Series([], dtype="str"),
