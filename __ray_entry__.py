@@ -51,11 +51,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text.quality_scores,
         "lang_guess": text.lang_guess,
         "doc_fingerprints": text.doc_fingerprints,
+        "deterministic_sample": text.deterministic_sample,
         "top_tokens": text.top_tokens,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         # similarity search
@@ -182,6 +184,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
                 SELECT unnest({_TOKENS}) AS token FROM documents)
             GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH t AS (SELECT doc_id,
+                              list_distinct(regexp_extract_all(lower(text), '\w+')) AS toks
+                       FROM documents WHERE doc_id < 200)
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM t a, t b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.toks, b.toks)) * 1.0 /
+                  len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+            ORDER BY 1, 2
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(text), 1, 1) IN ('0', '1') ORDER BY doc_id
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1

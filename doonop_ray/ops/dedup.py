@@ -267,3 +267,56 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFram
         out = pd.DataFrame({"a": pd.Series([], dtype="int64"),
                             "b": pd.Series([], dtype="int64")})
     return finish(out, ["a", "b"])
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8,
+                        max_doc_id: int = 200) -> pd.DataFrame:
+    """Exact 1-gram (distinct-token) Jaccard pairs >= threshold among
+    doc_id < max_doc_id — the brute-force small end of the dedup family with
+    a DuckDB oracle (the MinHash pipeline is its scale path). Pairs are
+    checked in map_batches blocks against a broadcast token-set table."""
+    import ray
+
+    docs = read_arrow(sf_dir, "documents", ["doc_id", "text"])
+    import pyarrow.compute as pcmp
+
+    mask = pcmp.less(docs["doc_id"], max_doc_id)
+    docs = docs.filter(mask)
+    ids = docs["doc_id"].to_pylist()
+    toks = {
+        d: set(w for w in __import__("re").findall(r"\w+", t.lower()))
+        for d, t in zip(ids, docs["text"].to_pylist())
+    }
+    ref = ray.put(toks)
+
+    def block(t: pa.Table) -> pa.Table:
+        toks = ray.get(ref)
+        all_ids = sorted(toks)
+        out_a, out_b = [], []
+        for a in t["doc_id"].to_pylist():
+            sa = toks[a]
+            for b in all_ids:
+                if b <= a:
+                    continue
+                sb = toks[b]
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                if union and inter / union >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
+
+    out = (
+        read(sf_dir, "documents", ["doc_id"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], max_doc_id)),
+            batch_format="pyarrow",
+        )
+        .map_batches(block, batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                            "b": pd.Series([], dtype="int64")})
+    return finish(out, ["a", "b"])

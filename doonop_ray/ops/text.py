@@ -158,3 +158,23 @@ def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     out = out.sort_values(["n", "token"], ascending=[False, True],
                           kind="mergesort").head(k)
     return out.reset_index(drop=True)
+
+
+def deterministic_sample(sf_dir: str) -> pd.DataFrame:
+    """Hash-based deterministic sampling (stratified-sampling building
+    block): keep documents whose md5(text) starts with '0' or '1' — a
+    reproducible ~1/8 sample any engine can agree on exactly."""
+
+    def samp(t: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5(x.encode()).hexdigest()[0] in ("0", "1")
+            for x in t["text"].to_pylist()
+        ]
+        return t.filter(pa.array(keep)).select(["doc_id", "lang"])
+
+    out = (
+        read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(samp, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return finish(out, ["doc_id"])

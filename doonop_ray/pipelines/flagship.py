@@ -99,6 +99,7 @@ def _crawl_cfg(w: World, tier: str, **kw) -> CrawlConfig:
         fetch_batch_size=batch,
         num_seen_shards=max(1, engines // 8),
         num_frontier_shards=max(1, engines // 8),
+        max_inflight_waves=4,  # organic ramp benefits from deeper overlap
     )
     base.update(kw)
     return CrawlConfig(**base)

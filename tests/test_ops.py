@@ -37,7 +37,7 @@ SQL_QUERIES = [
     "dedup_exact", "dedup_prefix", "embedding_neardup_pairs",
     "ann_topk_cosine", "events_hourly", "user_sessions", "user_stats",
     "events_sliding_counts", "events_last_order", "event_value_median",
-    "top_orders_per_customer",
+    "top_orders_per_customer", "ngram_jaccard_pairs", "deterministic_sample",
 ]
 
 
