@@ -144,3 +144,18 @@ def test_scaled_resume_from_checkpoint(ray_session, tmp_path):
     stats = resumed.run(resume=True)
     assert stats.as_dict() == golden_stats.as_dict()
     assert resumed.seen_sets() == golden_seen
+
+
+def test_wave_metrics_lineage_written(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    w = build_world(WORLDS[0])
+    cfg = _cfg(w, engines=2, wave_budget=16, fetch_batch_size=8)
+    crawler = RayCrawler(cfg, w.pages, w.images, w.robots_map(),
+                         str(tmp_path / "out"), world_seed=WORLDS[0].seed)
+    stats = crawler.run()
+    m = pq.read_table(str(tmp_path / "out" / "_wave_metrics.parquet"))
+    assert {"wave", "visited", "collected", "timeouts", "errors",
+            "links_routed", "wall_sec", "wave_dir"} <= set(m.column_names)
+    assert sum(m.column("visited").to_pylist()) == stats.visited
+    assert sum(m.column("collected").to_pylist()) == stats.collected
