@@ -168,12 +168,20 @@ def make_link_router(seen_handles, frontier_handles, retry_policy: str,
             if items:
                 seen_handles[s].ingest.remote(items)
 
-        # ---- timeouts → retry lanes (retry.rs:24-36 accounting) ----
+        # ---- timeouts → retry lanes (retry.rs:24-36 accounting); the
+        # attempt number rides along so redelivered batches (Ray task
+        # retry) are recognized as stale and ignored — exactly-once
+        # retry accounting without coordination ----
         if retry_policy != "no":
-            per_retry: list[list[tuple[str, int]]] = [[] for _ in range(num_frontier)]
-            for st, u, d in zip(statuses, urls, depths):
+            attempts = batch.column("attempt").to_numpy()
+            per_retry: list[list[tuple[str, int, int]]] = [
+                [] for _ in range(num_frontier)
+            ]
+            for st, u, d, at in zip(statuses, urls, depths, attempts):
                 if st == "timeout":
-                    per_retry[shard_of(u, num_frontier)].append((u, int(d)))
+                    per_retry[shard_of(u, num_frontier)].append(
+                        (u, int(d), int(at))
+                    )
             for f, items in enumerate(per_retry):
                 if items:
                     frontier_handles[f].keep_retry_batch.remote(items, now_ms)

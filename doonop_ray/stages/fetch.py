@@ -149,6 +149,7 @@ class Fetcher:
         return pa.table(
             {
                 "url": batch.column("url"),
+                "attempt": pc.cast(batch.column("attempt"), pa.int32()),
                 "depth": pc.cast(batch.column("depth"), pa.int32()),
                 "status": pa.array(status_np.tolist(), pa.string()),
                 "data": datas,

@@ -69,8 +69,15 @@ class FrontierCore:
             heapq.heappush(self.heap, (self._key(depth), url, depth))
         return len(items)
 
-    def keep_retry(self, url: str, depth: int, now_ms: float) -> bool:
-        """retry.rs:24-36 — returns False when the URL gives up."""
+    def keep_retry(self, url: str, depth: int, now_ms: float,
+                   attempt: int | None = None) -> bool:
+        """retry.rs:24-36 — returns False when the URL gives up.
+
+        ``attempt`` (when given) must equal the current attempt count;
+        a mismatch means a redelivered/duplicate timeout report (Ray
+        task retry) and is ignored, keeping accounting exactly-once."""
+        if attempt is not None and attempt != self.retry_counts.get(url, 0):
+            return False
         c = self.retry_counts.get(url, 0) + 1
         self.retry_counts[url] = c
         if c >= self.retry_count:
@@ -213,12 +220,15 @@ class FrontierShard:
     def push(self, items: list[tuple[str, int]]) -> int:
         return self.core.push(items)
 
-    def keep_retry_batch(self, items: list[tuple[str, int]], now_ms: float) -> int:
-        """Returns how many were re-queued (rest gave up)."""
+    def keep_retry_batch(self, items, now_ms: float) -> int:
+        """items: [(url, depth)] or [(url, depth, attempt)] — returns how
+        many were re-queued (rest gave up or were duplicates)."""
         self.n_retry_received += len(items)
         kept = 0
-        for url, depth in items:
-            kept += bool(self.core.keep_retry(url, depth, now_ms))
+        for it in items:
+            url, depth = it[0], it[1]
+            attempt = it[2] if len(it) > 2 else None
+            kept += bool(self.core.keep_retry(url, depth, now_ms, attempt))
         return kept
 
     def retry_received(self) -> int:

@@ -119,3 +119,15 @@ def test_snapshot_restore_roundtrip():
     g.restore(blob)
     assert g.size() == f.size()
     assert [u for u, _, _ in g.drain(10, 1000)] == [u for u, _, _ in f.drain(10, 1000)]
+
+
+def test_retry_duplicate_delivery_ignored():
+    # a redelivered timeout report (same attempt number) must not double-
+    # increment the attempt count (exactly-once under Ray task retries)
+    f = _core(retry_count=3, retry_threshold_ms=0)
+    assert f.keep_retry("u", 0, 0, attempt=0) is True   # first report
+    assert f.keep_retry("u", 0, 0, attempt=0) is False  # duplicate: stale
+    assert f.retry_counts["u"] == 1
+    # next genuine report carries attempt=1
+    assert f.keep_retry("u", 0, 0, attempt=1) is True
+    assert f.retry_counts["u"] == 2
