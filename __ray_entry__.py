@@ -58,11 +58,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_prefix": dedup.dedup_prefix,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "neardup_components": dedup.neardup_components,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         # similarity search
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        "ann_topk_ivf": ann.ann_topk_ivf,
         # stream-shaped windows
         "events_hourly": windows.events_hourly,
         "user_sessions": windows.user_sessions,
@@ -184,6 +186,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
                 SELECT unnest({_TOKENS}) AS token FROM documents)
             GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+        """,
+        "neardup_components": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(text), '\w+')) AS toks
+                FROM documents WHERE doc_id < 200),
+            pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.toks, b.toks)) * 1.0 /
+                      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+            edges AS (
+                SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+                UNION SELECT doc_id, doc_id FROM t),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+            SELECT a AS doc_id, MIN(b) AS component
+            FROM reach GROUP BY a ORDER BY a
         """,
         "ngram_jaccard_pairs": r"""
             WITH t AS (SELECT doc_id,

@@ -38,6 +38,7 @@ SQL_QUERIES = [
     "ann_topk_cosine", "events_hourly", "user_sessions", "user_stats",
     "events_sliding_counts", "events_last_order", "event_value_median",
     "top_orders_per_customer", "ngram_jaccard_pairs", "deterministic_sample",
+    "neardup_components",
 ]
 
 
@@ -103,3 +104,25 @@ def test_queries_oracle_keys_consistent(entrymod):
     qs, sql = entrymod.queries(), entrymod.oracle_sql()
     assert set(sql) <= set(qs)  # every oracle has a query
     assert len(qs) >= 25
+
+
+def test_ann_ivf_recall_vs_exact(entrymod, ray_session):
+    from doonop_ray.ops.ann import ann_topk_cosine, ann_topk_ivf
+
+    exact = ann_topk_cosine(SF, k=10, n_queries=5)
+    approx = ann_topk_ivf(SF, k=10, n_queries=5)
+    e = {(q, n) for q, n in zip(exact["query_id"], exact["neighbor_id"])}
+    a = {(q, n) for q, n in zip(approx["query_id"], approx["neighbor_id"])}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # 4/16 cells probed on random vectors
+
+
+def test_neardup_components_transitive(entrymod, ray_session):
+    from doonop_ray.ops.dedup import neardup_components, ngram_jaccard_pairs
+
+    comp = neardup_components(SF).set_index("doc_id")["component"]
+    pairs = ngram_jaccard_pairs(SF)
+    # every edge joins two docs of the same component; labels are min ids
+    for a, b in zip(pairs["a"], pairs["b"]):
+        assert comp[a] == comp[b]
+    assert (comp.index >= comp.values).all()
