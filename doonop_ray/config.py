@@ -30,7 +30,10 @@ class CrawlConfig:
     num_seen_shards: int = 1
     num_frontier_shards: int = 1
     wave_budget: int | None = None      # max URLs released per wave (None → engines)
-    max_per_host_per_wave: int | None = None  # politeness token bucket; None = off
+    max_per_host_per_wave: int | None = None  # per-wave politeness cap
+    host_rate_per_sec: float | None = None    # token-bucket politeness:
+                                              # refill rate per host
+    host_burst: float = 4.0                   # token-bucket capacity
     fetch_batch_size: int = 256
     checkpoint_dir: str | None = None
     checkpoint_every_waves: int = 1

@@ -234,6 +234,8 @@ class RayCrawler:
                 self.robots_map if cfg.use_robots else None,
                 cfg.robot,
                 cfg.use_robots,
+                cfg.host_rate_per_sec,
+                cfg.host_burst,
             )
             for i in range(cfg.num_frontier_shards)
         ]

@@ -16,9 +16,10 @@ Reference semantics re-expressed for sharded execution:
 - robots consulted at dispatch time; disallowed or fetch-error hosts are
   dropped silently without consuming wave budget and the URL stays in
   the seen set (workload.rs:100-105);
-- politeness (rebuild-only): at most ``per_host_cap`` URLs per host per
-  wave; over-cap entries are deferred back to the heap with their
-  original key, not dropped.
+- politeness (rebuild-only): either a per-wave cap (``per_host_cap``)
+  or true token buckets (``HostTokenBuckets``: ``rate`` tokens/sec per
+  host refilling up to ``burst``); over-budget entries are deferred
+  back to the heap, never dropped.
 
 Pure Python and fully unit-testable; wrapped in a Ray actor by the
 crawler (decorated at use site so importing this module needs no Ray).
@@ -31,6 +32,40 @@ import pickle
 
 from ..robots import RobotsCache, make_table_fetcher
 from ..url import host_of, path_of
+
+
+class HostTokenBuckets:
+    """Per-host politeness token buckets: ``rate`` tokens/second refill,
+    capped at ``burst``; a release consumes one token. Time is injected
+    (ms) so tests are deterministic and checkpoints are portable."""
+
+    def __init__(self, rate_per_sec: float, burst: float):
+        self.rate = rate_per_sec
+        self.burst = burst
+        self.tokens: dict[str, float] = {}
+        self.last_ms: dict[str, float] = {}
+
+    def try_take(self, host: str, now_ms: float) -> bool:
+        t = self.tokens.get(host, self.burst)
+        last = self.last_ms.get(host, now_ms)
+        t = min(self.burst, t + (now_ms - last) * self.rate / 1000.0)
+        self.last_ms[host] = now_ms
+        if t >= 1.0:
+            self.tokens[host] = t - 1.0
+            return True
+        self.tokens[host] = t
+        return False
+
+    def state(self):
+        return {"rate": self.rate, "burst": self.burst,
+                "tokens": self.tokens, "last_ms": self.last_ms}
+
+    @classmethod
+    def from_state(cls, st):
+        b = cls(st["rate"], st["burst"])
+        b.tokens = st["tokens"]
+        b.last_ms = st["last_ms"]
+        return b
 
 
 class FrontierCore:
@@ -55,6 +90,10 @@ class FrontierCore:
         self.seq = 0
         self.rseq = 0
         self.robots_dropped = 0
+        self.buckets: HostTokenBuckets | None = None
+
+    def set_politeness(self, rate_per_sec: float, burst: float) -> None:
+        self.buckets = HostTokenBuckets(rate_per_sec, burst)
 
     # -- pushes ------------------------------------------------------------
     def _key(self, depth: int) -> tuple:
@@ -142,6 +181,10 @@ class FrontierCore:
                     deferred.append((url, depth))
                     continue
                 host_counts[h] = host_counts.get(h, 0) + 1
+            elif self.buckets is not None:
+                if not self.buckets.try_take(host_of(url), now_ms):
+                    deferred.append((url, depth))
+                    continue
             out.append((url, self.retry_counts.get(url, 0), depth))
         # re-queue politeness-deferred entries preserving relative order:
         # they must come out before anything pushed later, so give them
@@ -168,6 +211,7 @@ class FrontierCore:
                 "seq": self.seq,
                 "rseq": self.rseq,
                 "robots_dropped": self.robots_dropped,
+                "buckets": self.buckets.state() if self.buckets else None,
                 "cfg": (
                     self.retry_policy,
                     self.retry_threshold_ms,
@@ -189,6 +233,8 @@ class FrontierCore:
         self.seq = st["seq"]
         self.rseq = st["rseq"]
         self.robots_dropped = st["robots_dropped"]
+        b = st.get("buckets")
+        self.buckets = HostTokenBuckets.from_state(b) if b else None
 
 
 class FrontierShard:
@@ -207,10 +253,14 @@ class FrontierShard:
         robots_map: dict[str, str] | None,
         robot: str,
         use_robots: bool,
+        host_rate_per_sec: float | None = None,
+        host_burst: float = 4.0,
     ):
         self.core = FrontierCore(
             retry_policy, retry_threshold_ms, retry_count, key_mode, shard_id
         )
+        if host_rate_per_sec is not None:
+            self.core.set_politeness(host_rate_per_sec, host_burst)
         self.robot = robot
         self.n_retry_received = 0
         self.robots = (

@@ -131,3 +131,42 @@ def test_retry_duplicate_delivery_ignored():
     # next genuine report carries attempt=1
     assert f.keep_retry("u", 0, 0, attempt=1) is True
     assert f.retry_counts["u"] == 2
+
+
+def test_token_bucket_politeness_refills_over_time():
+    from doonop_ray.state.frontier import HostTokenBuckets
+
+    f = _core()
+    f.set_politeness(rate_per_sec=2.0, burst=2.0)  # 2 tokens, 2/s refill
+    f.push([(f"https://h.com/{i}", 0) for i in range(5)])
+    w1 = [u for u, _, _ in f.drain(10, now_ms=0)]
+    assert len(w1) == 2  # burst exhausted, rest deferred (not dropped)
+    assert not f.is_empty()
+    w2 = [u for u, _, _ in f.drain(10, now_ms=500)]  # +1 token after 0.5s
+    assert len(w2) == 1
+    w3 = [u for u, _, _ in f.drain(10, now_ms=2000)]  # fully refilled
+    assert len(w3) == 2
+    assert f.is_empty()
+    assert set(w1 + w2 + w3) == {f"https://h.com/{i}" for i in range(5)}
+
+    # snapshot/restore keeps bucket state
+    f2 = _core()
+    f2.set_politeness(1.0, 1.0)
+    f2.push([("https://x.com/a", 0), ("https://x.com/b", 0)])
+    assert len(f2.drain(10, 0)) == 1
+    blob = f2.snapshot()
+    from doonop_ray.state.frontier import FrontierCore
+
+    g = FrontierCore()
+    g.restore(blob)
+    assert len(g.drain(10, 0)) == 0  # token still spent right after restore
+    assert len(g.drain(10, 1500)) == 1  # refilled
+
+
+def test_token_bucket_independent_hosts():
+    f = _core()
+    f.set_politeness(rate_per_sec=1.0, burst=1.0)
+    f.push([("https://a.com/1", 0), ("https://b.com/1", 0),
+            ("https://a.com/2", 0), ("https://b.com/2", 0)])
+    w1 = {u for u, _, _ in f.drain(10, 0)}
+    assert len(w1) == 2 and len({u.split("/")[2] for u in w1}) == 2

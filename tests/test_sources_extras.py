@@ -274,3 +274,20 @@ def test_io_layer_lance_fallback(tmp_path):
     back2 = dio.read_table(str(tmp_path / "tbl.lance"), columns=["a"])
     assert back2.column_names == ["a"]
     assert (dio.HAVE_LANCE and path.endswith(".lance")) or path.endswith(".parquet")
+
+
+def test_token_bucket_crawl_end_to_end(ray_session, tmp_path):
+    # token-bucket politeness in a full scaled crawl: same visited set,
+    # just paced — never drops
+    w = build_world(WorldParams(seed=21, n_hosts=5, pages_per_host=12, fanout=4))
+    base = dict(seeds=w.seeds.column("url").to_pylist(), retry_threshold_ms=0,
+                engines=2, wave_budget=16, fetch_batch_size=8)
+    free = RayCrawler(CrawlConfig(**base), w.pages, w.images, w.robots_map(),
+                      str(tmp_path / "free"), world_seed=21)
+    s1 = free.run()
+    paced = RayCrawler(CrawlConfig(**base, host_rate_per_sec=200.0, host_burst=4),
+                       w.pages, w.images, w.robots_map(),
+                       str(tmp_path / "paced"), world_seed=21)
+    s2 = paced.run()
+    assert s2.visited == s1.visited
+    assert paced.seen_sets() == free.seen_sets()
