@@ -48,6 +48,10 @@ class CrawlConfig:
     seeds_canonical: bool = False       # True: seeds are pre-canonicalized
                                         # (bulk/sitemap path) -> skip the
                                         # per-URL canonicalize pass
+    min_wave_size: int = 64             # coalesce smaller drains while
+                                        # other waves are in flight (tail
+                                        # waves otherwise each pay full
+                                        # dataset startup)
     max_inflight_waves: int = 2         # concurrent wave pipelines
                                         # (continuous dispatch; limit runs
                                         # force 1 to bound overshoot)

@@ -441,6 +441,7 @@ class RayCrawler:
         # stay synchronous so the budget sees fresh collected counts.
         use_prefetch = cfg.limit is None
         prefetch = None  # (now_ms, [drain futures])
+        pending: list = []  # coalesced small drains awaiting critical mass
 
         def start_drain():
             budget = cfg.wave_size()
@@ -480,12 +481,23 @@ class RayCrawler:
                 prefetch = None
                 _t0 = time.monotonic()
                 drains = ray.get(futs)
-                entries = [e for d in drains for e in d]
+                entries = pending + [e for d in drains for e in d]
+                pending = []
                 _dt = time.monotonic() - _t0
                 _t["drain"] += _dt
                 if _dt > 0.2 and os.environ.get("DOONOP_WAVE_TIMING"):
                     print(f"SLOWDRAIN {_dt:.2f}s n={len(entries)} inflight={len(inflight)}",
                           flush=True)
+                if (entries and inflight and cfg.limit is None
+                        and len(entries) < cfg.min_wave_size):
+                    # tail coalescing: a tiny wave would pay full dataset
+                    # startup; hold it until a running wave lands (more
+                    # links/retries arrive meanwhile) — when nothing is in
+                    # flight it submits regardless, so no livelock
+                    pending = entries
+                    entries = []
+                    fwait(list(inflight), return_when=FIRST_COMPLETED)
+                    continue
 
             if entries:
                 fut = executor.submit(run_wave, entries, self.wave, now_ms)
@@ -534,6 +546,19 @@ class RayCrawler:
                 break
 
         executor.shutdown(wait=True)
+        if pending:
+            # coalesced-but-unsubmitted entries go back to their shards so
+            # a graceful stop / final checkpoint never loses them (attempt
+            # counts already live in the frontier's retry state)
+            per: dict[int, list[tuple[str, int]]] = {}
+            for url, _attempt, depth in pending:
+                per.setdefault(
+                    shard_of(url, cfg.num_frontier_shards), []
+                ).append((url, depth))
+            ray.get([
+                self.frontier[f].push.remote(it) for f, it in per.items()
+            ])
+            pending = []
         if self._stop_requested and cfg.checkpoint_dir and self.wave > 0:
             # graceful-shutdown checkpoint (T12 analog, main.rs:41-48 /
             # workload.rs:191-195: drain in-flight, persist, exit)
