@@ -33,7 +33,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from doonop_ray.ops import ann, dedup, relational, text, windows
+    from doonop_ray.ops import ann, dedup, relational, sketches, text, windows
     from doonop_ray.pipelines import flagship
 
     return {
@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": relational.events_by_type,
         "distinct_segments": relational.distinct_segments,
         "nation_customer_counts": relational.nation_customer_counts,
+        "customers_no_recent_orders": relational.customers_no_recent_orders,
+        "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         # text analysis
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -142,6 +144,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(c_acctbal), 4) AS sum_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "customers_no_recent_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            ORDER BY c_custkey
         """,
         "token_counts": r"""
             SELECT doc_id,

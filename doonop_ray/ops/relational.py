@@ -236,3 +236,31 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .to_pandas()
     )
     return finish(out, ["o_custkey", "rank"])
+
+
+def customers_no_recent_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast ANTI-join (ray_guide "Semi / anti join"): customers with
+    no order on/after 2000-01-01 — the order-key set broadcasts once via
+    ray.put and each customer batch filters against it (no shuffle)."""
+    import ray
+
+    orders = read_arrow(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    recent = pc.filter(
+        orders["o_custkey"],
+        pc.greater_equal(orders["o_orderdate"], pa.scalar(datetime(2000, 1, 1))),
+    )
+    keys_ref = ray.put(set(recent.to_pylist()))
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        keep = np.fromiter(
+            (k not in keys for k in t["c_custkey"].to_pylist()), bool, len(t)
+        )
+        return t.filter(pa.array(keep))
+
+    out = (
+        read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+        .map_batches(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return finish(out, ["c_custkey"])

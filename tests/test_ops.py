@@ -38,7 +38,7 @@ SQL_QUERIES = [
     "ann_topk_cosine", "events_hourly", "user_sessions", "user_stats",
     "events_sliding_counts", "events_last_order", "event_value_median",
     "top_orders_per_customer", "ngram_jaccard_pairs", "deterministic_sample",
-    "neardup_components",
+    "neardup_components", "customers_no_recent_orders",
 ]
 
 
@@ -126,3 +126,15 @@ def test_neardup_components_transitive(entrymod, ray_session):
     for a, b in zip(pairs["a"], pairs["b"]):
         assert comp[a] == comp[b]
     assert (comp.index >= comp.values).all()
+
+
+def test_hll_accuracy_vs_exact(entrymod, duck, ray_session):
+    from doonop_ray.ops.sketches import hll_distinct_users_per_type
+
+    approx = hll_distinct_users_per_type(SF).set_index("event_type")
+    exact = duck.sql(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    ).df().set_index("event_type")
+    for et in exact.index:
+        e, a = int(exact.loc[et, "n"]), int(approx.loc[et, "approx_users"])
+        assert abs(a - e) / max(e, 1) < 0.08, (et, e, a)  # ~5 sigma at p=12
