@@ -27,6 +27,10 @@ _TIERS = {
     # 4x world for the two-cluster-size scaling evidence: enough backlog
     # that wave pipelines stay overlapped and compute-dominated
     "scale": dict(n_hosts=80, pages_per_host=1200, img=(56, 72)),
+    # heavy-image variant: per-page decode+validate compute dominates the
+    # coordination floor, so the two-parallelism comparison measures the
+    # pipeline rather than the scheduler
+    "scaleh": dict(n_hosts=80, pages_per_host=1200, img=(96, 128)),
 }
 _WORLD_CACHE_VERSION = 5
 _CACHE: dict[str, World] = {}
@@ -44,8 +48,8 @@ def _refs_for(tier: str, w):
 
 def tier_of(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
-    if name == "scale":
-        return "scale"
+    if name in ("scale", "scaleh"):
+        return name
     sf = name.replace("sf", "") if name.startswith("sf") else "0.001"
     return sf if sf in _TIERS else "0.001"
 
@@ -88,7 +92,8 @@ def world_for(sf_dir: str, cache_root: str = "/tmp/doonop_worlds") -> World:
 
 def _crawl_cfg(w: World, tier: str, **kw) -> CrawlConfig:
     scale = {"0.001": (4, 64, 16), "0.01": (8, 512, 64),
-             "0.1": (32, 8192, 256), "scale": (32, 16384, 256)}[tier]
+             "0.1": (32, 8192, 256), "scale": (32, 16384, 256),
+             "scaleh": (32, 16384, 256)}[tier]
     engines, wave, batch = scale
     base = dict(
         seeds=w.seeds.column("url").to_pylist(),

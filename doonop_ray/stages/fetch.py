@@ -235,16 +235,23 @@ class Validator:
         self.psnr_min = psnr_min
         self.img_min = img_min
         self.img_max = img_max
-        # zero-index init (see Fetcher): batch lookup via pc.index_in
+        # zero-index init (see Fetcher): batch lookup via pc.index_in.
+        # Blobs live OUTSIDE the take() path: a >2 GiB binary column
+        # overflows int32 offsets when take concatenates chunks, so the
+        # metadata table drops "bytes" and blobs go through a combined
+        # large_binary (int64-offset) array with a zero-copy memoryview
+        # accessor (no per-blob .as_py() copies).
         import pyarrow.compute as pc
 
         self._pc = pc
-        self.tab = t.combine_chunks()
-        # zero-copy blob accessor: slice memoryviews straight out of the
-        # binary column's data buffer instead of copying every blob with
-        # .as_py() (the copies were ~40% of validate memory traffic)
-        barr = self.tab.column("bytes").chunk(0)
-        self._blob_off = np.frombuffer(barr.buffers()[1], dtype=np.int32)
+        self.tab = t.drop_columns(["bytes"]).combine_chunks()
+        blobs = t.column("bytes")
+        if pa.types.is_binary(blobs.type):
+            blobs = blobs.cast(pa.large_binary())
+        barr = blobs.combine_chunks()
+        if isinstance(barr, pa.ChunkedArray):
+            barr = barr.chunk(0)
+        self._blob_off = np.frombuffer(barr.buffers()[1], dtype=np.int64)
         self._blob_mv = memoryview(barr.buffers()[2])
         self._blob_base = barr.offset
 
