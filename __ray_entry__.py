@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
+        "dedup_keep_best": dedup.dedup_keep_best,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_counts": windows.events_sliding_counts,
         "events_last_order": windows.events_last_order,
         "event_value_median": windows.event_value_median,
+        "events_rolling_avg": windows.events_rolling_avg,
         "top_orders_per_customer": relational.top_orders_per_customer,
         # crawl engine (reference-semantics; rows-only — pinned vs the
         # workload.rs oracle in tests/test_crawler.py)
@@ -233,6 +235,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1
+        """,
+        "dedup_keep_best": f"""
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY array_to_string(
+                               list_slice({_TOKENS}, 1, 3), ' ')
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1 ORDER BY doc_id
+        """,
+        "events_rolling_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                       AS rolling_avg
+            FROM events ORDER BY event_id
         """,
         "dedup_prefix": f"""
             SELECT MIN(doc_id) AS doc_id FROM (

@@ -357,3 +357,35 @@ def neardup_components(sf_dir: str, threshold: float = 0.8,
         {"doc_id": ids, "component": [find(d) for d in ids]}
     ).astype("int64")
     return finish(out, ["doc_id"])
+
+
+def dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+    """Policy dedup: within each first-3-token prefix group keep the
+    BEST doc (max n_chars, doc_id tiebreak) — the keep-highest-quality
+    variant of dedup_prefix (training-data pipelines keep the best copy,
+    not the first)."""
+
+    def key(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        toks = pc.split_pattern_regex(low, r"\W+")
+        keys = [" ".join([w for w in l if w][:3]) for l in toks.to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "k": pa.array(keys, pa.string()),
+        })
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(1)[["doc_id", "n_chars"]]
+
+    out = (
+        read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        .map_batches(key, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(best, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"doc_id": "int64", "n_chars": "int64"})
+    return finish(out, ["doc_id"])

@@ -203,3 +203,26 @@ def event_value_median(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return finish(out, ["event_type"])
+
+
+def events_rolling_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """Per-user rolling mean over the last ``window`` events (ordered by
+    ts): the ROWS BETWEEN window-function shape via per-key sorted pandas
+    rolling inside map_groups."""
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g["rolling_avg"] = r4(
+            g["value"].rolling(window, min_periods=1).mean().to_numpy()
+        )
+        return g[["event_id", "user_id", "rolling_avg"]]
+
+    out = (
+        read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(roll, batch_format="pandas")
+        .to_pandas()
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return finish(out, ["event_id"])

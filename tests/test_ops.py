@@ -38,7 +38,8 @@ SQL_QUERIES = [
     "ann_topk_cosine", "events_hourly", "user_sessions", "user_stats",
     "events_sliding_counts", "events_last_order", "event_value_median",
     "top_orders_per_customer", "ngram_jaccard_pairs", "deterministic_sample",
-    "neardup_components", "customers_no_recent_orders",
+    "neardup_components", "customers_no_recent_orders", "dedup_keep_best",
+    "events_rolling_avg",
 ]
 
 
