@@ -21,12 +21,27 @@ from .common import finish, read, read_arrow
 
 
 def _queries(sf_dir: str, n_queries: int):
-    emb = read_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
-    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
-    order = np.argsort(ids)
-    qids = ids[order][:n_queries]
-    q = mat[order][:n_queries]
+    """First ``n_queries`` vec_ids + L2-normalized vectors.
+
+    Distributed partial-min merge: each batch emits its n_queries
+    smallest-id rows, the driver merges the tiny partials — no
+    full-table driver read (round-2 fix; the table is 100 TB-shaped).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)[:n_queries]
+        return t.take(pa.array(order))
+
+    parts = (
+        read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id", kind="mergesort")
+        .head(n_queries)
+    )
+    qids = parts["vec_id"].to_numpy(dtype=np.int64)
+    q = np.asarray(parts["embedding"].tolist(), dtype=np.float64)
     qn = np.linalg.norm(q, axis=1)
     qn[qn == 0] = 1.0
     return qids, q / qn[:, None]
@@ -163,50 +178,135 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
     return finish(out, ["query_id", "rank"])
 
 
+def _ivf_dir(sf_dir: str, n_cells: int, kmeans_iters: int, seed: int) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}:{n_cells}:{kmeans_iters}:{seed}:v1".encode(),
+        digest_size=8,
+    ).hexdigest()
+    return f"/tmp/doonop_ivf/{tag}"
+
+
+def _build_ivf_index(sf_dir: str, n_cells: int, kmeans_iters: int,
+                     seed: int, out_dir: str) -> None:
+    """Distributed IVF build (round-2: nothing corpus-sized touches the
+    driver):
+
+    1. centroid init = the n_cells smallest-vec_id vectors (same
+       partial-min merge as ``_queries`` — deterministic, distributed);
+    2. k-means iterations: map_batches assigns each vector to its
+       nearest centroid and emits per-batch (cell, sum, count) partials;
+       the driver merges only the k×dim partial table per iteration
+       (at 10^10 rows train on a hash-sampled subset first);
+    3. one final assign pass writes the inverted lists as
+       hive-partitioned parquet (``cell=N/``) so probes read ONLY the
+       probed partitions from disk.
+    """
+    import os
+
+    import ray
+
+    _, cents = _queries(sf_dir, n_cells)  # deterministic init
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    for _ in range(kmeans_iters):
+        ref = ray.put(cents)
+
+        def partial_sums(t: pa.Table, ref=ref) -> pa.Table:
+            from .common import bcast_get
+
+            cents = bcast_get(ref)
+            v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            nn = np.linalg.norm(v, axis=1)
+            nn[nn == 0] = 1.0
+            vn = v / nn[:, None]
+            cell = np.argmax(vn @ cents.T, axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, cell, vn)
+            counts = np.bincount(cell, minlength=len(cents))
+            return pa.table({
+                "cell": pa.array(np.arange(len(cents)), pa.int32()),
+                "vsum": pa.array(sums.tolist(),
+                                 pa.list_(pa.float64())),
+                "cnt": pa.array(counts, pa.int64()),
+            })
+
+        parts = ds.map_batches(
+            partial_sums, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        np.add.at(sums, parts["cell"].to_numpy(),
+                  np.asarray(parts["vsum"].tolist(), dtype=np.float64))
+        np.add.at(counts, parts["cell"].to_numpy(),
+                  parts["cnt"].to_numpy())
+        nonzero = counts > 0
+        means = sums[nonzero] / counts[nonzero][:, None]
+        norms = np.linalg.norm(means, axis=1)
+        norms[norms == 0] = 1.0
+        cents[nonzero] = means / norms[:, None]
+
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table, ref=ref) -> pa.Table:
+        from .common import bcast_get
+
+        cents = bcast_get(ref)
+        v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        nn = np.linalg.norm(v, axis=1)
+        nn[nn == 0] = 1.0
+        cell = np.argmax((v / nn[:, None]) @ cents.T, axis=1)
+        return t.append_column("cell", pa.array(cell.astype(np.int32)))
+
+    tmp = out_dir + ".tmp"
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["cell"])
+    np.save(os.path.join(tmp, "centroids.npy"), cents)
+    os.replace(tmp, out_dir)
+
+
 def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
                  n_cells: int = 16, n_probe: int = 4,
                  kmeans_iters: int = 5, seed: int = 23) -> pd.DataFrame:
-    """IVF ANN (the scale path): k-means-lite centroids partition the
-    corpus into inverted lists; queries probe the n_probe nearest cells
-    and re-score exactly inside them. Centroids train on a sample
-    driver-side (at 100 TB: map_batches partial-assign + mergeable
-    centroid sums per iteration); assignment + probing are map_batches.
-    Recall measured against the brute-force baseline in tests."""
-    import ray
+    """IVF ANN (the scale path): k-means centroids partition the corpus
+    into inverted lists MATERIALIZED as hive-partitioned parquet; a
+    query probes only its n_probe nearest cells' partitions (real
+    partition pruning at the read — no full scan). The index is built
+    once per (sf_dir, params) and cached under /tmp. Recall measured
+    against the brute-force baseline in tests."""
+    import os
+
+    import ray.data as rd
+
+    idx_dir = _ivf_dir(sf_dir, n_cells, kmeans_iters, seed)
+    if not os.path.isdir(idx_dir):
+        os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
+        _build_ivf_index(sf_dir, n_cells, kmeans_iters, seed, idx_dir)
+    cents = np.load(os.path.join(idx_dir, "centroids.npy"))
 
     qids, qmat = _queries(sf_dir, n_queries)
-    emb = read_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
-    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
-    n = np.linalg.norm(mat, axis=1)
-    n[n == 0] = 1.0
-    matn = mat / n[:, None]
-
-    rng = np.random.default_rng(seed)
-    cents = matn[rng.choice(len(matn), size=min(n_cells, len(matn)),
-                            replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(matn @ cents.T, axis=1)  # cosine on unit vecs
-        for c in range(len(cents)):
-            m = assign == c
-            if m.any():
-                v = matn[m].mean(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    cents[c] = v / nv
     probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]
-    ref = ray.put((qids, qmat, cents, probe_cells))
+    needed = sorted({int(c) for row in probe_cells for c in row})
 
-    def partial(t: pa.Table) -> pa.Table:
-        qids, qmat, cents, probe_cells = ray.get(ref)
+    import ray
+
+    ref = ray.put((qids, qmat, probe_cells))
+
+    def partial(t: pa.Table, cell: int) -> pa.Table:
+        from .common import bcast_get
+
+        qids, qmat, probe_cells = bcast_get(ref)
         ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         nn = np.linalg.norm(v, axis=1)
         nn[nn == 0] = 1.0
         vn = v / nn[:, None]
-        cell = np.argmax(vn @ cents.T, axis=1)
         out_q, out_id, out_s = [], [], []
         for qi in range(len(qids)):
-            cand = np.isin(cell, probe_cells[qi]) & (ids != qids[qi])
+            if cell not in probe_cells[qi]:
+                continue
+            cand = ids != qids[qi]
             if not cand.any():
                 continue
             sims = vn[cand] @ qmat[qi]
@@ -224,11 +324,21 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
             }
         )
 
-    partials = (
-        read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
-        .to_pandas()
-    )
+    # probe ONLY the needed partitions — each cell dir is its own read
+    frames = []
+    for c in needed:
+        cell_dir = os.path.join(idx_dir, f"cell={c}")
+        if not os.path.isdir(cell_dir):
+            continue
+        part = (
+            rd.read_parquet(cell_dir, columns=["vec_id", "embedding"])
+            .map_batches(lambda t, c=c: partial(t, c),
+                         batch_format="pyarrow", batch_size=4096)
+            .to_pandas()
+        )
+        frames.append(part)
+    partials = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
     rows = []
     for qid, g in partials.groupby("query_id"):
         top = heapq.nsmallest(min(k, len(g)), g.itertuples(index=False),
@@ -236,4 +346,6 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
         for rank, r in enumerate(top, 1):
             rows.append((int(qid), rank, int(r.neighbor_id)))
     out = pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
+    out = out.astype({"query_id": "int64", "rank": "int64",
+                      "neighbor_id": "int64"})
     return finish(out, ["query_id", "rank"])

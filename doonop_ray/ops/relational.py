@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from datetime import datetime
 
-from .common import finish, r4, read, read_arrow
+from .common import bcast_get, finish, r4, read, read_arrow
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -69,25 +69,20 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = set(
-        pc.filter(
-            cust["c_custkey"], pc.equal(cust["c_mktsegment"], "BUILDING")
-        ).to_pylist()
-    )
+    building = pc.filter(
+        cust["c_custkey"], pc.equal(cust["c_mktsegment"], "BUILDING")
+    ).combine_chunks()
     orders = read_arrow(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     omask = pc.and_(
         pc.less(orders["o_orderdate"], pa.scalar(datetime(1998, 6, 30))),
-        pc.is_in(orders["o_custkey"], value_set=pa.array(list(building))),
+        pc.is_in(orders["o_custkey"], value_set=building),
     )
-    okeys_ref = ray.put(set(pc.filter(orders["o_orderkey"], omask).to_pylist()))
+    okeys_ref = ray.put(pc.filter(orders["o_orderkey"], omask).combine_chunks())
 
     def partial(t: pa.Table) -> pa.Table:
-        okeys = ray.get(okeys_ref)
+        okeys = bcast_get(okeys_ref)
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(datetime(1998, 6, 30))))
-        keep = np.fromiter(
-            (k in okeys for k in t["l_orderkey"].to_pylist()), bool, len(t)
-        )
-        t = t.filter(pa.array(keep))
+        t = t.filter(pc.is_in(t["l_orderkey"], value_set=okeys))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         t = t.append_column("rev", rev)
         return t.group_by("l_orderkey").aggregate([("rev", "sum")])
@@ -112,30 +107,35 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
-    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
     cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    c_nat = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
     supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    s_nat = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()))
     orders = read_arrow(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    o_cust = dict(zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()))
-    dims_ref = ray.put((n_name, c_nat, s_nat, o_cust))
+    # Broadcast the dimension key/value ARRAYS (zero-copy Arrow from the
+    # object store) and chain pc.index_in/pc.take lookups per batch —
+    # no Python dicts, no per-row loop (VERDICT round-1 item 4).
+    dims_ref = ray.put(tuple(
+        a.combine_chunks() for a in (
+            nation["n_nationkey"], nation["n_name"],
+            cust["c_custkey"], cust["c_nationkey"],
+            supp["s_suppkey"], supp["s_nationkey"],
+            orders["o_orderkey"], orders["o_custkey"],
+        )
+    ))
 
     def partial(t: pa.Table) -> pa.Table:
-        n_name, c_nat, s_nat, o_cust = ray.get(dims_ref)
-        ok = t["l_orderkey"].to_pylist()
-        sk = t["l_suppkey"].to_pylist()
-        ep = t["l_extendedprice"].to_numpy()
-        dc = t["l_discount"].to_numpy()
-        names, revs = [], []
-        for i in range(len(ok)):
-            cn = c_nat.get(o_cust.get(ok[i]))
-            sn = s_nat.get(sk[i])
-            if cn is not None and cn == sn:  # local-supplier condition
-                names.append(n_name[cn])
-                revs.append(ep[i] * (1.0 - dc[i]))
-        out = pa.table({"n_name": pa.array(names, pa.string()),
-                        "rev": pa.array(revs, pa.float64())})
+        (n_key, n_name, c_key, c_nat, s_key, s_nat,
+         o_key, o_cust) = bcast_get(dims_ref)
+        # l_orderkey -> o_custkey -> c_nationkey ; l_suppkey -> s_nationkey
+        cust_of = pc.take(o_cust, pc.index_in(t["l_orderkey"], value_set=o_key))
+        cn = pc.take(c_nat, pc.index_in(cust_of, value_set=c_key))
+        sn = pc.take(s_nat, pc.index_in(t["l_suppkey"], value_set=s_key))
+        # local-supplier condition; pc.equal is null→null and filter drops nulls
+        t = t.append_column("cn", cn)
+        t = t.filter(pc.equal(cn, sn))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        name = pc.take(n_name, pc.index_in(t["cn"], value_set=n_key))
+        out = pa.table({"n_name": name, "rev": rev})
         return out.group_by("n_name").aggregate([("rev", "sum")])
 
     out = (
@@ -198,13 +198,13 @@ def nation_customer_counts(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
-    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    ref = ray.put(n_name)
+    ref = ray.put((nation["n_nationkey"].combine_chunks(),
+                   nation["n_name"].combine_chunks()))
 
     def attach(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        names = [m.get(k) for k in t["c_nationkey"].to_pylist()]
-        return t.append_column("n_name", pa.array(names, pa.string()))
+        n_key, n_name = bcast_get(ref)
+        names = pc.take(n_name, pc.index_in(t["c_nationkey"], value_set=n_key))
+        return t.append_column("n_name", names)
 
     out = (
         read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
@@ -249,14 +249,13 @@ def customers_no_recent_orders(sf_dir: str) -> pd.DataFrame:
         orders["o_custkey"],
         pc.greater_equal(orders["o_orderdate"], pa.scalar(datetime(2000, 1, 1))),
     )
-    keys_ref = ray.put(set(recent.to_pylist()))
+    keys_ref = ray.put(pc.unique(recent.combine_chunks()))
 
     def anti(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        keep = np.fromiter(
-            (k not in keys for k in t["c_custkey"].to_pylist()), bool, len(t)
+        keys = bcast_get(keys_ref)
+        return t.filter(
+            pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
         )
-        return t.filter(pa.array(keep))
 
     out = (
         read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])

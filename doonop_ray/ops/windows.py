@@ -99,18 +99,18 @@ def events_sliding_counts(sf_dir: str, window_hours: int = 2,
     k = window_hours // slide_hours
 
     def explode(t: pa.Table) -> pa.Table:
-        base = pc.floor_temporal(t["ts"], unit="hour")
-        et_out, ws_out = [], []
-        base_py = base.to_pylist()
-        et = t["event_type"].to_pylist()
-        for bts, e in zip(base_py, et):
-            for j in range(k):
-                ws_out.append(bts - pd.Timedelta(hours=j))
-                et_out.append(e)
+        # vectorized k-way explode: tile the hour-floored timestamps and
+        # subtract a per-copy hour offset (no per-row Python loop)
+        base = pc.floor_temporal(t["ts"], unit="hour").combine_chunks()
+        n = len(t)
+        base_us = base.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        offs = (np.arange(k, dtype=np.int64) * 3_600_000_000)[None, :]
+        ws = (base_us[:, None] - offs).reshape(-1)  # row-major: k per event
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
         return pa.table(
             {
-                "event_type": pa.array(et_out, pa.string()),
-                "window_start": pa.array(ws_out, pa.timestamp("us")),
+                "event_type": t["event_type"].combine_chunks().take(idx),
+                "window_start": pa.array(ws).cast(pa.timestamp("us")),
             }
         )
 
