@@ -40,6 +40,19 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="NAME=VALUE", help="e.g. domain=example.com")
     p.add_argument("--robot", default="DoonopRobot")
     p.add_argument("--no-robots", action="store_true")
+    p.add_argument("--check-file", default=None,
+                   help="extraction UDF file: .js snippet or Selenium-IDE "
+                        ".side/.json script (S3/M2/M3; default UDF is "
+                        "'return window.location.href')")
+    p.add_argument("--check-file-format", choices=("js", "side", "json"),
+                   default=None,
+                   help="override check-file format sniffing")
+    p.add_argument("--proxy", default=None,
+                   help="proxy string for the HTTP transport "
+                        "(parsed and validated; live transport is stubbed "
+                        "in this sandbox)")
+    p.add_argument("--page-load-time", type=int, default=10_000,
+                   help="page-load timeout ms (cfg.rs DEFAULT_LOAD_TIME)")
     p.add_argument("--world", required=True,
                    help="synthetic world dir (pages/images/robots/seeds parquet)")
     p.add_argument("--out", default="/tmp/doonop_out/cli")
@@ -81,8 +94,22 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 0
 
+    from .functions.checkfile import default_extractor, load_check_file
+
+    if args.check_file:
+        extractor = load_check_file(args.check_file, args.check_file_format)
+    else:
+        # reference default UDF (cfg.rs:344-346): data = the page URL
+        extractor = default_extractor()
+
+    if args.proxy:
+        from .stages.http_fetch import parse_proxy
+
+        parse_proxy(args.proxy)  # validate now; transport is stubbed
+
     w = read_world(args.world)
     cfg = CrawlConfig(
+        extractor=extractor,
         seeds=seeds,
         limit=args.limit,
         retry_policy=args.retry_policy,
@@ -102,7 +129,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.conformance:
         from .pipelines.crawler import run_conformance
 
-        res = run_conformance(cfg, w.pages, w.images, w.robots_map())
+        res = run_conformance(
+            cfg, w.pages, w.images, w.robots_map(),
+            world_seed=w.params.seed,
+            img_bounds=(w.params.img_min, w.params.img_max),
+        )
         stats = res["stats"]
         if args.json:
             for c in res["collected"]:
@@ -119,7 +150,13 @@ def main(argv: list[str] | None = None) -> int:
         DataContext.get_current().enable_progress_bars = False
         from .pipelines.crawler import RayCrawler
 
-        crawler = RayCrawler(cfg, w.pages, w.images, w.robots_map(), args.out)
+        # world params restored from params.json so pixel/caption truth
+        # regenerates with the WRITER's seed and image bounds (ADVICE r1)
+        crawler = RayCrawler(
+            cfg, w.pages, w.images, w.robots_map(), args.out,
+            world_seed=w.params.seed,
+            img_bounds=(w.params.img_min, w.params.img_max),
+        )
         restore = crawler.install_signal_checkpoint()
         try:
             stats = crawler.run(resume=args.resume).as_dict()

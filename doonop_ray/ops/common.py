@@ -101,7 +101,7 @@ def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1):
         ends = np.concatenate((starts[1:], [n]))
         return starts, ends
 
-    def interior(t: pa.Table) -> pa.Table:
+    def interior(t: pa.Table, keep_edges: bool = False) -> pa.Table:
         n = len(t)
         if n == 0:
             return empty
@@ -109,7 +109,7 @@ def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1):
         outs = [
             fn(t.slice(s, e - s))
             for s, e in zip(starts, ends)
-            if s != 0 and e != n and e - s >= min_group_size
+            if (keep_edges or (s != 0 and e != n)) and e - s >= min_group_size
         ]
         return pa.concat_tables([empty] + outs).combine_chunks()
 
@@ -128,6 +128,12 @@ def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1):
         return fn(g) if len(g) >= min_group_size else empty
 
     sorted_ds = ds.sort(keys).materialize()
+    nb = sorted_ds.num_blocks()
+    if nb <= 1:
+        # no block boundary to straddle — one pass handles every group
+        return sorted_ds.map_batches(
+            lambda t: interior(t, keep_edges=True),
+            batch_format="pyarrow", batch_size=None)
     interior_out = sorted_ds.map_batches(
         interior, batch_format="pyarrow", batch_size=None)
     # the edge branch is tiny (O(blocks × straddling-group size));

@@ -414,35 +414,29 @@ def neardup_components(sf_dir: str, threshold: float = 0.8,
     """Duplicate-cluster assignment: connected components over the
     ngram-Jaccard near-dup graph, labeled by min doc_id.
 
-    The pair-finding is the distributed part (ngram_jaccard_pairs /
-    minhash at scale); the component merge runs union-find driver-side —
-    valid because near-dup edge sets are orders of magnitude smaller
-    than the corpus (ray_guide: union-find on the driver only if the
-    candidate set is provably small; the iterative min-label-propagation
-    groupby is the scale path)."""
+    Round-2: fully distributed — iterative min-label propagation over
+    label/edge Datasets (``ops.graph.connected_components``), no driver
+    union-find. Convergence is checked with a label-sum aggregate."""
+    import ray.data as rd
+
+    from .graph import connected_components
+
     pairs = ngram_jaccard_pairs(sf_dir, threshold, max_doc_id)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    docs = read_arrow(sf_dir, "documents", ["doc_id"])
-    ids = [d for d in docs["doc_id"].to_pylist() if d < max_doc_id]
-    for d in ids:
-        find(d)
-    for a, b in zip(pairs["a"], pairs["b"]):
-        union(int(a), int(b))
-    out = pd.DataFrame(
-        {"doc_id": ids, "component": [find(d) for d in ids]}
-    ).astype("int64")
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(pairs["a"].to_numpy(), pa.int64()),
+        "b": pa.array(pairs["b"].to_numpy(), pa.int64()),
+    }))
+    nodes = read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {"node": t.filter(pc.less(t["doc_id"], max_doc_id))["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    out = (
+        connected_components(nodes, edges)
+        .to_pandas()
+        .rename(columns={"node": "doc_id"})
+        .astype("int64")
+    )
     return finish(out, ["doc_id"])
 
 

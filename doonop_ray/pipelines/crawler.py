@@ -108,7 +108,6 @@ class SeenRouterShard(SeenCore):
         self.num_frontier = num_frontier
         self.n_ingested = 0
         self._push_futs: list = []
-        self._buffers: dict[int, list] = {}
 
     def ingest(self, items: list[tuple[str, int]]) -> None:
         import ray
@@ -126,13 +125,10 @@ class SeenRouterShard(SeenCore):
             self._push_futs = []
 
     def flush(self) -> int:
-        """Push all buffers, wait for them to land; returns total ingested."""
+        """Await outstanding frontier pushes; returns total ingested
+        (ingest forwards immediately, so settlement == futures landed)."""
         import ray
 
-        for f, buf in list(self._buffers.items()):
-            if buf:
-                self._push_futs.append(self.frontier_handles[f].push.remote(buf))
-        self._buffers = {}
         if self._push_futs:
             ray.get(self._push_futs)
             self._push_futs = []
@@ -416,7 +412,7 @@ class RayCrawler:
                 "wave_dir": wave_dir,
             }
 
-        routed = {"links": 0, "retries": 0}
+        routed = self._routed = {"links": 0, "retries": 0}
         self.wave_metrics: list[dict] = getattr(self, "wave_metrics", [])
 
         def absorb(futs):
@@ -638,10 +634,25 @@ class RayCrawler:
     def _write_checkpoint(self, ray, wave_done: int):
         ckpt = os.path.join(self.cfg.checkpoint_dir, f"wave={wave_done:05d}")
         os.makedirs(ckpt, exist_ok=True)
-        # flush buffered seen→frontier forwards so the frontier snapshot
-        # is a consistent cut (in-buffer links would otherwise be lost on
-        # restore: already marked seen but never queued)
-        ray.get([s.flush.remote() for s in self.seen])
+        # settle the fire-and-forget routing before snapshotting: Ray
+        # gives no cross-caller actor-task ordering, so links/retries
+        # emitted by completed waves can still be in transit when the
+        # quiesce barrier passes. Loop on the same routed-counter
+        # settlement the terminal drain uses — otherwise a resume from
+        # this checkpoint silently drops the in-transit URLs (absent
+        # from both the seen set and the frontier).
+        routed = getattr(self, "_routed", None)
+        while True:
+            ingested = sum(ray.get([s.flush.remote() for s in self.seen]))
+            if routed is None:
+                break
+            retry_rcvd = sum(
+                ray.get([f.retry_received.remote() for f in self.frontier])
+            )
+            if (ingested >= routed["links"]
+                    and retry_rcvd >= routed["retries"]):
+                break
+            time.sleep(0.02)
         f_blobs = ray.get([f.snapshot.remote() for f in self.frontier])
         s_blobs = ray.get([s.snapshot.remote() for s in self.seen])
         for i, b in enumerate(f_blobs):

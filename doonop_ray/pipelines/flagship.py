@@ -240,69 +240,75 @@ def crawl_host_counts(sf_dir: str) -> pd.DataFrame:
 def image_phash_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
     """Near-duplicate image pairs by perceptual hash: band the 64-bit
     phash into 4x16-bit keys (a pair within hamming<=6 collides on >=1
-    band unless all differing bits straddle bands), groupby band keys
-    for candidates, verify exact hamming. SURVEY §2d extension enabled
-    by the input_hint phash column."""
+    band unless all differing bits straddle bands), then verify exact
+    hamming INSIDE each colliding bucket.
+
+    Round-2: fully distributed — each band row carries the image's
+    phash, and ``grouped_apply`` (sort + block-local bucket detection)
+    skips singleton buckets for free and runs the O(bucket²) popcount
+    verify only where >=2 images collide. Nothing bucket- or
+    corpus-sized reaches the driver; the final cross-band pair dedup is
+    O(output). SURVEY §2d extension enabled by the input_hint phash
+    column."""
     import numpy as np
     import pandas as pd_
     import pyarrow as pa
 
     import ray.data as rd
 
+    from ..ops.common import grouped_apply
+
     w = world_for(sf_dir)
     ids_tbl = w.images.select(["image_id", "phash"])
 
     def band_rows(t: pa.Table) -> pa.Table:
-        ids = t.column("image_id").to_pylist()
-        ph = t.column("phash").to_numpy().astype(np.uint64)
-        out_id, out_band, out_key = [], [], []
+        ids = t.column("image_id").combine_chunks()
+        ph = t.column("phash").to_numpy().view(np.uint64)
+        n = len(t)
+        keys = np.empty((4, n), dtype=np.uint64)
         for b in range(4):
-            key = (ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            out_id.extend(ids)
-            out_band.extend([b] * len(ids))
-            out_key.extend(key.tolist())
-        return pa.table(
-            {
-                "image_id": pa.array(out_id, pa.string()),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.uint64()),
-            }
-        )
+            keys[b] = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)) \
+                | (np.uint64(b) << np.uint64(16))
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), 4))
+        return pa.table({
+            "image_id": ids.take(idx),
+            "key": pa.array(keys.reshape(-1), pa.uint64()),
+            "phash": pa.array(np.tile(ph, 4), pa.uint64()),
+        })
 
-    # band rows are tiny (4 per image, two int columns) — aggregate the
-    # collision buckets distributed, then pair up driver-side; thousands
-    # of 1-row groups through map_groups would dominate wall time. At
-    # 10^10 scale, pair-up moves into a map_groups over ONLY the
-    # colliding buckets (a tiny fraction).
-    band_df = (
-        rd.from_arrow(ids_tbl)
-        .map_batches(band_rows, batch_format="pyarrow")
-        .to_pandas()
-    )
-    rows = []
-    for (_, _), g in band_df.groupby(["band", "key"], sort=False):
-        if len(g) < 2:
-            continue
-        ids = sorted(g["image_id"].unique())
-        rows.extend(
-            (ids[i], ids[j])
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-        )
-    cand = pd_.DataFrame(rows, columns=["a", "b"])
-    if cand.empty:
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "hamming": pa.array([], pa.int64())})
+
+    def bucket_verify(g: pa.Table) -> pa.Table:
+        ph_of: dict[str, int] = {}
+        for i, d in zip(g["image_id"].to_pylist(),
+                        g["phash"].to_numpy(zero_copy_only=False)):
+            ph_of.setdefault(i, int(d))
+        ids = sorted(ph_of)
+        out_a, out_b, out_h = [], [], []
+        for i, a in enumerate(ids):
+            pa_ = ph_of[a]
+            for b in ids[i + 1:]:
+                d = bin(pa_ ^ ph_of[b]).count("1")
+                if d <= max_hamming:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_h.append(d)
+        return pa.table({"a": pa.array(out_a, pa.string()),
+                         "b": pa.array(out_b, pa.string()),
+                         "hamming": pa.array(out_h, pa.int64())})
+
+    out = grouped_apply(
+        rd.from_arrow(ids_tbl).map_batches(band_rows, batch_format="pyarrow"),
+        "key", bucket_verify, empty, min_group_size=2,
+    ).to_pandas()
+    if out.empty:
         return pd_.DataFrame({"a": pd_.Series([], dtype="str"),
                               "b": pd_.Series([], dtype="str"),
                               "hamming": pd_.Series([], dtype="int64")})
-    cand = cand.drop_duplicates()
-    ph = dict(zip(w.images.column("image_id").to_pylist(),
-                  np.asarray(w.images.column("phash").to_numpy()).astype(np.uint64)))
-    keep = []
-    for a, b in zip(cand["a"], cand["b"]):
-        d = int(bin(int(ph[a] ^ ph[b])).count("1"))
-        if d <= max_hamming:
-            keep.append((a, b, d))
-    out = pd_.DataFrame(keep, columns=["a", "b", "hamming"])
+    out = out.drop_duplicates(subset=["a", "b"])
+    out["hamming"] = out["hamming"].astype("int64")
     return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
 
 

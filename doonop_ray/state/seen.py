@@ -169,6 +169,11 @@ class SeenCore:
         self.mode = st["mode"]
         self.exact = st["exact"]
         self.filter.table = st["table"]
+        # geometry travels with the table: a shard rebuilt with a
+        # different constructor capacity would otherwise mod every
+        # lookup by the wrong n_buckets — silent false negatives and
+        # duplicate crawling (ADVICE round 1)
+        self.filter.n_buckets = int(st["table"].shape[0])
         self.filter.overflow = st["overflow"]
         self.filter.count = st["count"]
 

@@ -125,11 +125,18 @@ class World:
         ))
 
     def write(self, out_dir: str) -> None:
+        import dataclasses
+        import json
         import os
 
         os.makedirs(out_dir, exist_ok=True)
         for name in ("pages", "images", "robots", "seeds"):
             pq.write_table(getattr(self, name), f"{out_dir}/{name}.parquet")
+        # persist params: readers regenerate pixel ground truth from
+        # (world_seed, img bounds) — a world written with non-default
+        # params would otherwise validate against the wrong truth
+        with open(f"{out_dir}/params.json", "w") as fh:
+            json.dump(dataclasses.asdict(self.params), fh)
 
 
 def _host_sizes(p: WorldParams, rng: np.random.Generator) -> list[int]:
@@ -282,5 +289,15 @@ def build_world(params: WorldParams | None = None, **kw) -> World:
 
 
 def read_world(in_dir: str) -> World:
+    import json
+    import os
+
     t = {n: pq.read_table(f"{in_dir}/{n}.parquet") for n in ("pages", "images", "robots", "seeds")}
-    return World(WorldParams(), t["pages"], t["images"], t["robots"], t["seeds"])
+    params = WorldParams()
+    pfile = os.path.join(in_dir, "params.json")
+    if os.path.exists(pfile):
+        with open(pfile) as fh:
+            saved = json.load(fh)
+        known = {f.name for f in __import__("dataclasses").fields(WorldParams)}
+        params = WorldParams(**{k: v for k, v in saved.items() if k in known})
+    return World(params, t["pages"], t["images"], t["robots"], t["seeds"])
