@@ -47,6 +47,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": relational.distinct_segments,
         "nation_customer_counts": relational.nation_customer_counts,
         "customers_no_recent_orders": relational.customers_no_recent_orders,
+        "region_customer_rollup": relational.region_customer_rollup,
+        "semi_join_recent_customers": relational.semi_join_recent_customers,
+        "orders_monthly": relational.orders_monthly,
+        "brand_price_stats": relational.brand_price_stats,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         # text analysis
         "token_counts": text.token_counts,
@@ -55,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text.doc_fingerprints,
         "deterministic_sample": text.deterministic_sample,
         "top_tokens": text.top_tokens,
+        "doc_length_histogram": text.doc_length_histogram,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -73,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": windows.user_sessions,
         "user_stats": windows.user_stats,
         "events_sliding_counts": windows.events_sliding_counts,
+        "events_top_users_per_type": windows.events_top_users_per_type,
         "events_last_order": windows.events_last_order,
         "event_value_median": windows.event_value_median,
         "events_rolling_avg": windows.events_rolling_avg,
@@ -91,6 +97,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "region_customer_rollup": """
+            SELECT r_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   ROUND(SUM(c_acctbal), 4) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "semi_join_recent_customers": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01'
+            )
+            ORDER BY c_custkey
+        """,
+        "orders_monthly": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+                   ROUND(SUM(o_totalprice), 4) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "brand_price_stats": """
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   MIN(p_retailprice) AS min_price,
+                   MAX(p_retailprice) AS max_price,
+                   ROUND(SUM(p_retailprice), 4) AS sum_price,
+                   ROUND(SUM(p_retailprice) / COUNT(*), 4) AS avg_price
+            FROM part GROUP BY 1 ORDER BY 1
+        """,
+        "events_top_users_per_type": """
+            SELECT event_type, user_id, sum_value, rank FROM (
+                SELECT event_type, user_id,
+                       ROUND(SUM(value), 4) AS sum_value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY SUM(value) DESC, user_id
+                       ) AS rank
+                FROM events GROUP BY event_type, user_id
+            ) WHERE rank <= 3 ORDER BY event_type, rank
+        """,
+        "doc_length_histogram": """
+            SELECT (n_chars // 100) * 100 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -55,6 +55,15 @@ class CrawlConfig:
     max_inflight_waves: int = 2         # concurrent wave pipelines
                                         # (continuous dispatch; limit runs
                                         # force 1 to bound overshoot)
+    streaming: bool = False             # True: ONE long-lived streaming
+                                        # dataset (poller generators feed
+                                        # fetch→validate→persist→route
+                                        # continuously; no per-wave
+                                        # executor startup). limit runs
+                                        # always use wave mode.
+    checkpoint_every_sec: float | None = None  # streaming-mode periodic
+                                        # checkpoint interval (pause →
+                                        # settle → snapshot → resume)
 
     def wave_size(self) -> int:
         return self.wave_budget if self.wave_budget is not None else self.engines

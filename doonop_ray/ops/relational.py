@@ -263,3 +263,109 @@ def customers_no_recent_orders(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return finish(out, ["c_custkey"])
+
+
+def region_customer_rollup(sf_dir: str) -> pd.DataFrame:
+    """Two-level broadcast star join (region ← nation ← customer):
+    customer counts + account-balance sum per region name. The two
+    dimension tables broadcast once; the fact scan attaches the region
+    via chained pc.index_in/take lookups — no shuffle join."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    region = read_arrow(sf_dir, "region", ["r_regionkey", "r_name"])
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    ref = ray.put(tuple(a.combine_chunks() for a in (
+        region["r_regionkey"], region["r_name"],
+        nation["n_nationkey"], nation["n_regionkey"],
+    )))
+
+    def attach(t: pa.Table) -> pa.Table:
+        r_key, r_name, n_key, n_reg = bcast_get(ref)
+        reg = pc.take(n_reg, pc.index_in(t["c_nationkey"], value_set=n_key))
+        name = pc.take(r_name, pc.index_in(reg, value_set=r_key))
+        return t.append_column("r_name", name)
+
+    out = (
+        read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"),
+                   Sum("c_acctbal", alias_name="sum_acctbal"))
+        .to_pandas()
+    )
+    out["sum_acctbal"] = r4(out["sum_acctbal"])
+    return finish(out, ["r_name"])
+
+
+def semi_join_recent_customers(sf_dir: str) -> pd.DataFrame:
+    """Broadcast SEMI join: customers with at least one order on/after
+    2000-01-01 (the positive twin of customers_no_recent_orders)."""
+    import ray
+
+    orders = read_arrow(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    recent = pc.filter(
+        orders["o_custkey"],
+        pc.greater_equal(orders["o_orderdate"], pa.scalar(datetime(2000, 1, 1))),
+    )
+    keys_ref = ray.put(pc.unique(recent.combine_chunks()))
+
+    def semi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_custkey"], value_set=bcast_get(keys_ref)))
+
+    out = (
+        read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return finish(out, ["c_custkey"])
+
+
+def orders_monthly(sf_dir: str) -> pd.DataFrame:
+    """Calendar rollup: order count + revenue per (year, month) —
+    vectorized temporal extraction inside map_batches, partial per-batch
+    aggregation before the tiny groupby shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        m = pc.month(t["o_orderdate"])
+        t2 = pa.table({
+            "o_year": pc.cast(y, pa.int64()),
+            "o_month": pc.cast(m, pa.int64()),
+            "o_totalprice": t["o_totalprice"],
+        })
+        agg = t2.group_by(["o_year", "o_month"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return agg
+
+    out = (
+        read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["o_year", "o_month"])
+        .aggregate(Sum("o_totalprice_sum", alias_name="revenue"),
+                   Sum("o_totalprice_count", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = r4(out["revenue"])
+    return finish(out, ["o_year", "o_month"])
+
+
+def brand_price_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-brand retail price stats (count/min/max/avg)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out = (
+        read(sf_dir, "part", ["p_brand", "p_retailprice"])
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Min("p_retailprice", alias_name="min_price"),
+            Max("p_retailprice", alias_name="max_price"),
+            Sum("p_retailprice", alias_name="sum_price"),
+        )
+        .to_pandas()
+    )
+    out["avg_price"] = r4(out["sum_price"] / out["n_parts"])
+    out["sum_price"] = r4(out["sum_price"])
+    return finish(out, ["p_brand"])

@@ -178,3 +178,25 @@ def deterministic_sample(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return finish(out, ["doc_id"])
+
+
+def doc_length_histogram(sf_dir: str, bucket: int = 100) -> pd.DataFrame:
+    """Histogram of document lengths (n_chars bucketed to ``bucket``):
+    vectorized bucket key + partial per-batch counts before the tiny
+    groupby shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.multiply(
+            pc.divide(pc.cast(t["n_chars"], pa.int64()), bucket), bucket)
+        return pa.table({"bucket": b}).group_by("bucket").aggregate(
+            [("bucket", "count")])
+
+    out = (
+        read(sf_dir, "documents", ["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("bucket_count", alias_name="n_docs"))
+        .to_pandas()
+    )
+    return finish(out, ["bucket"])

@@ -226,3 +226,28 @@ def events_rolling_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
     out["event_id"] = out["event_id"].astype("int64")
     out["user_id"] = out["user_id"].astype("int64")
     return finish(out, ["event_id"])
+
+
+def events_top_users_per_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k with rank (ROW_NUMBER window shape): each event
+    type's k highest-spending users. Pre-aggregates (type, user) sums
+    distributed, then ranks inside the tiny per-type groups."""
+    from ray.data.aggregate import Sum
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sum_value", "user_id"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (
+        read(sf_dir, "events", ["event_type", "user_id", "value"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("value", alias_name="sum_value"))
+        .groupby("event_type")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["sum_value"] = r4(out["sum_value"])
+    return finish(out, ["event_type", "rank"])

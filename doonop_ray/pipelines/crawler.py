@@ -1,8 +1,8 @@
-"""The wave-loop crawl driver — the reference's dispatch/completion loop
-(/root/reference/src/workload.rs:79-200) re-expressed as repeated
-streaming ray.data pipelines over frontier waves.
+"""The crawl driver — the reference's dispatch/completion loop
+(/root/reference/src/workload.rs:79-200) re-expressed over Ray.
 
-Two execution modes share the same operator implementations:
+Three execution modes share the same operator implementations
+(Fetcher/Validator batch callables, link router, frontier/seen shards):
 
 - ``run_conformance()`` — single in-flight lane, virtual clock: byte-
   exact reproduction of the reference's deterministic j=1 crawl order
@@ -16,6 +16,10 @@ Two execution modes share the same operator implementations:
   directory per wave). Guarantees set-equality of visited/collected/
   seen with the reference (whose own N>1 interleave is nondeterministic,
   lib.rs:136-155) plus identical stats counters.
+- ``run_streaming()`` — the round-2 default for unbounded runs
+  (``cfg.streaming``): one long-lived chunk-task loop instead of
+  repeated per-wave Dataset pipelines; same set/stats guarantees, no
+  per-wave executor startup, retries picked up by the next drain poll.
 
 Checkpointing (north_rule): after each wave the frontier shards, seen
 shards and per-wave metrics snapshot to ``checkpoint_dir``; ``resume()``
@@ -41,7 +45,7 @@ from ..oracle import clean_seeds
 from ..robots import RobotsCache, make_table_fetcher
 from ..stages.fetch import Fetcher, Validator, make_fetch_fn, make_validate_fn
 from ..state.frontier import FrontierCore, FrontierShard
-from ..state.seen import SeenCore, shard_of
+from ..state.seen import SeenCore, host_shard_of, shard_of
 
 def _stub_fsspec_http_once():
     """aiohttp is absent here, so ``fsspec.implementations.http`` can
@@ -117,7 +121,7 @@ class SeenRouterShard(SeenCore):
         per: dict[int, list[tuple[str, int]]] = {}
         for it, new in zip(items, mask):
             if new:
-                per.setdefault(shard_of(it[0], self.num_frontier), []).append(it)
+                per.setdefault(host_shard_of(it[0], self.num_frontier), []).append(it)
         for f, it in per.items():
             self._push_futs.append(self.frontier_handles[f].push.remote(it))
         if len(self._push_futs) >= 64:  # bound the outstanding-push queue
@@ -136,15 +140,22 @@ class SeenRouterShard(SeenCore):
 
 
 def make_link_router(seen_handles, frontier_handles, retry_policy: str,
-                     num_seen: int, num_frontier: int, now_ms: float):
+                     num_seen: int, num_frontier: int,
+                     now_ms: float | None,
+                     counters_only: bool = False):
     """Stateless map_batches fn: candidate links hash-partition to the
     seen/router shards and timeouts to the frontier retry lanes — all
     FIRE-AND-FORGET from inside the task (a blocking ray.get in a task
     pins its CPU slot and makes Ray spawn extra workers, silently
     oversubscribing the node). Emits per-row ``n_links`` so the driver
-    can settle counters against the shards at termination."""
+    can settle counters against the shards at termination.
+
+    Streaming mode (``now_ms=None``): retry timestamps use the batch's
+    wall clock, and ``counters_only=True`` shrinks the output to a 1-row
+    counter table so the chunk task returns counters, not artifacts."""
 
     def route(batch: pa.Table) -> pa.Table:
+        batch_now = now_ms if now_ms is not None else time.monotonic() * 1000.0
         statuses = batch.column("status").to_pylist()
         urls = batch.column("url").to_pylist()
         depths = batch.column("depth").to_numpy()
@@ -175,18 +186,102 @@ def make_link_router(seen_handles, frontier_handles, retry_policy: str,
             ]
             for st, u, d, at in zip(statuses, urls, depths, attempts):
                 if st == "timeout":
-                    per_retry[shard_of(u, num_frontier)].append(
+                    per_retry[host_shard_of(u, num_frontier)].append(
                         (u, int(d), int(at))
                     )
             for f, items in enumerate(per_retry):
                 if items:
-                    frontier_handles[f].keep_retry_batch.remote(items, now_ms)
+                    frontier_handles[f].keep_retry_batch.remote(items, batch_now)
 
+        n_ok = sum(s == "ok" for s in statuses)
+        n_to = sum(s == "timeout" for s in statuses)
+        n_err = sum(s == "error" for s in statuses)
+        total_links = int(n_links.sum())
+        if counters_only:
+            return pa.table({
+                "visited": pa.array([len(batch)], pa.int64()),
+                "ok": pa.array([n_ok], pa.int64()),
+                "timeout": pa.array([n_to], pa.int64()),
+                "error": pa.array([n_err], pa.int64()),
+                "links": pa.array([total_links], pa.int64()),
+            })
         return batch.drop_columns(["links"]).append_column(
             "n_links", pa.array(n_links, pa.int32())
         )
 
     return route
+
+
+def make_persist_fn(run_dir: str):
+    """Write each block to its own parquet file BEFORE the router stage:
+    'routed == dispatched' settlement then implies the artifacts of every
+    routed row are already on disk, which is what makes a mid-stream
+    checkpoint cut consistent (snapshot = shard state + file manifest)."""
+
+    def persist(batch: pa.Table) -> pa.Table:
+        if len(batch):
+            import uuid
+
+            # same on-disk schema as wave mode: links dropped, n_links kept
+            statuses = batch.column("status").to_pylist()
+            links_col = batch.column("links").to_pylist()
+            n_links = pa.array(
+                [len(l) if s == "ok" else 0
+                 for s, l in zip(statuses, links_col)],
+                pa.int32(),
+            )
+            pq.write_table(
+                batch.drop_columns(["links"]).append_column("n_links", n_links),
+                os.path.join(run_dir, f"part-{uuid.uuid4().hex}.parquet"),
+            )
+        return batch
+
+    return persist
+
+
+_CHUNK_FNS_CACHE: dict = {}
+
+
+def _run_stream_chunk(entries, fns_ref_box):
+    """One streaming chunk: fetch→validate→persist→route a drained batch
+    as a plain Ray task. The stage closures ship once via ray.put and are
+    cached per worker process (the box keeps the ObjectRef from being
+    auto-dereferenced per task); the broadcast page/image state inside
+    them uses the existing per-worker caches, so a worker pays index
+    build exactly once for the whole crawl."""
+    import ray
+
+    ref = fns_ref_box[0]
+    key = getattr(ref, "hex", lambda: id(ref))()
+    fns = _CHUNK_FNS_CACHE.get(key)
+    if fns is None:
+        _CHUNK_FNS_CACHE.clear()
+        fns = ray.get(ref)
+        _CHUNK_FNS_CACHE[key] = fns
+    fetch_fn, validate_fn, persist_fn, route_fn = fns
+    t0 = time.monotonic()
+    batch = _wave_table(entries)
+    t1 = time.monotonic()
+    batch = fetch_fn(batch)
+    t2 = time.monotonic()
+    batch = validate_fn(batch)
+    t3 = time.monotonic()
+    persist_fn(batch)
+    t4 = time.monotonic()
+    c = route_fn(batch)
+    t5 = time.monotonic()
+    out = {
+        "visited": int(c.column("visited")[0].as_py()),
+        "ok": int(c.column("ok")[0].as_py()),
+        "timeout": int(c.column("timeout")[0].as_py()),
+        "error": int(c.column("error")[0].as_py()),
+        "links": int(c.column("links")[0].as_py()),
+    }
+    if os.environ.get("DOONOP_WAVE_TIMING"):
+        out["timing"] = (round(t1 - t0, 3), round(t2 - t1, 3),
+                         round(t3 - t2, 3), round(t4 - t3, 3),
+                         round(t5 - t4, 3))
+    return out
 
 
 class RayCrawler:
@@ -202,7 +297,9 @@ class RayCrawler:
         # a worker-side combine_chunks would copy the whole broadcast
         # table in every worker (O(workers x table) memory traffic)
         self.pages = pages.combine_chunks()
-        self.images = images.combine_chunks()
+        from ..stages.fetch import prep_images_table
+
+        self.images = prep_images_table(images)
         # callers may pass session-cached broadcast refs so repeated
         # crawls don't re-put multi-GB tables into the object store
         self._pages_ref = pages_ref
@@ -261,7 +358,7 @@ class RayCrawler:
         fresh.sort()
         per_frontier = [[] for _ in range(cfg.num_frontier_shards)]
         for u in fresh:
-            per_frontier[shard_of(u, cfg.num_frontier_shards)].append((u, 0))
+            per_frontier[host_shard_of(u, cfg.num_frontier_shards)].append((u, 0))
         ray.get(
             [self.frontier[f].push.remote(it) for f, it in enumerate(per_frontier) if it]
         )
@@ -283,6 +380,8 @@ class RayCrawler:
 
         _stub_fsspec_http_once()
         cfg = self.cfg
+        if cfg.streaming and cfg.limit is None and max_waves is None:
+            return self.run_streaming(resume=resume)
         if not (resume and cfg.checkpoint_dir) and os.path.isdir(self.out_dir):
             import shutil
 
@@ -549,7 +648,7 @@ class RayCrawler:
             per: dict[int, list[tuple[str, int]]] = {}
             for url, _attempt, depth in pending:
                 per.setdefault(
-                    shard_of(url, cfg.num_frontier_shards), []
+                    host_shard_of(url, cfg.num_frontier_shards), []
                 ).append((url, depth))
             ray.get([
                 self.frontier[f].push.remote(it) for f, it in per.items()
@@ -563,6 +662,323 @@ class RayCrawler:
         if os.environ.get("DOONOP_WAVE_TIMING"):
             print(f"LOOP {_t}", flush=True)
         return self.stats
+
+    # ------------------------------------------------------------------
+    def run_streaming(self, resume: bool = False):
+        """Continuous chunk-task crawl (the round-2 scaling fix): ONE
+        long-lived loop submits a plain Ray task per frontier drain chunk
+        — fetch→validate→persist→route runs inside the task against
+        per-worker-cached broadcast state — with a driver-bounded
+        in-flight window for backpressure. No per-wave Dataset/executor
+        startup (~2 s at 32 CPUs in wave mode) and no retry-tail wave
+        chaining: a fired retry is picked up by the next drain poll.
+
+        Why not a Ray Data pipeline: a Dataset source cannot feed
+        downstream operators from a STILL-RUNNING task — measured on this
+        Ray version, a map task's yielded blocks are only delivered when
+        the task finishes, so an unbounded poller generator deadlocks
+        against its own backpressure. The crawl's dynamic feedback loop
+        (drained urls → fetched links → frontier → drained urls) is
+        exactly the shape the Dataset API can't express; per the design
+        rules this drops to raw tasks, keeping the SAME batch callables
+        the wave-mode Dataset pipeline uses.
+
+        Stats are exact: every chunk's counters return through the task
+        result (no fire-and-forget on the stats path); links/retries
+        settle against the shard counters exactly like wave mode.
+        """
+        import ray
+
+        cfg = self.cfg
+        assert cfg.limit is None, "limit runs use wave mode (bounded overshoot)"
+        if not (resume and cfg.checkpoint_dir) and os.path.isdir(self.out_dir):
+            import shutil
+
+            shutil.rmtree(self.out_dir)
+        os.makedirs(self.out_dir, exist_ok=True)
+        self._spawn_state(ray)
+
+        run_idx = 0
+        base_stats = {"visited": 0, "collected": 0, "errors": 0, "retries": 0}
+        if resume and cfg.checkpoint_dir:
+            run_idx, base_stats = self._restore_stream_checkpoint(ray)
+        if run_idx == 0:
+            if (cfg.seeds_canonical and not cfg.ignore_regexes
+                    and cfg.allow_domains is None):
+                seeds = sorted(set(cfg.seeds))
+            else:
+                seeds = clean_seeds(cfg.seeds, self.filters)
+            if not seeds:
+                return self.stats
+            self._seed_frontier(ray, seeds)
+
+        run_dir = os.path.join(self.out_dir, f"run={run_idx:03d}")
+        os.makedirs(run_dir, exist_ok=True)
+        pages_ref = self._pages_ref or ray.put(self.pages)
+        images_ref = self._images_ref or ray.put(self.images)
+
+        fetch_fn = make_fetch_fn(pages_ref, self.filters, cfg.extractor)
+        validate_fn = make_validate_fn(images_ref, self.world_seed,
+                                       img_min=self.img_bounds[0],
+                                       img_max=self.img_bounds[1])
+        persist_fn = make_persist_fn(run_dir)
+        route_fn = make_link_router(self.seen, self.frontier,
+                                    cfg.retry_policy, cfg.num_seen_shards,
+                                    cfg.num_frontier_shards, None,
+                                    counters_only=True)
+        # ship the stage closures ONCE; workers cache the deserialized
+        # tuple per process (same pattern as the broadcast state caches)
+        fns_ref = ray.put((fetch_fn, validate_fn, persist_fn, route_fn))
+        chunk_task = ray.remote(num_cpus=1)(_run_stream_chunk)
+
+        n_shards = cfg.num_frontier_shards
+        # drain granularity and task granularity are decoupled: each
+        # drain RTT amortizes over several task chunks (the drain path is
+        # a serial per-shard actor loop — small drains would make it the
+        # critical path at high core counts), while tasks stay
+        # fetch_batch_size-sized so enough chunks are in flight to fill
+        # every core
+        chunk_rows = max(1, cfg.fetch_batch_size)
+        per_poll = int(os.environ.get("DOONOP_STREAM_DRAIN",
+                                      8 * chunk_rows))
+        cap = cfg.max_per_host_per_wave
+        # in-flight window: enough chunks to keep every core busy plus a
+        # dispatch cushion; the window IS the backpressure (object store
+        # holds at most window × chunk bytes of artifacts). It RAMPS:
+        # until the first engines-worth of chunks complete, cap at
+        # engines — a cold burst of tasks all blocking on the broadcast
+        # ray.get makes Ray treat their CPUs as released and over-spawn
+        # workers, each paying its own index build (measured 10x cold
+        # slowdown at 2x engines)
+        window_full = cfg.engines + max(4, cfg.engines // 4)
+        window_ramp = max(2, cfg.engines)
+        absorbed_chunks = 0
+
+        inflight: set = set()
+        routed = self._routed = {"links": 0, "retries": 0}
+        stats = self.stats
+        stream_stats = {"visited": 0, "collected": 0, "errors": 0,
+                        "retries": 0}
+
+        def absorb(done_refs):
+            nonlocal absorbed_chunks
+            absorbed_chunks += len(done_refs)
+            for c in ray.get(list(done_refs)):
+                if "timing" in c and absorbed_chunks < 80:
+                    print(f"CHUNK {absorbed_chunks} {c['visited']} rows "
+                          f"{c['timing']}", flush=True)
+                stream_stats["visited"] += c["visited"]
+                stream_stats["collected"] += c["ok"]
+                routed["links"] += c["links"]
+                if cfg.retry_policy != "no":
+                    stream_stats["retries"] += c["timeout"]
+                    routed["retries"] += c["timeout"]
+                else:
+                    stream_stats["errors"] += c["timeout"]
+                stream_stats["errors"] += c["error"]
+
+        def settle_and_empty() -> bool:
+            """True when every routed link/retry landed AND all frontier
+            shards are empty — the wave loop's terminal protocol."""
+            ingested = sum(ray.get([s_.flush.remote() for s_ in self.seen]))
+            if ingested < routed["links"]:
+                return False
+            rr = sum(ray.get(
+                [f.retry_received.remote() for f in self.frontier]))
+            if rr < routed["retries"]:
+                return False
+            return all(ray.get([f.is_empty.remote() for f in self.frontier]))
+
+        def quiesce():
+            nonlocal drains
+            while inflight:
+                done, _ = ray.wait(list(inflight), num_returns=len(inflight))
+                inflight.difference_update(done)
+                absorb(done)
+            # drained-but-unsubmitted entries (prefetch in flight) go back
+            for d in ray.get(drains):
+                if d:
+                    per: dict[int, list] = {}
+                    for url, _at, depth in d:
+                        per.setdefault(
+                            host_shard_of(url, n_shards), []).append(
+                                (url, depth))
+                    ray.get([self.frontier[f].push.remote(it)
+                             for f, it in per.items()])
+            drains = []
+
+        last_ckpt = time.monotonic()
+        idle_sleep = 0.002
+        _t = {"drain": 0.0, "wait": 0.0, "idle": 0.0, "loops": 0,
+              "chunks": 0}
+        # prefetched drains: next chunk's drain runs while chunks execute
+        drains = [f.drain.remote(per_poll, time.monotonic() * 1000.0, cap)
+                  for f in self.frontier]
+        while True:
+            _t["loops"] += 1
+            if self._stop_requested:
+                break
+            _t0 = time.monotonic()
+            got = ray.get(drains)
+            _t["drain"] += time.monotonic() - _t0
+            drains = []
+            n_new = 0
+            for entries in got:
+                for i in range(0, len(entries), chunk_rows):
+                    # the window caps SUBMISSION, not just outstanding
+                    # count — already-submitted tasks that block on the
+                    # cold broadcast get over-spawn workers regardless of
+                    # any later wait
+                    while len(inflight) >= (
+                        window_full if absorbed_chunks >= cfg.engines
+                        else window_ramp
+                    ):
+                        _t0 = time.monotonic()
+                        done, _ = ray.wait(list(inflight), num_returns=1)
+                        inflight.difference_update(done)
+                        absorb(done)
+                        _t["wait"] += time.monotonic() - _t0
+                    inflight.add(chunk_task.remote(
+                        entries[i:i + chunk_rows], [fns_ref]))
+                    n_new += 1
+            _t["chunks"] += n_new
+            if inflight:
+                _t0 = time.monotonic()
+                # non-blocking sweep of finished chunks; BLOCK when this
+                # round's drains came back empty (otherwise the loop
+                # would spin, hammering the frontier actors with drain
+                # RTTs while they're also absorbing pushes)
+                done, _ = ray.wait(
+                    list(inflight),
+                    num_returns=1,
+                    timeout=None if n_new == 0 else 0,
+                )
+                inflight.difference_update(done)
+                absorb(done)
+                _t["wait"] += time.monotonic() - _t0
+            if n_new == 0 and not inflight:
+                if settle_and_empty():
+                    break
+                _t["idle"] += idle_sleep
+                time.sleep(idle_sleep)
+                idle_sleep = min(idle_sleep * 2, 0.05)
+            else:
+                idle_sleep = 0.002
+            if (cfg.checkpoint_dir and cfg.checkpoint_every_sec
+                    and time.monotonic() - last_ckpt
+                    >= cfg.checkpoint_every_sec):
+                quiesce()
+                # settle only (emptiness not required for a periodic
+                # checkpoint): loop until every routed link/retry landed
+                while True:
+                    ingested = sum(ray.get(
+                        [s_.flush.remote() for s_ in self.seen]))
+                    rr = sum(ray.get([f.retry_received.remote()
+                                      for f in self.frontier]))
+                    if (ingested >= routed["links"]
+                            and rr >= routed["retries"]):
+                        break
+                    time.sleep(0.02)
+                self._stream_checkpoint(ray, run_idx, base_stats,
+                                        stream_stats)
+                last_ckpt = time.monotonic()
+            drains = [f.drain.remote(per_poll, time.monotonic() * 1000.0,
+                                     cap)
+                      for f in self.frontier]
+
+        quiesce()
+        if os.environ.get("DOONOP_WAVE_TIMING"):
+            print(f"STREAM {_t}", flush=True)
+        stats.visited = base_stats["visited"] + stream_stats["visited"]
+        stats.collected = base_stats["collected"] + stream_stats["collected"]
+        stats.errors = base_stats["errors"] + stream_stats["errors"]
+        stats.retries = base_stats["retries"] + stream_stats["retries"]
+        if self._stop_requested and cfg.checkpoint_dir:
+            while True:
+                ingested = sum(ray.get(
+                    [s_.flush.remote() for s_ in self.seen]))
+                rr = sum(ray.get([f.retry_received.remote()
+                                  for f in self.frontier]))
+                if ingested >= routed["links"] and rr >= routed["retries"]:
+                    break
+                time.sleep(0.02)
+            self._stream_checkpoint(ray, run_idx, base_stats, stream_stats)
+        return stats
+
+    def _list_artifact_files(self) -> list[str]:
+        return sorted(
+            os.path.relpath(os.path.join(dp, f), self.out_dir)
+            for dp, _, fs in os.walk(self.out_dir)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+
+    def _stream_checkpoint(self, ray, run_idx: int,
+                           base_stats: dict, stream_stats: dict):
+        """Quiesced streaming checkpoint. The caller has already drained
+        the in-flight chunk window and settled the link/retry counters —
+        and persist runs BEFORE route inside each chunk, so every counted
+        row's artifact is on disk. Snapshot = shard state + the artifact
+        file manifest; a resume deletes files not in the manifest, so at
+        most one checkpoint interval of fetches is repeated and the
+        output stays exact."""
+        cfg = self.cfg
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        seq = getattr(self, "_ckpt_seq", 0)
+        ckpt = os.path.join(cfg.checkpoint_dir, f"stream={seq:05d}")
+        os.makedirs(ckpt, exist_ok=True)
+        f_blobs = ray.get([f.snapshot.remote() for f in self.frontier])
+        s_blobs = ray.get([s.snapshot.remote() for s in self.seen])
+        for i, b in enumerate(f_blobs):
+            with open(os.path.join(ckpt, f"frontier_{i:03d}.pkl"), "wb") as fh:
+                fh.write(b)
+        for i, b in enumerate(s_blobs):
+            with open(os.path.join(ckpt, f"seen_{i:03d}.pkl"), "wb") as fh:
+                fh.write(b)
+        manifest = {
+            "mode": "stream",
+            "run_idx": run_idx,
+            "files": self._list_artifact_files(),
+            "stats": {k: base_stats[k] + stream_stats[k] for k in stream_stats},
+            "num_frontier_shards": cfg.num_frontier_shards,
+            "num_seen_shards": cfg.num_seen_shards,
+        }
+        tmp = os.path.join(ckpt, "manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(ckpt, "manifest.json"))
+        self._ckpt_seq = seq + 1
+
+    def _restore_stream_checkpoint(self, ray):
+        """Restore the newest stream checkpoint; returns (next_run_idx,
+        stats_at_cut). Artifact files not in the manifest (written after
+        the cut by the killed run) are deleted so output matches the
+        restored seen/frontier state exactly."""
+        root = self.cfg.checkpoint_dir
+        ckpts = sorted(
+            d for d in os.listdir(root)
+            if d.startswith("stream=")
+            and os.path.exists(os.path.join(root, d, "manifest.json"))
+        ) if os.path.isdir(root) else []
+        if not ckpts:
+            return 0, {"visited": 0, "collected": 0, "errors": 0, "retries": 0}
+        ckpt = os.path.join(root, ckpts[-1])
+        with open(os.path.join(ckpt, "manifest.json")) as fh:
+            manifest = json.load(fh)
+        keep = set(manifest["files"])
+        for rel in self._list_artifact_files():
+            if rel not in keep:
+                os.unlink(os.path.join(self.out_dir, rel))
+        futs = []
+        for i, f in enumerate(self.frontier):
+            with open(os.path.join(ckpt, f"frontier_{i:03d}.pkl"), "rb") as fh:
+                futs.append(f.restore.remote(fh.read()))
+        for i, s in enumerate(self.seen):
+            with open(os.path.join(ckpt, f"seen_{i:03d}.pkl"), "rb") as fh:
+                futs.append(s.restore.remote(fh.read()))
+        ray.get(futs)
+        self._ckpt_seq = int(ckpts[-1].split("=")[1]) + 1
+        return manifest["run_idx"] + 1, manifest["stats"]
 
     # ------------------------------------------------------------------
     def request_stop(self):

@@ -84,16 +84,18 @@ def world_for(sf_dir: str, cache_root: str = "/tmp/doonop_worlds") -> World:
         w.write(path)
         with open(marker, "w") as fh:
             fh.write("ok")
+    from ..stages.fetch import prep_images_table
+
     w.pages = w.pages.combine_chunks()
-    w.images = w.images.combine_chunks()
+    w.images = prep_images_table(w.images)
     _CACHE[tier] = w
     return w
 
 
 def _crawl_cfg(w: World, tier: str, **kw) -> CrawlConfig:
     scale = {"0.001": (4, 64, 16), "0.01": (8, 512, 64),
-             "0.1": (32, 8192, 256), "scale": (32, 16384, 256),
-             "scaleh": (32, 16384, 256)}[tier]
+             "0.1": (32, 8192, 512), "scale": (32, 16384, 512),
+             "scaleh": (32, 16384, 512)}[tier]
     engines, wave, batch = scale
     base = dict(
         seeds=w.seeds.column("url").to_pylist(),
@@ -105,6 +107,8 @@ def _crawl_cfg(w: World, tier: str, **kw) -> CrawlConfig:
         num_seen_shards=max(1, engines // 8),
         num_frontier_shards=max(1, engines // 8),
         max_inflight_waves=4,  # organic ramp benefits from deeper overlap
+        streaming=True,  # round-2: one long-lived chunk-task loop (limit
+                         # runs auto-fall back to wave mode)
     )
     base.update(kw)
     return CrawlConfig(**base)

@@ -30,6 +30,16 @@ from ..filters import FilterSpec
 from ..url import make_absolute
 
 
+def _combined_view(t: pa.Table) -> pa.Table:
+    """combine_chunks() WITHOUT the copy when every column is already a
+    single chunk (the driver pre-combines before broadcast): Table/
+    ChunkedArray.combine_chunks memcpys even for one chunk, which at
+    workers × table-GB is a node-thrashing per-worker tax."""
+    if all(c.num_chunks <= 1 for c in t.columns):
+        return t
+    return t.combine_chunks()
+
+
 def _deref(maybe_ref):
     """Accept a plain object or a Ray ObjectRef (broadcast via ray.put)."""
     try:
@@ -56,7 +66,7 @@ class Fetcher:
         import pyarrow.compute as pc
 
         self._pc = pc
-        self.t = _deref(pages).combine_chunks()
+        self.t = _combined_view(_deref(pages))
         self.urls_col = self.t.column("url")
         self.filters = filters
         # user-extension hook (reference M2/M3: per-page extraction UDF,
@@ -209,6 +219,20 @@ def make_validate_fn(images_ref, world_seed: int, emit_bytes: bool = False,
     return validate_fn
 
 
+def prep_images_table(t: pa.Table) -> pa.Table:
+    """Cast the blob column to large_binary and combine chunks ONCE,
+    driver-side, BEFORE ray.put. Doing this lazily in Validator.__init__
+    memcpy'd the whole blob column (GBs at the scale tiers) once per
+    worker — measured ~9 s/worker cold and workers × blob-bytes of
+    duplicated RSS. After this prep the per-worker init is zero-copy
+    views over the shared plasma buffers."""
+    b = t.column("bytes")
+    if pa.types.is_binary(b.type):
+        i = t.schema.get_field_index("bytes")
+        t = t.set_column(i, "bytes", b.cast(pa.large_binary()))
+    return t.combine_chunks()
+
+
 class Validator:
     """Decode + validate the image payload of fetched rows (actor pool —
     the images index is built once per actor from a broadcast table).
@@ -244,11 +268,20 @@ class Validator:
         import pyarrow.compute as pc
 
         self._pc = pc
-        self.tab = t.drop_columns(["bytes"]).combine_chunks()
+        self.tab = _combined_view(t.drop_columns(["bytes"]))
         blobs = t.column("bytes")
         if pa.types.is_binary(blobs.type):
             blobs = blobs.cast(pa.large_binary())
-        barr = blobs.combine_chunks()
+        # NEVER combine_chunks() the blob column here: even for a single
+        # chunk it memcpys the whole column (measured ~1 s/GB), and at
+        # workers × blob-GB that thrashes the node (prep_images_table
+        # guarantees single-chunk large_binary, so chunk(0) is the
+        # zero-copy view over the shared plasma buffers)
+        if isinstance(blobs, pa.ChunkedArray):
+            barr = (blobs.chunk(0) if blobs.num_chunks == 1
+                    else blobs.combine_chunks())
+        else:
+            barr = blobs
         if isinstance(barr, pa.ChunkedArray):
             barr = barr.chunk(0)
         self._blob_off = np.frombuffer(barr.buffers()[1], dtype=np.int64)

@@ -50,6 +50,22 @@ def shard_of(url: str, num_shards: int) -> int:
     return zlib.crc32(url.encode("utf-8", "surrogatepass")) % num_shards
 
 
+def host_shard_of(url: str, num_shards: int) -> int:
+    """Frontier routing by HOST hash: every URL of a host lands on one
+    frontier shard, so (a) that host's robots.txt compiles exactly once
+    cluster-wide (reference parity: robots.rs:5-12 caches per (domain,
+    robot)) and (b) the per-host politeness token bucket is a single
+    globally-correct bucket instead of N per-shard ones. The seen set
+    keeps URL-hash sharding for balance; only the frontier is
+    host-partitioned. Skewed hosts are bounded by the per-host
+    politeness/per-wave caps, not by shard placement."""
+    import zlib
+
+    from ..url import host_of
+
+    return zlib.crc32(host_of(url).encode("utf-8", "surrogatepass")) % num_shards
+
+
 class CuckooFilter:
     """Numpy-backed (n_buckets x 4) 16-bit-fingerprint cuckoo filter."""
 

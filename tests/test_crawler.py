@@ -159,3 +159,89 @@ def test_wave_metrics_lineage_written(ray_session, tmp_path):
             "links_routed", "wall_sec", "wave_dir"} <= set(m.column_names)
     assert sum(m.column("visited").to_pylist()) == stats.visited
     assert sum(m.column("collected").to_pylist()) == stats.collected
+
+
+# ---------------------------------------------------------------------------
+# streaming mode (round-2): one long-lived chunk-task loop, no per-wave
+# dataset startup — must preserve the wave loop's set/stats guarantees
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_matches_oracle_sets(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    w = build_world(WORLDS[2])  # timeout/error-heavy world exercises retries
+    cfg = _cfg(
+        w,
+        use_robots=True,
+        retry_threshold_ms=5,
+        streaming=True,
+        engines=4,
+        wave_budget=32,
+        num_seen_shards=2,
+        num_frontier_shards=2,
+    )
+    oracle = run_oracle(cfg, w.pages_by_url(), w.robots_map())
+    crawler = RayCrawler(cfg, w.pages, w.images, w.robots_map(),
+                         str(tmp_path / "out"), world_seed=WORLDS[2].seed)
+    stats = crawler.run()
+    assert stats.as_dict() == oracle.stats()
+    assert crawler.seen_sets() == oracle.seen
+    t = pq.read_table(str(tmp_path / "out"), columns=["url", "status"])
+    assert set(t.column("url").to_pylist()) == set(oracle.order)
+    ok = {u for u, s in zip(t.column("url").to_pylist(),
+                            t.column("status").to_pylist()) if s == "ok"}
+    assert len(ok) == oracle.stats()["collected"]
+
+
+def test_streaming_resume_from_checkpoint(ray_session, tmp_path):
+    import threading
+    import time as _time
+
+    w = build_world(WORLDS[1])
+
+    def mk(tag, **kw):
+        cfg = _cfg(
+            w,
+            use_robots=True,
+            streaming=True,
+            engines=2,
+            wave_budget=8,
+            num_frontier_shards=2,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            checkpoint_every_sec=0.05,
+            # throttle so the graceful stop lands mid-crawl
+            host_rate_per_sec=kw.pop("rate", None),
+            **kw,
+        )
+        return RayCrawler(cfg, w.pages, w.images, w.robots_map(),
+                          str(tmp_path / f"out_{tag}"),
+                          world_seed=WORLDS[1].seed)
+
+    golden = mk("full")
+    golden_stats = golden.run()
+    golden_seen = golden.seen_sets()
+
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt")
+
+    part = mk("part", rate=40.0)
+    threading.Timer(1.0, part.request_stop).start()
+    part.run()
+
+    resumed = mk("part")  # same out dir; manifest prunes post-cut files
+    stats = resumed.run(resume=True)
+    assert stats.as_dict() == golden_stats.as_dict()
+    assert resumed.seen_sets() == golden_seen
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(tmp_path / "out_part"), columns=["url"])
+    urls = t.column("url").to_pylist()
+    # one artifact row per visit (retried URLs legitimately repeat, one
+    # row per attempt): the manifest pruning must leave exactly the
+    # counted rows — nothing lost, nothing double-written
+    assert len(urls) == stats.as_dict()["visited"]
+    t_full = pq.read_table(str(tmp_path / "out_full"), columns=["url"])
+    assert set(urls) == set(t_full.column("url").to_pylist())
