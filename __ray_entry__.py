@@ -33,7 +33,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from doonop_ray.ops import ann, dedup, relational, sketches, text, windows
+    from doonop_ray.ops import (ann, dedup, multimodal, relational,
+                                sketches, text, windows)
     from doonop_ray.pipelines import flagship
 
     return {
@@ -73,6 +74,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
+        # multimodal binary-column stages (actor pools; audio/video are
+        # deterministic fakes — codec libs absent here; image path runs
+        # the real synthetic codec over the crawl world's payload bytes)
+        "audio_features": multimodal.audio_features,
+        "video_frame_means": multimodal.video_frame_means,
+        "image_resize_means": multimodal.image_resize_means,
         # stream-shaped windows
         "events_hourly": windows.events_hourly,
         "user_sessions": windows.user_sessions,

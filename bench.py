@@ -112,12 +112,13 @@ def run_bench(sf_dir: str, num_cpus: int, include_ops: bool = True) -> dict:
 
 def run_scaling(sf_dir: str) -> dict:
     # the scaling comparison runs the same bulk job on a 4x world at two
-    # parallelism levels. GRAFT_SCALING_WORLD picks the input: "scale"
-    # (default — 56-72 px, tight run-to-run variance) or "scaleh"
-    # (96-128 px ≈ 30 KB payloads — compute-dominated, higher efficiency,
-    # ~5 min one-time build, noisier on a busy host). Pre-build once so
-    # both runs read the same cached input.
-    scaling_world = os.environ.get("GRAFT_SCALING_WORLD", "scale")
+    # parallelism levels. GRAFT_SCALING_WORLD picks the input: "scaleh"
+    # (default — 96-128 px ≈ 30 KB payloads, the realistic image-crawl
+    # payload shape, so per-page decode+validate compute dominates the
+    # coordination floor; ~5 min one-time cached build) or "scale"
+    # (56-72 px — lighter, exposes the coordination floor instead).
+    # Pre-build once so both runs read the same cached input.
+    scaling_world = os.environ.get("GRAFT_SCALING_WORLD", "scaleh")
     from doonop_ray.pipelines.flagship import world_for
 
     world_for(scaling_world)

@@ -1,0 +1,298 @@
+"""Multimodal-column operators: image / audio / video as opaque binary
+columns with typed metadata, processed by stateful actor-pool
+``map_batches`` stages.
+
+The sandbox has no image/audio/video codec libraries, so:
+- IMAGE stages run the repo's real synthetic codec (entropy-coded PNG
+  subset + JPEG-ish DCT, ``codec.py``) over the crawl world's real
+  payload bytes;
+- AUDIO/VIDEO payloads are deterministic fakes (raw PCM16 / packed raw
+  RGB frames, pure functions of the id) — the Ray-side plumbing
+  (binary column + metadata schema, actor ``__init__``/``__call__``
+  seam, batch sizing for large payloads, output layout) is real and
+  tested, and the externally-coded branch raises ``NotImplementedError``
+  naming the missing dependency, same honesty contract as the HTTP
+  transport stub.
+
+Scale notes: every stage is a callable CLASS for
+``map_batches(Cls, concurrency=N, batch_size=B)`` — decoder/filter
+setup happens once per actor; batch sizes are SMALL (64) because each
+row carries a large binary payload and batch × concurrency must fit a
+worker heap; outputs are metadata-only (never re-emit payload bytes
+unless asked).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .common import finish
+
+_HAVE_SOUNDFILE = False
+try:  # pragma: no cover - not installed in this sandbox
+    import soundfile  # type: ignore  # noqa: F401
+
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    pass
+
+
+# ---------------------------------------------------------------------------
+# deterministic fake media (pure functions of id — resumable, testable)
+# ---------------------------------------------------------------------------
+
+
+def synth_audio(audio_id: int, seed: int = 42) -> tuple[bytes, int, int]:
+    """(pcm16_bytes, sample_rate, n_samples): a seeded sine + noise."""
+    rng = np.random.default_rng([seed, 104729, audio_id])
+    sr = 8000
+    n = int(rng.integers(sr // 2, 2 * sr))  # 0.5–2 s
+    t = np.arange(n, dtype=np.float32) / sr
+    f = float(rng.uniform(100, 1000))
+    wave = 0.5 * np.sin(2 * np.pi * f * t) + 0.05 * rng.standard_normal(
+        n
+    ).astype(np.float32)
+    pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+    return pcm.tobytes(), sr, n
+
+
+def synth_video(video_id: int, seed: int = 42) -> tuple[bytes, int, int, int, int]:
+    """(raw_rgb_bytes, w, h, n_frames, fps): packed HxWx3 uint8 frames
+    with a per-frame deterministic drift."""
+    rng = np.random.default_rng([seed, 1299709, video_id])
+    w = int(rng.integers(16, 33))
+    h = int(rng.integers(16, 33))
+    n_frames = int(rng.integers(8, 25))
+    base = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    for i in range(n_frames):
+        frames[i] = (base.astype(np.int16) + 3 * i) % 256
+    return frames.tobytes(), w, h, n_frames, 12
+
+
+def media_table(kind: str, n: int, seed: int = 42) -> pa.Table:
+    """Build the typed multimodal table (input_hint shape: opaque bytes +
+    typed metadata columns)."""
+    if kind == "audio":
+        rows = [synth_audio(i, seed) for i in range(n)]
+        return pa.table({
+            "audio_id": pa.array([f"aud-{i:07d}" for i in range(n)]),
+            "bytes": pa.array([r[0] for r in rows], pa.binary()),
+            "sample_rate": pa.array([r[1] for r in rows], pa.int32()),
+            "n_samples": pa.array([r[2] for r in rows], pa.int32()),
+            "fmt": pa.array(["pcm16"] * n),
+        })
+    if kind == "video":
+        rows = [synth_video(i, seed) for i in range(n)]
+        return pa.table({
+            "video_id": pa.array([f"vid-{i:07d}" for i in range(n)]),
+            "bytes": pa.array([r[0] for r in rows], pa.binary()),
+            "w": pa.array([r[1] for r in rows], pa.int32()),
+            "h": pa.array([r[2] for r in rows], pa.int32()),
+            "n_frames": pa.array([r[3] for r in rows], pa.int32()),
+            "fps": pa.array([r[4] for r in rows], pa.int32()),
+            "fmt": pa.array(["rawrgb"] * n),
+        })
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: decode the audio payload, emit per-clip
+    features (duration, RMS, peak, zero-crossing rate). PCM16 decode is
+    a real zero-copy ``np.frombuffer``; compressed formats need a codec
+    library this environment doesn't ship."""
+
+    def __init__(self):
+        # per-actor setup seam (a real deployment loads the codec /
+        # feature model here, once per actor — not per batch)
+        self._have_codec = _HAVE_SOUNDFILE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch.column("fmt").to_pylist()
+        srs = batch.column("sample_rate").to_numpy()
+        out = {"audio_id": batch.column("audio_id"),
+               "duration_s": np.zeros(len(batch)),
+               "rms": np.zeros(len(batch)),
+               "peak": np.zeros(len(batch)),
+               "zcr": np.zeros(len(batch))}
+        blobs = batch.column("bytes")
+        for i, fmt in enumerate(fmts):
+            if fmt != "pcm16":
+                if not self._have_codec:
+                    raise NotImplementedError(
+                        f"audio format {fmt!r} needs the soundfile "
+                        "library, which is not installed here")
+                continue  # pragma: no cover
+            x = np.frombuffer(blobs[i].as_buffer(), dtype="<i2").astype(
+                np.float32) / 32768.0
+            out["duration_s"][i] = len(x) / float(srs[i])
+            out["rms"][i] = float(np.sqrt(np.mean(x * x)))
+            out["peak"][i] = float(np.max(np.abs(x)))
+            out["zcr"][i] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        return pa.table({
+            "audio_id": out["audio_id"],
+            "duration_s": pa.array(np.round(out["duration_s"], 6)),
+            "rms": pa.array(np.round(out["rms"], 6)),
+            "peak": pa.array(np.round(out["peak"], 6)),
+            "zcr": pa.array(np.round(out["zcr"], 6)),
+        })
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: sample every k-th frame of the packed payload
+    and emit one row per sampled frame (frame_idx + channel means) —
+    the flat-map output layout a frame-level training pipeline needs."""
+
+    def __init__(self, every: int = 4):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, means = [], [], []
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        nfs = batch.column("n_frames").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        vids = batch.column("video_id").to_pylist()
+        blobs = batch.column("bytes")
+        for i in range(len(batch)):
+            if fmts[i] != "rawrgb":
+                raise NotImplementedError(
+                    f"video format {fmts[i]!r} needs an ffmpeg-class "
+                    "decoder, which is not installed here")
+            frames = np.frombuffer(
+                blobs[i].as_buffer(), dtype=np.uint8
+            ).reshape(int(nfs[i]), int(hs[i]), int(ws[i]), 3)
+            for j in range(0, int(nfs[i]), self.every):
+                ids.append(vids[i])
+                fidx.append(j)
+                means.append(frames[j].mean(axis=(0, 1)))
+        m = np.asarray(means, dtype=np.float64).reshape(-1, 3)
+        return pa.table({
+            "video_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "mean_r": pa.array(np.round(m[:, 0], 4)),
+            "mean_g": pa.array(np.round(m[:, 1], 4)),
+            "mean_b": pa.array(np.round(m[:, 2], 4)),
+        })
+
+
+class ImageResizer:
+    """Actor-pool stage over the crawl world's REAL image payloads:
+    decode (repo codec), nearest-neighbor resize to ``size``, emit the
+    resized channel means — the thumbnail/feature-prep stage of an
+    image training pipeline."""
+
+    def __init__(self, images_ref, size: int = 16):
+        from ..codec import decode_image
+        from ..stages.fetch import _combined_view, _deref
+
+        t = _deref(images_ref)
+        self.tab = _combined_view(t.select(["image_id", "fmt"]))
+        blobs = t.column("bytes")
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.chunk(0) if blobs.num_chunks == 1 \
+                else blobs.combine_chunks()
+        self._blobs = blobs
+        self._decode = decode_image
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.index_in(batch.column("image_id"),
+                          value_set=self.tab.column("image_id"))
+        fmts = pc.take(self.tab.column("fmt"), idx)
+        out_w, out_h, means = [], [], []
+        s = self.size
+        for i in range(len(batch)):
+            j = idx[i].as_py()
+            pix = self._decode(self._blobs[j].as_buffer(), fmts[i].as_py())
+            h, w = pix.shape[:2]
+            yi = (np.arange(s) * h) // s
+            xi = (np.arange(s) * w) // s
+            small = pix[yi][:, xi]
+            out_h.append(h)
+            out_w.append(w)
+            means.append(small.reshape(-1, 3).mean(axis=0))
+        m = np.asarray(means, dtype=np.float64).reshape(-1, 3)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "src_w": pa.array(out_w, pa.int32()),
+            "src_h": pa.array(out_h, pa.int32()),
+            "mean_r": pa.array(np.round(m[:, 0], 4)),
+            "mean_g": pa.array(np.round(m[:, 1], 4)),
+            "mean_b": pa.array(np.round(m[:, 2], 4)),
+        })
+
+
+# ---------------------------------------------------------------------------
+# queries() entry points (rows-only; pinned against pure-python in tests)
+# ---------------------------------------------------------------------------
+
+
+def _tier_n(sf_dir: str) -> int:
+    from ..pipelines.flagship import tier_of
+
+    return {"0.001": 60, "0.01": 200, "0.1": 500,
+            "scale": 500, "scaleh": 500}[tier_of(sf_dir)]
+
+
+def audio_features(sf_dir: str) -> pd.DataFrame:
+    """Audio pipeline: binary-column table → actor-pool featurize."""
+    import ray.data as rd
+
+    n = _tier_n(sf_dir)
+    ds = rd.from_arrow(media_table("audio", n)).map_batches(
+        AudioFeaturizer,
+        batch_format="pyarrow",
+        batch_size=64,          # large payloads per row → small batches
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return finish(ds.to_pandas(), ["audio_id"])
+
+
+def video_frame_means(sf_dir: str) -> pd.DataFrame:
+    """Video pipeline: binary-column table → actor-pool frame-sample."""
+    import ray.data as rd
+
+    n = max(20, _tier_n(sf_dir) // 5)
+    ds = rd.from_arrow(media_table("video", n)).map_batches(
+        VideoFrameSampler,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return finish(ds.to_pandas(), ["video_id", "frame_idx"])
+
+
+def image_resize_means(sf_dir: str) -> pd.DataFrame:
+    """Image pipeline over the crawl world's real payload bytes:
+    broadcast images table → actor-pool decode+resize."""
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.flagship import world_for
+
+    w = world_for(sf_dir)
+    images_ref = ray.put(w.images)
+    ids = w.images.select(["image_id"])
+    step = max(1, -(-len(ids) // 16))
+    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
+    ds = rd.from_arrow(blocks).map_batches(
+        ImageResizer,
+        fn_constructor_args=(images_ref,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+    return finish(ds.to_pandas(), ["image_id"])

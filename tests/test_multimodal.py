@@ -1,0 +1,64 @@
+"""Multimodal actor-pool stages: real Ray plumbing over binary columns,
+deterministic fake audio/video payloads, real image codec path; values
+pinned against pure-python recomputation."""
+
+import numpy as np
+import pytest
+
+from doonop_ray.ops import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_audio_features_pinned(ray_session):
+    df = mm.audio_features(SF).set_index("audio_id")
+    assert len(df) == 60
+    # pin one clip against a direct recompute
+    pcm, sr, n = mm.synth_audio(7)
+    x = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
+    row = df.loc["aud-0000007"]
+    assert row["duration_s"] == round(n / sr, 6)
+    assert row["rms"] == pytest.approx(np.sqrt(np.mean(x * x)), abs=1e-6)
+    assert row["peak"] == pytest.approx(np.max(np.abs(x)), abs=1e-6)
+    assert 0.0 < row["zcr"] < 1.0
+
+
+def test_video_frame_means_pinned(ray_session):
+    df = mm.video_frame_means(SF)
+    blob, w, h, nf, fps = mm.synth_video(3)
+    frames = np.frombuffer(blob, dtype=np.uint8).reshape(nf, h, w, 3)
+    sub = df[df["video_id"] == "vid-0000003"].set_index("frame_idx")
+    assert list(sub.index) == list(range(0, nf, 4))
+    assert sub.loc[0, "mean_r"] == round(float(frames[0, :, :, 0].mean()), 4)
+    assert sub.loc[4, "mean_b"] == round(float(frames[4, :, :, 2].mean()), 4)
+
+
+def test_image_resize_means_covers_world(ray_session):
+    from doonop_ray.pipelines.flagship import world_for
+
+    df = mm.image_resize_means(SF)
+    w = world_for(SF)
+    assert len(df) == w.images.num_rows
+    assert (df["src_w"] >= 16).all() and (df["src_h"] >= 16).all()
+    assert df["mean_r"].between(0, 255).all()
+
+
+def test_unsupported_formats_raise():
+    import pyarrow as pa
+
+    bad_audio = pa.table({
+        "audio_id": pa.array(["a"]), "bytes": pa.array([b"x"], pa.binary()),
+        "sample_rate": pa.array([8000], pa.int32()),
+        "n_samples": pa.array([1], pa.int32()),
+        "fmt": pa.array(["mp3"]),
+    })
+    with pytest.raises(NotImplementedError):
+        mm.AudioFeaturizer()(bad_audio)
+    bad_video = pa.table({
+        "video_id": pa.array(["v"]), "bytes": pa.array([b"x"], pa.binary()),
+        "w": pa.array([1], pa.int32()), "h": pa.array([1], pa.int32()),
+        "n_frames": pa.array([1], pa.int32()), "fps": pa.array([1], pa.int32()),
+        "fmt": pa.array(["h264"]),
+    })
+    with pytest.raises(NotImplementedError):
+        mm.VideoFrameSampler()(bad_video)
