@@ -34,7 +34,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from doonop_ray.ops import (ann, dedup, multimodal, relational,
-                                sketches, text, windows)
+                                sketches, streaming, text, windows)
     from doonop_ray.pipelines import flagship
 
     return {
@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_recent_customers": relational.semi_join_recent_customers,
         "orders_monthly": relational.orders_monthly,
         "brand_price_stats": relational.brand_price_stats,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q9_profit_by_nation": relational.q9_profit_by_nation,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         # text analysis
         "token_counts": text.token_counts,
@@ -86,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_stats": windows.user_stats,
         "events_sliding_counts": windows.events_sliding_counts,
         "events_top_users_per_type": windows.events_top_users_per_type,
+        "streaming_user_sessions": streaming.streaming_user_sessions,
         "events_last_order": windows.events_last_order,
         "event_value_median": windows.event_value_median,
         "events_rolling_avg": windows.events_rolling_avg,
@@ -104,6 +107,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q7_volume_shipping": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS l_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q9_profit_by_nation": """
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "region_customer_rollup": """
             SELECT r_name,
                    CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -355,6 +384,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "user_sessions": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events)
+            SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "streaming_user_sessions": """
             WITH g AS (
                 SELECT user_id, ts,
                        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)

@@ -64,6 +64,14 @@ class CrawlConfig:
     checkpoint_every_sec: float | None = None  # streaming-mode periodic
                                         # checkpoint interval (pause →
                                         # settle → snapshot → resume)
+    collect_artifact_meta: bool = False # streaming-mode: chunk tasks also
+                                        # return the artifact result
+                                        # columns inline so the caller
+                                        # skips the post-crawl parquet
+                                        # read (bench-scale convenience —
+                                        # at 10^10 rows read the
+                                        # partitioned parquet, which is
+                                        # still written either way)
 
     def wave_size(self) -> int:
         return self.wave_budget if self.wave_budget is not None else self.engines

@@ -369,3 +369,111 @@ def brand_price_stats(sf_dir: str) -> pd.DataFrame:
     out["avg_price"] = r4(out["sum_price"] / out["n_parts"])
     out["sum_price"] = r4(out["sum_price"])
     return finish(out, ["p_brand"])
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
+                       nation_b: str = "NATION_2") -> pd.DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per year.
+    Four-way join (lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈ nation)
+    expressed as chained broadcast lookups on the lineitem scan; only
+    rows whose (supp_nation, cust_nation) is the wanted unordered pair
+    survive, grouped by (supp_nation, cust_nation, year)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = read_arrow(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+    dims_ref = ray.put(tuple(a.combine_chunks() for a in (
+        nation["n_nationkey"], nation["n_name"],
+        cust["c_custkey"], cust["c_nationkey"],
+        supp["s_suppkey"], supp["s_nationkey"],
+        orders["o_orderkey"], orders["o_custkey"], orders["o_orderdate"],
+    )))
+
+    def partial(t: pa.Table) -> pa.Table:
+        (n_key, n_name, c_key, c_nat, s_key, s_nat,
+         o_key, o_cust, o_date) = bcast_get(dims_ref)
+        oidx = pc.index_in(t["l_orderkey"], value_set=o_key)
+        cust_of = pc.take(o_cust, oidx)
+        cn = pc.take(c_nat, pc.index_in(cust_of, value_set=c_key))
+        sn = pc.take(s_nat, pc.index_in(t["l_suppkey"], value_set=s_key))
+        cname = pc.take(n_name, pc.index_in(cn, value_set=n_key))
+        sname = pc.take(n_name, pc.index_in(sn, value_set=n_key))
+        pair_ok = pc.or_(
+            pc.and_(pc.equal(sname, nation_a), pc.equal(cname, nation_b)),
+            pc.and_(pc.equal(sname, nation_b), pc.equal(cname, nation_a)),
+        )
+        year = pc.cast(pc.year(pc.take(o_date, oidx)), pa.int64())
+        vol = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        out = pa.table({
+            "supp_nation": sname, "cust_nation": cname,
+            "l_year": year, "volume": vol,
+        }).filter(pair_ok)
+        return out.group_by(
+            ["supp_nation", "cust_nation", "l_year"]).aggregate(
+            [("volume", "sum")])
+
+    out = (
+        read(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("volume_sum", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = r4(out["revenue"])
+    return finish(out, ["supp_nation", "cust_nation", "l_year"])
+
+
+def q9_profit_by_nation(sf_dir: str, part_pattern: str = "red") -> pd.DataFrame:
+    """TPC-H Q9 shape (adapted — no partsupp table here): profit from
+    lineitems whose part name contains ``part_pattern``, grouped by
+    supplier nation and order year. Part filter + three broadcast
+    lookups on the lineitem scan."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = read_arrow(sf_dir, "part", ["p_partkey", "p_name"])
+    keep = pc.filter(
+        part["p_partkey"],
+        pc.match_substring(part["p_name"], part_pattern),
+    ).combine_chunks()
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = read_arrow(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    dims_ref = ray.put((keep,) + tuple(a.combine_chunks() for a in (
+        nation["n_nationkey"], nation["n_name"],
+        supp["s_suppkey"], supp["s_nationkey"],
+        orders["o_orderkey"], orders["o_orderdate"],
+    )))
+
+    def partial(t: pa.Table) -> pa.Table:
+        (keep, n_key, n_name, s_key, s_nat,
+         o_key, o_date) = bcast_get(dims_ref)
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=keep))
+        sn = pc.take(s_nat, pc.index_in(t["l_suppkey"], value_set=s_key))
+        nname = pc.take(n_name, pc.index_in(sn, value_set=n_key))
+        year = pc.cast(pc.year(pc.take(
+            o_date, pc.index_in(t["l_orderkey"], value_set=o_key))),
+            pa.int64())
+        profit = pc.multiply(t["l_extendedprice"],
+                             pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        out = pa.table({"nation": nname, "o_year": year, "profit": profit})
+        return out.group_by(["nation", "o_year"]).aggregate(
+            [("profit", "sum")])
+
+    out = (
+        read(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+              "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["nation", "o_year"])
+        .aggregate(Sum("profit_sum", alias_name="sum_profit"))
+        .to_pandas()
+    )
+    out["sum_profit"] = r4(out["sum_profit"])
+    return finish(out, ["nation", "o_year"])

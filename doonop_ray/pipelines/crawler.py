@@ -258,7 +258,7 @@ def _run_stream_chunk(entries, fns_ref_box):
         _CHUNK_FNS_CACHE.clear()
         fns = ray.get(ref)
         _CHUNK_FNS_CACHE[key] = fns
-    fetch_fn, validate_fn, persist_fn, route_fn = fns
+    fetch_fn, validate_fn, persist_fn, route_fn, meta_cols = fns
     t0 = time.monotonic()
     batch = _wave_table(entries)
     t1 = time.monotonic()
@@ -277,6 +277,8 @@ def _run_stream_chunk(entries, fns_ref_box):
         "error": int(c.column("error")[0].as_py()),
         "links": int(c.column("links")[0].as_py()),
     }
+    if meta_cols:
+        out["meta"] = batch.select(meta_cols)
     if os.environ.get("DOONOP_WAVE_TIMING"):
         out["timing"] = (round(t1 - t0, 3), round(t2 - t1, 3),
                          round(t3 - t2, 3), round(t4 - t3, 3),
@@ -726,9 +728,15 @@ class RayCrawler:
                                     cfg.retry_policy, cfg.num_seen_shards,
                                     cfg.num_frontier_shards, None,
                                     counters_only=True)
+        meta_cols = (
+            ["url", "depth", "status", "image_id", "caption_ok",
+             "pixel_ok", "psnr_db"]
+            if cfg.collect_artifact_meta else None
+        )
         # ship the stage closures ONCE; workers cache the deserialized
         # tuple per process (same pattern as the broadcast state caches)
-        fns_ref = ray.put((fetch_fn, validate_fn, persist_fn, route_fn))
+        fns_ref = ray.put((fetch_fn, validate_fn, persist_fn, route_fn,
+                           meta_cols))
         chunk_task = ray.remote(num_cpus=1)(_run_stream_chunk)
 
         n_shards = cfg.num_frontier_shards
@@ -760,10 +768,14 @@ class RayCrawler:
         stream_stats = {"visited": 0, "collected": 0, "errors": 0,
                         "retries": 0}
 
+        self._artifact_meta: list = []
+
         def absorb(done_refs):
             nonlocal absorbed_chunks
             absorbed_chunks += len(done_refs)
             for c in ray.get(list(done_refs)):
+                if "meta" in c:
+                    self._artifact_meta.append(c["meta"])
                 if "timing" in c and absorbed_chunks < 80:
                     print(f"CHUNK {absorbed_chunks} {c['visited']} rows "
                           f"{c['timing']}", flush=True)

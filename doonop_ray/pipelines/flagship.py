@@ -109,6 +109,8 @@ def _crawl_cfg(w: World, tier: str, **kw) -> CrawlConfig:
         max_inflight_waves=4,  # organic ramp benefits from deeper overlap
         streaming=True,  # round-2: one long-lived chunk-task loop (limit
                          # runs auto-fall back to wave mode)
+        collect_artifact_meta=True,  # result columns ride the chunk
+                         # returns — no post-crawl parquet re-read
     )
     base.update(kw)
     return CrawlConfig(**base)
@@ -146,11 +148,17 @@ def flagship_crawl(sf_dir: str, out_dir: str | None = None,
                          img_bounds=(w.params.img_min, w.params.img_max),
                          pages_ref=pages_ref, images_ref=images_ref)
     crawler.run()
-    t = pq.read_table(
-        out_dir,
-        columns=["url", "depth", "status", "image_id", "caption_ok",
-                 "pixel_ok", "psnr_db"],
-    )
+    import pyarrow as pa
+
+    meta = getattr(crawler, "_artifact_meta", None)
+    if meta:
+        t = pa.concat_tables(meta)
+    else:  # wave mode (or empty run): read the partitioned output
+        t = pq.read_table(
+            out_dir,
+            columns=["url", "depth", "status", "image_id", "caption_ok",
+                     "pixel_ok", "psnr_db"],
+        )
     df = t.to_pandas()
     return df.sort_values(["url", "status"], kind="mergesort").reset_index(drop=True)
 

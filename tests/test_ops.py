@@ -139,3 +139,17 @@ def test_hll_accuracy_vs_exact(entrymod, duck, ray_session):
     for et in exact.index:
         e, a = int(exact.loc[et, "n"]), int(approx.loc[et, "approx_users"])
         assert abs(a - e) / max(e, 1) < 0.08, (et, e, a)  # ~5 sigma at p=12
+
+
+def test_streaming_sessions_match_batch(entrymod, ray_session):
+    from doonop_ray.ops.streaming import streaming_user_sessions
+    from doonop_ray.ops.windows import user_sessions
+
+    batch = user_sessions(SF).sort_values("user_id").reset_index(drop=True)
+    stream = streaming_user_sessions(SF)[
+        ["user_id", "n_sessions", "n_events"]
+    ].sort_values("user_id").reset_index(drop=True)
+    assert stream.equals(batch[["user_id", "n_sessions", "n_events"]])
+    # shard-count invariance: key-hash partitioning must not change results
+    stream2 = streaming_user_sessions(SF, num_shards=2, batch_rows=512)
+    assert stream2.sort_values("user_id").reset_index(drop=True).equals(stream)
