@@ -148,6 +148,76 @@ def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1):
     return interior_out.union(edge_out)
 
 
+def grouped_aggregate(ds, keys, aggs: list[tuple[str, str]]):
+    """Vectorized aggregate for HIGH-CARDINALITY keys.
+
+    ``Dataset.groupby().aggregate()`` pays per-group Python in its
+    reduce (measured 5–23 s for an 80k-distinct-key count). Here the
+    whole reduce is vectorized: one global sort, then each sorted block
+    aggregates itself with ``pa.TableGroupBy`` (C++, first-appearance
+    order with ``use_threads=False``, so on sorted input rows 0 and -1
+    of the block aggregate are the groups that may straddle a block
+    boundary); those two emit PARTIAL rows that one tiny merge pass
+    re-aggregates. Requires re-aggregable aggs: sum/min/max/count
+    (count partials merge as sum).
+
+    ``aggs``: [(column, fn)] with fn in {sum, min, max, count}; output
+    columns are named ``{column}_{fn}`` (pyarrow convention), matching
+    ``Table.group_by().aggregate()``.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    remerge = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for _, fn in aggs:
+        if fn not in remerge:
+            raise ValueError(f"{fn!r} is not re-aggregable")
+    out_cols = [f"{c}_{fn}" for c, fn in aggs]
+
+    def block_agg(t: pa.Table) -> pa.Table:
+        return t.group_by(keys, use_threads=False).aggregate(aggs)
+
+    def interior(t: pa.Table) -> pa.Table:
+        agged = block_agg(t)
+        if len(agged) <= 2:
+            # every group touches a block edge → all rows go via edges()
+            return agged.slice(0, 0)
+        return agged.slice(1, len(agged) - 2)
+
+    def edges(t: pa.Table) -> pa.Table:
+        agged = block_agg(t)
+        if len(agged) <= 2:
+            return agged
+        return pa.concat_tables(
+            [agged.slice(0, 1), agged.slice(len(agged) - 1, 1)])
+
+    def edge_merge(t: pa.Table) -> pa.Table:
+        merged = t.group_by(keys, use_threads=False).aggregate(
+            [(oc, remerge[fn]) for oc, (_, fn) in zip(out_cols, aggs)])
+        # pyarrow names re-aggregated columns "{col}_{fn}_{fn2}"; restore
+        name_map = {f"{oc}_{remerge[fn]}": oc
+                    for oc, (_, fn) in zip(out_cols, aggs)}
+        return merged.rename_columns(
+            [name_map.get(c, c) for c in merged.column_names])
+
+    sorted_ds = ds.sort(keys).materialize()
+    if sorted_ds.num_blocks() <= 1:
+        return sorted_ds.map_batches(
+            block_agg, batch_format="pyarrow", batch_size=None)
+    interior_out = sorted_ds.map_batches(
+        interior, batch_format="pyarrow", batch_size=None)
+    # boundary partials: ≤2 rows per block — coalesce to one block and
+    # merge vectorized (materialized so its barrier stays out of the
+    # consumer's streaming plan, same as grouped_apply)
+    edge_out = (
+        sorted_ds.map_batches(edges, batch_format="pyarrow",
+                              batch_size=None)
+        .repartition(1)
+        .map_batches(edge_merge, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    return interior_out.union(edge_out)
+
+
 def finish(df: pd.DataFrame, sort_by: list[str] | None = None) -> pd.DataFrame:
     """Deterministic small-result finish: stable sort + fresh index."""
     if sort_by:

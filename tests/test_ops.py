@@ -153,3 +153,29 @@ def test_streaming_sessions_match_batch(entrymod, ray_session):
     # shard-count invariance: key-hash partitioning must not change results
     stream2 = streaming_user_sessions(SF, num_shards=2, batch_rows=512)
     assert stream2.sort_values("user_id").reset_index(drop=True).equals(stream)
+
+
+def test_grouped_aggregate_boundary_exactness(ray_session):
+    # multi-block sorted input with groups straddling block boundaries
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.common import grouped_aggregate
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 200, 10_000)  # heavy duplication → straddling
+    vals = rng.integers(0, 1000, 10_000)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(7)
+    out = grouped_aggregate(
+        ds, "k", [("v", "sum"), ("v", "min"), ("v", "max"), ("v", "count")]
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    import pandas as pd
+
+    exp = (pd.DataFrame({"k": keys, "v": vals}).groupby("k")
+           .agg(v_sum=("v", "sum"), v_min=("v", "min"),
+                v_max=("v", "max"), v_count=("v", "count"))
+           .reset_index())
+    assert (out["k"] == exp["k"]).all()
+    for c in ["v_sum", "v_min", "v_max", "v_count"]:
+        assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
