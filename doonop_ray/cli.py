@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "in this sandbox)")
     p.add_argument("--page-load-time", type=int, default=10_000,
                    help="page-load timeout ms (cfg.rs DEFAULT_LOAD_TIME)")
+    p.add_argument("-b", "--browser", choices=("firefox", "chrome"),
+                   default="firefox",
+                   help="browser type for the WebDriver transport "
+                        "(cfg.rs:62-67; parsed for parity — the live "
+                        "transport is stubbed in this sandbox)")
+    p.add_argument("--webdriver-url", default="http://localhost:4444",
+                   help="WebDriver hub address (cfg.rs:86-88; parsed "
+                        "and validated; transport stubbed)")
     p.add_argument("--world", required=True,
                    help="synthetic world dir (pages/images/robots/seeds parquet)")
     p.add_argument("--out", default="/tmp/doonop_out/cli")
@@ -106,6 +114,11 @@ def main(argv: list[str] | None = None) -> int:
         from .stages.http_fetch import parse_proxy
 
         parse_proxy(args.proxy)  # validate now; transport is stubbed
+    from urllib.parse import urlsplit as _us
+
+    if not _us(args.webdriver_url).scheme:  # cfg.rs:243-244 parse check
+        raise SystemExit(
+            f"Failed to parse a webdriver address {args.webdriver_url!r}")
 
     w = read_world(args.world)
     cfg = CrawlConfig(
