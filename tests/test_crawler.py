@@ -245,3 +245,58 @@ def test_streaming_resume_from_checkpoint(ray_session, tmp_path):
     assert len(urls) == stats.as_dict()["visited"]
     t_full = pq.read_table(str(tmp_path / "out_full"), columns=["url"])
     assert set(urls) == set(t_full.column("url").to_pylist())
+
+
+def test_streaming_survives_object_store_pressure(tmp_path):
+    """Memory-aware robustness: the same crawl with a deliberately tiny
+    object store (256 MB — the broadcast tables + in-flight chunks
+    exceed it, so plasma must spill) completes with EXACT stats. Runs in
+    a subprocess so the constrained Ray session doesn't touch the shared
+    test fixture's session."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import json, sys
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR", object_store_memory=80 * 1024 * 1024)
+        from doonop_ray.synth import build_world, WorldParams
+        from doonop_ray.oracle import run_oracle
+        from doonop_ray.config import CrawlConfig
+        from doonop_ray.pipelines.crawler import RayCrawler
+        # broadcast tables + in-flight chunk payloads comfortably exceed
+        # the 80 MB store, so plasma MUST spill to finish
+        w = build_world(WorldParams(seed=31, n_hosts=6, pages_per_host=250,
+                                    img_min=128, img_max=192))
+        cfg = CrawlConfig(seeds=w.seeds.column("url").to_pylist(),
+                          use_robots=True, retry_threshold_ms=0,
+                          streaming=True, engines=4, wave_budget=64,
+                          num_seen_shards=2, num_frontier_shards=2)
+        oracle = run_oracle(cfg, w.pages_by_url(), w.robots_map())
+        c = RayCrawler(cfg, w.pages, w.images, w.robots_map(), sys.argv[1])
+        stats = c.run()
+        import glob, os
+        session = ray._private.worker.global_worker.node.get_session_dir_path()
+        spill_dirs = glob.glob(os.path.join(session, "ray_spilled_objects*"))
+        spill_files = glob.glob(os.path.join(session, "ray_spilled_objects*", "*"))
+        spilled = bool(spill_dirs) and bool(spill_files)
+        print(json.dumps({"stats": stats.as_dict(),
+                          "oracle": oracle.stats(),
+                          "spilled": spilled}))
+        ray.shutdown()
+    """)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["stats"] == res["oracle"]
+    assert res["spilled"], "object store never spilled — test not binding"
