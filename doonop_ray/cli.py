@@ -65,7 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic world dir (pages/images/robots/seeds parquet)")
     p.add_argument("--out", default="/tmp/doonop_out/cli")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-every-sec", type=float, default=None,
+                   help="streaming-mode periodic checkpoint interval")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--streaming", action="store_true",
+                   help="one long-lived chunk-task loop instead of the "
+                        "wave loop (unbounded runs only)")
     p.add_argument("--conformance", action="store_true",
                    help="single-lane reference-exact order (j=1 semantics)")
     p.add_argument("--json", action="store_true",
@@ -135,6 +140,8 @@ def main(argv: list[str] | None = None) -> int:
         engines=args.engines,
         wave_budget=max(args.engines * 64, 64),
         checkpoint_dir=args.checkpoint,
+        streaming=args.streaming,
+        checkpoint_every_sec=args.checkpoint_every_sec,
     )
     if args.max_per_host is not None:
         cfg.max_per_host_per_wave = args.max_per_host
