@@ -458,17 +458,18 @@ def dedup_keep_best(sf_dir: str) -> pd.DataFrame:
             "k": pa.array(keys, pa.string()),
         })
 
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(1)[["doc_id", "n_chars"]]
+    from .common import grouped_apply
 
-    out = (
-        read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-        .map_batches(key, batch_format="pyarrow")
-        .groupby("k")
-        .map_groups(best, batch_format="pandas")
-        .to_pandas()
-    )
+    def best(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")])
+        return g.take(idx.slice(0, 1)).select(["doc_id", "n_chars"])
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_chars": pa.array([], pa.int64())})
+    keyed = read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+        key, batch_format="pyarrow")
+    # prefix-key cardinality grows with the corpus → grouped_apply
+    out = grouped_apply(keyed, "k", best, empty).to_pandas()
     out = out.astype({"doc_id": "int64", "n_chars": "int64"})
     return finish(out, ["doc_id"])

@@ -220,21 +220,27 @@ def nation_customer_counts(sf_dir: str) -> pd.DataFrame:
 
 def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Grouped top-k (window-function shape): each customer's k most
-    valuable orders with rank. groupby + per-group sort/head."""
+    valuable orders with rank — via ``grouped_apply`` (customer
+    cardinality grows with the corpus; Ray's per-group machinery would
+    dominate at 10^8 keys)."""
+    from .common import grouped_apply
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("o_totalprice", "descending"),
+                          ("o_orderkey", "ascending")])
+        top = g.take(idx.slice(0, min(k, len(g))))
+        return top.append_column(
+            "rank", pa.array(np.arange(1, len(top) + 1, dtype=np.int64)))
 
-    out = (
-        read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .map_groups(topk, batch_format="pandas")
-        .to_pandas()
-    )
+    empty = pa.table({
+        "o_custkey": pa.array([], pa.int64()),
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_totalprice": pa.array([], pa.float64()),
+        "rank": pa.array([], pa.int64()),
+    })
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_apply(ds, "o_custkey", topk, empty).to_pandas()
     return finish(out, ["o_custkey", "rank"])
 
 
