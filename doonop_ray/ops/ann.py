@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import finish, read, read_arrow
+from .common import finish, read
 
 
 def _queries(sf_dir: str, n_queries: int):

@@ -192,6 +192,11 @@ def minhash_lsh_pairs(
         if all_h:
             x = _fold61(np.asarray(all_h, dtype=np.uint64))
             vals = _fold61(_mulmod61(a_p[:, None], x[None, :]) + b_p[:, None])
+            # sentinel max column: an empty TRAILING doc would otherwise
+            # put an offset == len (reduceat IndexError); the sentinel is
+            # the min-identity so including it never changes a real min
+            vals = np.concatenate(
+                [vals, np.full((num_perm, 1), _M61, dtype=np.uint64)], axis=1)
             offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
             mins = np.minimum.reduceat(vals, offsets, axis=1)  # (P, n)
             mins[:, counts == 0] = _M61  # reduceat misreads empty segments
@@ -291,6 +296,9 @@ def simhash_signatures(sf_dir: str) -> pd.DataFrame:
             hs = np.asarray(all_h, dtype=np.uint64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)          # (T, 64)
+            # sentinel zero row: guards reduceat against an offset == len
+            # when the trailing doc has no tokens (add-identity)
+            bits = np.concatenate([bits, np.zeros((1, 64), np.int64)])
             offsets = np.concatenate(([0], np.cumsum(counts_np)[:-1]))
             ones = np.add.reduceat(bits, offsets, axis=0)      # (n, 64)
             ones[counts_np == 0] = 0  # reduceat misreads empty segments

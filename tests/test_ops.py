@@ -179,3 +179,30 @@ def test_grouped_aggregate_boundary_exactness(ray_session):
     assert (out["k"] == exp["k"]).all()
     for c in ["v_sum", "v_min", "v_max", "v_count"]:
         assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_batched_minhash_equals_per_doc_reference():
+    # the reduceat-batched signature path must equal the per-doc
+    # reference implementation exactly
+    import numpy as np
+
+    from doonop_ray.ops.dedup import (_fold61, _minhash, _minhash_params,
+                                      _mulmod61, _token_shingles)
+
+    a_p, b_p = _minhash_params(64)
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs", "one two", ""]
+    shingle_sets = [_token_shingles(t, 3) for t in texts]
+    counts = [len(s) for s in shingle_sets]
+    all_h = [h for s in shingle_sets for h in s]
+    if all_h:
+        M61 = np.uint64((1 << 61) - 1)
+        x = _fold61(np.asarray(all_h, dtype=np.uint64))
+        vals = _fold61(_mulmod61(a_p[:, None], x[None, :]) + b_p[:, None])
+        vals = np.concatenate([vals, np.full((64, 1), M61, np.uint64)], axis=1)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        mins = np.minimum.reduceat(vals, offsets, axis=1)
+        mins[:, np.asarray(counts) == 0] = M61
+    for i, s in enumerate(shingle_sets):
+        ref = _minhash(s, a_p, b_p)
+        assert (mins[:, i] == ref).all(), i
