@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_components": dedup.neardup_components,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         # similarity search
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_topk_lsh": ann.ann_topk_lsh,

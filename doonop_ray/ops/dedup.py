@@ -481,3 +481,70 @@ def dedup_keep_best(sf_dir: str) -> pd.DataFrame:
     out = grouped_apply(keyed, "k", best, empty).to_pandas()
     out = out.astype({"doc_id": "int64", "n_chars": "int64"})
     return finish(out, ["doc_id"])
+
+
+def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.35,
+                          n_bands: int = 16, band_bits: int = 4,
+                          seed: int = 29, max_bucket: int = 512) -> pd.DataFrame:
+    """The SCALE path of ``embedding_neardup_pairs``: random-hyperplane
+    LSH banding replaces the O(N²) block matmul. Each vector gets
+    ``n_bands`` bucket keys (``band_bits`` hyperplane signs per band,
+    carried with its normalized vector through the band rows);
+    ``grouped_apply`` verifies exact cosine only inside colliding
+    buckets. Recall vs the exact baseline is probabilistic: two vectors
+    at cosine s collide in one band with prob (1-acos(s)/pi)^bits, so
+    16 bands × 4 bits gives ~0.91 recall AT the 0.35 threshold boundary
+    (higher-similarity pairs approach 1); measured in tests. Precision
+    is exact — every emitted pair is cosine-verified in-bucket."""
+    import ray
+
+    emb = read_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(emb["embedding"][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim)).astype(np.float64)
+    planes_ref = ray.put(planes)
+    pow2 = (1 << np.arange(band_bits)).astype(np.int64)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        from .common import bcast_get
+
+        planes = bcast_get(planes_ref)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        nn = np.linalg.norm(v, axis=1)
+        nn[nn == 0] = 1.0
+        vn = v / nn[:, None]
+        signs = (vn @ planes.T) > 0                      # (n, bands*bits)
+        sig = signs.reshape(len(ids), n_bands, band_bits) @ pow2
+        # bucket key folds the band index in
+        key = sig + (np.arange(n_bands, dtype=np.int64) << band_bits)[None, :]
+        idx = pa.array(np.repeat(np.arange(len(ids), dtype=np.int64), n_bands))
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+            "key": pa.array(key.reshape(-1), pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(vn.reshape(-1)), dim).take(idx),
+        })
+
+    def bucket_verify(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
+        uniq, first = np.unique(ids, return_index=True)
+        uniq = uniq[:max_bucket]
+        first = first[:max_bucket]
+        m = np.asarray(g["vec"].to_pylist(), dtype=np.float64)[first]
+        sims = m @ m.T
+        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pa.table({"a": pa.array(uniq[ai], pa.int64()),
+                         "b": pa.array(uniq[bj], pa.int64())})
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    rows = read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        band_rows, batch_format="pyarrow")
+    out = grouped_apply(rows, "key", bucket_verify, empty,
+                        min_group_size=2).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    out = out.drop_duplicates().astype("int64")
+    return finish(out, ["a", "b"])

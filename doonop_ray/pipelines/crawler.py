@@ -688,6 +688,12 @@ class RayCrawler:
         Stats are exact: every chunk's counters return through the task
         result (no fire-and-forget on the stats path); links/retries
         settle against the shard counters exactly like wave mode.
+
+        Politeness note: ``max_per_host_per_wave`` becomes a per-POLL
+        cap here (polls are much more frequent than waves); use the
+        time-based token buckets (``host_rate_per_sec``/``host_burst``)
+        for real rate limiting in streaming mode — their semantics are
+        identical in both modes.
         """
         import ray
 
@@ -915,6 +921,22 @@ class RayCrawler:
                     break
                 time.sleep(0.02)
             self._stream_checkpoint(ray, run_idx, base_stats, stream_stats)
+        # lineage/metrics row for this streaming run (the wave loop's
+        # _wave_metrics.parquet analog; north_rule audit trail)
+        metrics = {
+            "mode": "stream",
+            "run_idx": run_idx,
+            "run_dir": run_dir,
+            "chunks": _t["chunks"],
+            "loops": _t["loops"],
+            "drain_sec": round(_t["drain"], 3),
+            "wait_sec": round(_t["wait"], 3),
+            "stats": stats.as_dict(),
+            "artifact_files": len(self._list_artifact_files()),
+        }
+        hist = os.path.join(self.out_dir, "_stream_metrics.jsonl")
+        with open(hist, "a") as fh:
+            fh.write(json.dumps(metrics) + "\n")
         return stats
 
     def _list_artifact_files(self) -> list[str]:

@@ -206,3 +206,17 @@ def test_batched_minhash_equals_per_doc_reference():
     for i, s in enumerate(shingle_sets):
         ref = _minhash(s, a_p, b_p)
         assert (mins[:, i] == ref).all(), i
+
+
+def test_embedding_neardup_lsh_recall_and_precision(entrymod, ray_session):
+    from doonop_ray.ops.dedup import (embedding_neardup_lsh,
+                                      embedding_neardup_pairs)
+
+    exact = embedding_neardup_pairs(SF, threshold=0.35)
+    approx = embedding_neardup_lsh(SF, threshold=0.35)
+    e = set(zip(exact["a"], exact["b"]))
+    a = set(zip(approx["a"], approx["b"]))
+    # precision is exact by construction (cosine-verified in-bucket)
+    assert a <= e
+    # banding recall: 8 bands x 6 bits on near-duplicate vectors
+    assert len(a) / max(1, len(e)) >= 0.5, (len(a), len(e))
