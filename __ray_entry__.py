@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_counts": windows.events_sliding_counts,
         "events_top_users_per_type": windows.events_top_users_per_type,
         "streaming_user_sessions": streaming.streaming_user_sessions,
+        "orders_events_range_join": windows.orders_events_range_join,
         "events_last_order": windows.events_last_order,
         "event_value_median": windows.event_value_median,
         "events_rolling_avg": windows.events_rolling_avg,
@@ -408,6 +409,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                    MIN(ts) AS first_ts, MAX(ts) AS last_ts
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "orders_events_range_join": """
+            SELECT o_orderkey, CAST(COUNT(e.ts) AS BIGINT) AS n_events
+            FROM orders o
+            LEFT JOIN events e
+              ON e.user_id = o.o_custkey % 150
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY 1 ORDER BY 1
         """,
         "events_last_order": """
             SELECT e.event_id,

@@ -251,3 +251,58 @@ def events_top_users_per_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
     )
     out["sum_value"] = r4(out["sum_value"])
     return finish(out, ["event_type", "rank"])
+
+
+def orders_events_range_join(sf_dir: str, days: int = 7) -> pd.DataFrame:
+    """RANGE join: for every order, how many events its (derived) user
+    fired within [o_orderdate, o_orderdate + days). Same union-cogroup
+    shape as the as-of join (events_last_order): both sides shuffle once
+    by the shared key, and the per-key group does a vectorized
+    searchsorted interval count — no all-pairs comparison. Key:
+    user_id == o_custkey % 150 (the deterministic FK the as-of join
+    uses). Partitioning assumption: one key's rows fit a group."""
+
+    horizon = np.timedelta64(days, "D")
+
+    def count_in_range(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["side"] == "o"]
+        if od.empty:
+            return pd.DataFrame(columns=["o_orderkey", "n_events"])
+        ev_ts = np.sort(
+            g.loc[g["side"] == "e", "ts"].to_numpy(dtype="datetime64[us]"))
+        starts = od["ts"].to_numpy(dtype="datetime64[us]")
+        lo = np.searchsorted(ev_ts, starts, side="left")
+        hi = np.searchsorted(ev_ts, starts + horizon, side="left")
+        return pd.DataFrame({
+            "o_orderkey": od["o_orderkey"].to_numpy(dtype=np.int64),
+            "n_events": (hi - lo).astype(np.int64),
+        })
+
+    ev = read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        lambda t: pa.table({
+            "key": pc.cast(t["user_id"], pa.int64()),
+            "ts": t["ts"],
+            "o_orderkey": pa.nulls(len(t), pa.int64()),
+            "side": pa.array(["e"] * len(t)),
+        }),
+        batch_format="pyarrow",
+    )
+    od = read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({
+            "key": pc.cast(pc.subtract(t["o_custkey"], pc.multiply(
+                pc.divide(t["o_custkey"], 150), 150)), pa.int64()),
+            "ts": t["o_orderdate"],
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "side": pa.array(["o"] * len(t)),
+        }),
+        batch_format="pyarrow",
+    )
+    out = (
+        ev.union(od)
+        .groupby("key")
+        .map_groups(count_in_range, batch_format="pandas")
+        .to_pandas()
+        .astype({"o_orderkey": "int64", "n_events": "int64"})
+    )
+    return finish(out, ["o_orderkey"])
