@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_price_stats": relational.brand_price_stats,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q9_profit_by_nation": relational.q9_profit_by_nation,
+        "revenue_by_order_priority": relational.revenue_by_order_priority,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         # text analysis
         "token_counts": text.token_counts,
@@ -109,6 +110,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "revenue_by_order_priority": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
         "q7_volume_shipping": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS l_year,

@@ -483,3 +483,65 @@ def q9_profit_by_nation(sf_dir: str, part_pattern: str = "red") -> pd.DataFrame:
     )
     out["sum_profit"] = r4(out["sum_profit"])
     return finish(out, ["nation", "o_year"])
+
+
+def revenue_by_order_priority(sf_dir: str) -> pd.DataFrame:
+    """LARGE × LARGE equi-join — the one join class the broadcast suite
+    can't cover (both lineitem and orders grow with the corpus, so
+    neither side fits a broadcast). Shape: pre-aggregate lineitem
+    revenue per order key inside each batch, union with the orders rows
+    (null-padded columns), then ONE vectorized ``grouped_aggregate``
+    per key — null-skipping reducers make the cogroup join itself an
+    aggregate (sum folds the revenue partials, min picks the single
+    non-null priority string) — and a second tiny ``grouped_aggregate``
+    rolls the joined per-order rows up to revenue per priority. Zero
+    per-group Python; two all-to-alls total, both on ~1 row per key."""
+    from .common import grouped_aggregate
+
+    def left_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        part = pa.table({"key": t["l_orderkey"], "rev": rev}).group_by(
+            "key", use_threads=False).aggregate([("rev", "sum")])
+        return pa.table({
+            "key": part["key"],
+            "rev": part["rev_sum"],
+            "o_orderpriority": pa.nulls(len(part), pa.string()),
+        })
+
+    left = read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        left_partial, batch_format="pyarrow", batch_size=65536)
+    right = read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({
+            "key": t["o_orderkey"],
+            "rev": pa.nulls(len(t), pa.float64()),
+            "o_orderpriority": t["o_orderpriority"],
+        }),
+        batch_format="pyarrow",
+    )
+    joined = grouped_aggregate(
+        left.union(right), "key",
+        [("rev", "sum"), ("o_orderpriority", "min")],
+    ).map_batches(
+        # drop orderless/line-less keys (inner-join semantics) and the key
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority_min"],
+            "rev": t["rev_sum"],
+        }).filter(pc.and_(pc.is_valid(t["o_orderpriority_min"]),
+                          pc.is_valid(t["rev_sum"]))),
+        batch_format="pyarrow",
+    )
+    # the final rollup key is tiny and BOUNDED (5 priorities) — Ray's
+    # aggregate is the right tool there; grouped_aggregate is for the
+    # corpus-cardinality join key above
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = r4(out["revenue"])
+    return finish(out, ["o_orderpriority"])
