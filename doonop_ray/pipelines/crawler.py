@@ -220,7 +220,7 @@ def make_persist_fn(run_dir: str):
 
     def persist(batch: pa.Table) -> pa.Table:
         if len(batch):
-            import uuid
+            import hashlib
 
             # same on-disk schema as wave mode: links dropped, n_links kept
             statuses = batch.column("status").to_pylist()
@@ -230,9 +230,20 @@ def make_persist_fn(run_dir: str):
                  for s, l in zip(statuses, links_col)],
                 pa.int32(),
             )
+            # DETERMINISTIC filename from the chunk's (url, attempt) set:
+            # a Ray task retry re-running this chunk overwrites the same
+            # file instead of duplicating rows ((url, attempt) pairs are
+            # drained exactly once per crawl, so distinct chunks can't
+            # collide)
+            sig = hashlib.blake2b(
+                "|".join(
+                    f"{u}#{a}" for u, a in zip(
+                        batch.column("url").to_pylist(),
+                        batch.column("attempt").to_pylist())
+                ).encode(), digest_size=12).hexdigest()
             pq.write_table(
                 batch.drop_columns(["links"]).append_column("n_links", n_links),
-                os.path.join(run_dir, f"part-{uuid.uuid4().hex}.parquet"),
+                os.path.join(run_dir, f"part-{sig}.parquet"),
             )
         return batch
 
