@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_host_budgets": flagship.frontier_host_budgets,
         "image_validate": flagship.image_validate,
         "image_phash_neardup": flagship.image_phash_neardup,
+        "build_training_dataset": flagship.build_training_dataset,
     }
 
 

@@ -387,3 +387,77 @@ def frontier_host_budgets(sf_dir: str, per_host_budget: int = 64,
                                 ascending=[False, True], kind="mergesort")
     merged["budget"] = merged["n_candidates"].clip(upper=per_host_budget)
     return merged.reset_index(drop=True)
+
+
+def build_training_dataset(sf_dir: str, out_root: str | None = None) -> pd.DataFrame:
+    """The north_star's END PRODUCT: crawl → decode → validate → write
+    the VALIDATED image+caption pairs as a training dataset in the
+    input_hint schema (image_id, bytes, w, h, fmt, caption, phash),
+    stored through the Lance-seam storage layer (``io.py`` — Lance when
+    importable, parquet otherwise; identical Arrow schema either way).
+
+    Pipeline: crawl artifacts (already validated per row) → semi-join
+    the world's image payloads by the validated ids (broadcast ids →
+    zero-copy blob slices in map_batches) → write one dataset file per
+    block (resumable layout). Returns the per-shard manifest (path +
+    rows) — the dataset itself lives under ``out_root``.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..io import dataset_path, write_table
+
+    tier = tier_of(sf_dir)
+    out_root = out_root or f"/tmp/doonop_out/training_{tier}_{os.getpid()}"
+    os.makedirs(out_root, exist_ok=True)
+
+    art = flagship_crawl(sf_dir, bulk_seed=True,
+                         out_dir=f"{out_root}/_crawl")
+    ok = art[(art["status"] == "ok") & art["caption_ok"] & art["pixel_ok"]
+             & art["image_id"].notna()]
+    ids = sorted(set(ok["image_id"]))
+
+    w = world_for(sf_dir)
+    images_ref = _refs_for(tier, w)[1]
+
+    class ShardWriter:
+        """Actor-pool stage: slice this batch's validated payloads out of
+        the broadcast images table (zero-copy) and write one dataset
+        shard; emits the manifest row."""
+
+        def __init__(self):
+            import pyarrow.compute as pc
+
+            from ..stages.fetch import _deref
+
+            self._pc = pc
+            t = _deref(images_ref)
+            self.tab = t
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pc = self._pc
+            idx = pc.index_in(batch.column("image_id"),
+                              value_set=self.tab.column("image_id"))
+            rows = self.tab.take(idx)
+            import uuid
+
+            path = dataset_path(out_root, f"shard-{uuid.uuid4().hex[:12]}")
+            written = write_table(rows, path)
+            return pa.table({
+                "shard": pa.array([written], pa.string()),
+                "rows": pa.array([len(rows)], pa.int64()),
+            })
+
+    id_tbl = pa.table({"image_id": pa.array(ids, pa.string())})
+    n_blocks = max(1, min(16, len(ids) // 256 or 1))
+    step = -(-len(ids) // n_blocks)
+    blocks = [id_tbl.slice(i, step) for i in range(0, len(ids), step)]
+    manifest = (
+        rd.from_arrow(blocks)
+        .map_batches(ShardWriter, batch_format="pyarrow", batch_size=None,
+                     concurrency=(1, 8), num_cpus=1)
+        .to_pandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    return manifest

@@ -62,3 +62,35 @@ def test_unsupported_formats_raise():
     })
     with pytest.raises(NotImplementedError):
         mm.VideoFrameSampler()(bad_video)
+
+
+def test_build_training_dataset_end_to_end(ray_session, tmp_path):
+    """The north_star end product: crawl → validate → image+caption
+    dataset in the input_hint schema, written through the io seam.
+    Every written payload must decode and PSNR-match regenerated truth."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from doonop_ray.codec import decode_image, psnr
+    from doonop_ray.pipelines.flagship import (build_training_dataset,
+                                               world_for)
+    from doonop_ray.synth import expected_caption, expected_pixels
+
+    out = str(tmp_path / "train")
+    manifest = build_training_dataset(SF, out_root=out)
+    files = sorted(glob.glob(f"{out}/shard-*.parquet"))
+    assert list(manifest["shard"]) == files
+    t = pq.read_table(files[0])
+    assert t.column_names == ["image_id", "bytes", "w", "h", "fmt",
+                              "caption", "phash"]
+    assert int(manifest["rows"].sum()) == sum(
+        pq.read_table(f).num_rows for f in files) > 0
+    w = world_for(SF)
+    row = t.slice(0, 1).to_pylist()[0]
+    pix = decode_image(row["bytes"], row["fmt"])
+    truth = expected_pixels(row["image_id"], w.params.seed,
+                            w.params.img_min, w.params.img_max)
+    assert psnr(truth, pix) >= 40.0
+    assert row["caption"] == expected_caption(row["image_id"], w.params.seed)
