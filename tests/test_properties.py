@@ -68,3 +68,75 @@ def test_make_absolute_total_and_canonical(href):
     if a is not None:
         assert canonicalize(a) == a
         assert a.startswith(("http://", "https://"))
+
+
+# ---------------------------------------------------------------------------
+# high-cardinality grouping primitives vs pandas ground truth
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def keyed_tables(draw):
+    n = draw(st.integers(1, 2000))
+    n_keys = draw(st.integers(1, max(1, n)))
+    seed = draw(st.integers(0, 2**31 - 1))
+    blocks = draw(st.integers(1, 9))
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, n_keys, n), rng.integers(-1000, 1000, n), blocks)
+
+
+@given(keyed_tables())
+@settings(max_examples=12, deadline=None)
+def test_grouped_aggregate_matches_pandas(ray_session, data):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.common import grouped_aggregate
+
+    keys, vals, blocks = data
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(blocks)
+    got = (
+        grouped_aggregate(ds, "k", [("v", "sum"), ("v", "min"),
+                                    ("v", "max"), ("v", "count")])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = (pd.DataFrame({"k": keys, "v": vals}).groupby("k")
+           .agg(v_sum=("v", "sum"), v_min=("v", "min"),
+                v_max=("v", "max"), v_count=("v", "count")).reset_index())
+    assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+    for c in ("v_sum", "v_min", "v_max", "v_count"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+@given(keyed_tables())
+@settings(max_examples=8, deadline=None)
+def test_grouped_apply_sees_every_group_exactly_once(ray_session, data):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.common import grouped_apply
+
+    keys, vals, blocks = data
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(blocks)
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.int64())})
+
+    def fn(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "k": g["k"].slice(0, 1),
+            "n": pa.array([len(g)], pa.int64()),
+            "s": pa.array([pc.sum(g["v"]).as_py()], pa.int64()),
+        })
+
+    got = grouped_apply(ds, "k", fn, empty).to_pandas().sort_values(
+        "k").reset_index(drop=True)
+    exp = (pd.DataFrame({"k": keys, "v": vals}).groupby("k")
+           .agg(n=("v", "size"), s=("v", "sum")).reset_index())
+    assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert (got["s"].to_numpy() == exp["s"].to_numpy()).all()
