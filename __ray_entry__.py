@@ -113,7 +113,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "revenue_by_order_priority": """
             SELECT o_orderpriority,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1 ORDER BY 1
         """,

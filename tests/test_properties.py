@@ -140,3 +140,102 @@ def test_grouped_apply_sees_every_group_exactly_once(ray_session, data):
     assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
     assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
     assert (got["s"].to_numpy() == exp["s"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# shuffle_join (sort-cogroup large×large join) vs pandas merge ground truth
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def join_inputs(draw):
+    nl = draw(st.integers(1, 800))
+    n_keys = draw(st.integers(1, 200))
+    seed = draw(st.integers(0, 2**31 - 1))
+    blocks = draw(st.integers(1, 7))
+    rng = np.random.default_rng(seed)
+    lkeys = rng.integers(0, n_keys, nl)
+    lvals = rng.integers(-1000, 1000, nl)
+    # right side unique-keyed (orders/customer primary-key shape), non-empty
+    rkeys = rng.permutation(n_keys)[: rng.integers(1, n_keys + 1)]
+    rvals = rng.integers(-1000, 1000, len(rkeys))
+    return lkeys, lvals, rkeys, rvals, blocks
+
+
+@given(join_inputs())
+@settings(max_examples=10, deadline=None)
+def test_shuffle_join_inner_matches_pandas(ray_session, data):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.join import shuffle_join
+
+    lkeys, lvals, rkeys, rvals, blocks = data
+    left = rd.from_arrow(pa.table({"key": lkeys, "lv": lvals})).repartition(blocks)
+    right = rd.from_arrow(pa.table({"key": rkeys, "rv": rvals})).repartition(
+        max(1, blocks - 1))
+    got = shuffle_join(left, right, "key", ["lv"], ["rv"], "inner").to_pandas()
+    got = got.sort_values(["key", "lv", "rv"], kind="mergesort").reset_index(drop=True)
+    exp = pd.DataFrame({"key": lkeys, "lv": lvals}).merge(
+        pd.DataFrame({"key": rkeys, "rv": rvals}), on="key", how="inner")
+    exp = exp.sort_values(["key", "lv", "rv"], kind="mergesort").reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ("key", "lv", "rv"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+@given(join_inputs())
+@settings(max_examples=10, deadline=None)
+def test_shuffle_join_semi_anti_partition_left(ray_session, data):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.join import shuffle_join
+
+    lkeys, lvals, rkeys, rvals, blocks = data
+    left = rd.from_arrow(pa.table({"key": lkeys, "lv": lvals})).repartition(blocks)
+    right = rd.from_arrow(pa.table({"key": rkeys, "rv": rvals})).repartition(
+        max(1, blocks - 1))
+    def fetch(df):
+        # an all-empty Ray result loses its schema in to_pandas — normalize
+        return df if len(df.columns) else pd.DataFrame({"key": [], "lv": []})
+
+    semi = fetch(shuffle_join(left, right, "key", ["lv"], [], "semi").to_pandas())
+    anti = fetch(shuffle_join(left, right, "key", ["lv"], [], "anti").to_pandas())
+    rset = set(rkeys.tolist())
+    exp_semi = pd.DataFrame({"key": lkeys, "lv": lvals})
+    exp_semi = exp_semi[exp_semi["key"].isin(rset)]
+    assert len(semi) == len(exp_semi)
+    assert len(anti) == len(lkeys) - len(exp_semi)
+    assert set(semi["key"]).issubset(rset)
+    assert not (set(anti["key"]) & rset)
+    # row multiset preserved (sorted value pairs equal)
+    got = semi.sort_values(["key", "lv"], kind="mergesort").reset_index(drop=True)
+    exp = exp_semi.sort_values(["key", "lv"], kind="mergesort").reset_index(drop=True)
+    assert (got["lv"].to_numpy() == exp["lv"].to_numpy()).all()
+
+
+@given(join_inputs())
+@settings(max_examples=6, deadline=None)
+def test_shuffle_join_left_matches_pandas(ray_session, data):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.join import shuffle_join
+
+    lkeys, lvals, rkeys, rvals, blocks = data
+    left = rd.from_arrow(pa.table({"key": lkeys, "lv": lvals})).repartition(blocks)
+    right = rd.from_arrow(pa.table({"key": rkeys, "rv": rvals})).repartition(
+        max(1, blocks - 1))
+    got = shuffle_join(left, right, "key", ["lv"], ["rv"], "left").to_pandas()
+    got = got.sort_values(["key", "lv"], kind="mergesort").reset_index(drop=True)
+    exp = pd.DataFrame({"key": lkeys, "lv": lvals}).merge(
+        pd.DataFrame({"key": rkeys, "rv": rvals}), on="key", how="left")
+    exp = exp.sort_values(["key", "lv"], kind="mergesort").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["key"].to_numpy() == exp["key"].to_numpy()).all()
+    gr, er = got["rv"].to_numpy(dtype=float), exp["rv"].to_numpy(dtype=float)
+    assert ((gr == er) | (np.isnan(gr) & np.isnan(er))).all()
