@@ -109,11 +109,49 @@ def _crawl_cfg(w: World, tier: str, **kw) -> CrawlConfig:
         max_inflight_waves=4,  # organic ramp benefits from deeper overlap
         streaming=True,  # round-2: one long-lived chunk-task loop (limit
                          # runs auto-fall back to wave mode)
-        collect_artifact_meta=True,  # result columns ride the chunk
-                         # returns — no post-crawl parquet re-read
+        # collect_artifact_meta stays at its scale-safe default (False):
+        # results come from the partitioned parquet the chunks persist —
+        # a 10^10-visit crawl must not concatenate artifact columns on
+        # the driver (round-2 VERDICT #2)
     )
     base.update(kw)
     return CrawlConfig(**base)
+
+
+def _run_crawl(sf_dir: str, out_dir: str | None, bulk_seed: bool,
+               **cfg_kw):
+    """Run the flagship crawl, returning (crawler, out_dir) without
+    reading the artifact output back — consumers that keep processing
+    distributed (e.g. ``build_training_dataset``) read the partitioned
+    parquet themselves."""
+    tier = tier_of(sf_dir)
+    w = world_for(sf_dir)
+    out_dir = out_dir or f"/tmp/doonop_out/flagship_{tier}_{os.getpid()}"
+    seeds_ds = None
+    if bulk_seed:
+        # full frontier from wave 0 (reference EP3 / sitemap bulk path):
+        # the seed list is fed as a DATASET and the crawler seeds its
+        # shards distributed — no driver-side url list (round-2 VERDICT #3)
+        import ray.data as rd
+
+        url_tbl = w.pages.select(["url"])
+        step = 8192
+        seeds_ds = rd.from_arrow(
+            [url_tbl.slice(i, step) for i in range(0, len(url_tbl), step)])
+        cfg_kw.setdefault("wave_budget", len(url_tbl) + 1024)
+        cfg_kw.setdefault("max_inflight_waves", 2)
+        cfg_kw.setdefault("seeds_canonical", True)
+    cfg = _crawl_cfg(w, tier, **cfg_kw)
+    from .crawler import RayCrawler
+
+    pages_ref, images_ref = _refs_for(tier, w)
+    crawler = RayCrawler(cfg, w.pages, w.images, w.robots_map(), out_dir,
+                         world_seed=w.params.seed,
+                         img_bounds=(w.params.img_min, w.params.img_max),
+                         pages_ref=pages_ref, images_ref=images_ref,
+                         seeds_ds=seeds_ds)
+    crawler.run()
+    return crawler, out_dir
 
 
 def flagship_crawl(sf_dir: str, out_dir: str | None = None,
@@ -127,33 +165,13 @@ def flagship_crawl(sf_dir: str, out_dir: str | None = None,
     metric describes; the default organic mode grows the frontier from
     per-host seeds.
     """
-    tier = tier_of(sf_dir)
-    w = world_for(sf_dir)
-    out_dir = out_dir or f"/tmp/doonop_out/flagship_{tier}_{os.getpid()}"
-    if bulk_seed:
-        seeds = w.pages.column("url").to_pylist()
-        cfg_kw.setdefault("seeds", seeds)
-        # full frontier from wave 0: drain the whole backlog into one
-        # streaming pipeline (wave overhead off the critical path); small
-        # tail waves mop up retries and stragglers
-        cfg_kw.setdefault("wave_budget", len(seeds) + 1024)
-        cfg_kw.setdefault("max_inflight_waves", 2)
-        cfg_kw.setdefault("seeds_canonical", True)
-    cfg = _crawl_cfg(w, tier, **cfg_kw)
-    from .crawler import RayCrawler
-
-    pages_ref, images_ref = _refs_for(tier, w)
-    crawler = RayCrawler(cfg, w.pages, w.images, w.robots_map(), out_dir,
-                         world_seed=w.params.seed,
-                         img_bounds=(w.params.img_min, w.params.img_max),
-                         pages_ref=pages_ref, images_ref=images_ref)
-    crawler.run()
+    crawler, out_dir = _run_crawl(sf_dir, out_dir, bulk_seed, **cfg_kw)
     import pyarrow as pa
 
     meta = getattr(crawler, "_artifact_meta", None)
-    if meta:
+    if meta:  # opt-in (collect_artifact_meta=True): columns rode the chunks
         t = pa.concat_tables(meta)
-    else:  # wave mode (or empty run): read the partitioned output
+    else:  # scale-safe default: read the partitioned output the run wrote
         t = pq.read_table(
             out_dir,
             columns=["url", "depth", "status", "image_id", "caption_ok",
@@ -396,26 +414,45 @@ def build_training_dataset(sf_dir: str, out_root: str | None = None) -> pd.DataF
     stored through the Lance-seam storage layer (``io.py`` — Lance when
     importable, parquet otherwise; identical Arrow schema either way).
 
-    Pipeline: crawl artifacts (already validated per row) → semi-join
-    the world's image payloads by the validated ids (broadcast ids →
-    zero-copy blob slices in map_batches) → write one dataset file per
-    block (resumable layout). Returns the per-shard manifest (path +
-    rows) — the dataset itself lives under ``out_root``.
+    Pipeline (end-to-end distributed — round-2 VERDICT #3: no driver-side
+    id list): crawl persists partitioned artifacts → ``read_parquet``
+    filters the validated rows per batch → ``grouped_aggregate`` dedups
+    the ids (one all-to-all on the short id key) → an actor-pool
+    ShardWriter slices each id batch's payloads out of the broadcast
+    images table (zero-copy) and writes one dataset file per batch with
+    a content-deterministic name (a re-run or task retry overwrites the
+    same shard instead of duplicating it — resumable layout). Returns
+    the per-shard manifest (path + rows) — the dataset itself lives
+    under ``out_root``.
     """
     import pyarrow as pa
+    import pyarrow.compute as pcmp
     import ray.data as rd
 
     from ..io import dataset_path, write_table
+    from ..ops.common import grouped_aggregate
 
     tier = tier_of(sf_dir)
     out_root = out_root or f"/tmp/doonop_out/training_{tier}_{os.getpid()}"
     os.makedirs(out_root, exist_ok=True)
 
-    art = flagship_crawl(sf_dir, bulk_seed=True,
-                         out_dir=f"{out_root}/_crawl")
-    ok = art[(art["status"] == "ok") & art["caption_ok"] & art["pixel_ok"]
-             & art["image_id"].notna()]
-    ids = sorted(set(ok["image_id"]))
+    _run_crawl(sf_dir, f"{out_root}/_crawl", bulk_seed=True)
+
+    def keep_validated(t: pa.Table) -> pa.Table:
+        m = pcmp.and_(
+            pcmp.and_(pcmp.equal(t["status"], "ok"),
+                      pcmp.is_valid(t["image_id"])),
+            pcmp.and_(t["caption_ok"], t["pixel_ok"]),
+        )
+        return pa.table({"image_id": t.filter(m)["image_id"]})
+
+    ids_ds = rd.read_parquet(
+        f"{out_root}/_crawl",
+        columns=["image_id", "status", "caption_ok", "pixel_ok"],
+    ).map_batches(keep_validated, batch_format="pyarrow")
+    # retries/revisits can emit an id twice — exact dedup on the short id
+    # key (sort-cogroup, nothing corpus-sized on the driver)
+    uniq = grouped_aggregate(ids_ds, "image_id", [("image_id", "count")])
 
     w = world_for(sf_dir)
     images_ref = _refs_for(tier, w)[1]
@@ -431,33 +468,35 @@ def build_training_dataset(sf_dir: str, out_root: str | None = None) -> pd.DataF
             from ..stages.fetch import _deref
 
             self._pc = pc
-            t = _deref(images_ref)
-            self.tab = t
+            self.tab = _deref(images_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            pc = self._pc
-            idx = pc.index_in(batch.column("image_id"),
-                              value_set=self.tab.column("image_id"))
-            rows = self.tab.take(idx)
-            import uuid
+            import hashlib
 
-            path = dataset_path(out_root, f"shard-{uuid.uuid4().hex[:12]}")
+            pc = self._pc
+            ids = batch.column("image_id")
+            idx = pc.index_in(ids, value_set=self.tab.column("image_id"))
+            rows = self.tab.take(idx)
+            sig = hashlib.blake2b(
+                "|".join(ids.to_pylist()).encode(), digest_size=12
+            ).hexdigest()
+            path = dataset_path(out_root, f"shard-{sig}")
             written = write_table(rows, path)
             return pa.table({
                 "shard": pa.array([written], pa.string()),
                 "rows": pa.array([len(rows)], pa.int64()),
             })
 
-    id_tbl = pa.table({"image_id": pa.array(ids, pa.string())})
-    n_blocks = max(1, min(16, len(ids) // 256 or 1))
-    step = -(-len(ids) // n_blocks)
-    blocks = [id_tbl.slice(i, step) for i in range(0, len(ids), step)]
     manifest = (
-        rd.from_arrow(blocks)
-        .map_batches(ShardWriter, batch_format="pyarrow", batch_size=None,
+        uniq.map_batches(lambda t: t.select(["image_id"]),
+                         batch_format="pyarrow")
+        .map_batches(ShardWriter, batch_format="pyarrow", batch_size=4096,
                      concurrency=(1, 8), num_cpus=1)
         .to_pandas()
-        .sort_values("shard")
-        .reset_index(drop=True)
     )
-    return manifest
+    if manifest.empty:
+        # zero validated ids: an all-empty Ray result loses its schema
+        # (ADVICE round-2) — return a typed empty manifest
+        return pd.DataFrame({"shard": pd.Series([], dtype="str"),
+                             "rows": pd.Series([], dtype="int64")})
+    return manifest.sort_values("shard").reset_index(drop=True)
