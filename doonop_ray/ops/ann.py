@@ -101,25 +101,63 @@ def ann_topk_cosine(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFram
     return finish(out, ["query_id", "rank"])
 
 
-def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
-                 n_planes: int = 6, n_probe_bits: int = 2,
-                 seed: int = 17) -> pd.DataFrame:
-    """LSH-bucketed ANN: random-hyperplane signatures partition the
-    corpus; queries probe their bucket plus all buckets within
-    ``n_probe_bits`` Hamming distance, then re-score exactly."""
-    import itertools
+def _build_lsh_index(sf_dir: str, n_planes: int, seed: int,
+                     out_dir: str) -> None:
+    """Materialize the hyperplane-LSH buckets as hive-partitioned parquet
+    (``sig=N/``) plus the plane matrix — built once per (data, params)
+    like the IVF index (round-2 VERDICT #4: the per-query rebuild scanned
+    and re-signed the whole corpus on every call)."""
+    import os
 
     import ray
 
+    _, q1 = _queries(sf_dir, 1)  # dim probe (deterministic, distributed)
+    dim = q1.shape[1]
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    ref = ray.put(planes)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from .common import bcast_get
+
+        planes = bcast_get(ref)
+        v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(v, axis=1)
+        n[n == 0] = 1.0
+        sigs = (((v / n[:, None]) @ planes.T) > 0) @ (
+            1 << np.arange(planes.shape[0]))
+        return t.append_column("sig", pa.array(sigs.astype(np.int32)))
+
+    tmp = _stage_dir(out_dir)
+    read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["sig"])
+    np.save(os.path.join(tmp, "planes.npy"), planes)
+    _publish_dir(tmp, out_dir)
+
+
+def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
+                 n_planes: int = 6, n_probe_bits: int = 2,
+                 seed: int = 17) -> pd.DataFrame:
+    """LSH-bucketed ANN over a PERSISTED index: random-hyperplane
+    signatures partition the corpus into hive-partitioned parquet
+    buckets; a query reads only its own bucket plus the buckets within
+    ``n_probe_bits`` Hamming distance and re-scores exactly — strict
+    partition-subset reads, same candidate set (and therefore the same
+    recall) as the former full-scan variant."""
+    import itertools
+    import os
+
+    import ray
+    import ray.data as rd
+
+    idx_dir = _index_dir("lsh", sf_dir, (n_planes, seed))
+    if not os.path.isdir(idx_dir):
+        os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
+        _build_lsh_index(sf_dir, n_planes, seed, idx_dir)
+    planes = np.load(os.path.join(idx_dir, "planes.npy"))
+
     qids, qmat = _queries(sf_dir, n_queries)
-    rng = np.random.default_rng(seed)
-    dim = qmat.shape[1]
-    planes = rng.standard_normal((n_planes, dim))
-
-    def sig_of(m: np.ndarray) -> np.ndarray:
-        return ((m @ planes.T) > 0) @ (1 << np.arange(n_planes))
-
-    qsigs = sig_of(qmat)
+    qsigs = ((qmat @ planes.T) > 0) @ (1 << np.arange(n_planes))
     probe_sets = []
     for s in qsigs:
         probes = {int(s)}
@@ -130,22 +168,24 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
                     flip |= 1 << b
                 probes.add(int(s) ^ flip)
         probe_sets.append(probes)
-    ref = ray.put((qids, qmat, planes, probe_sets))
+    needed = sorted(set().union(*probe_sets)) if probe_sets else []
 
-    def partial(t: pa.Table) -> pa.Table:
-        qids, qmat, planes, probe_sets = ray.get(ref)
+    ref = ray.put((qids, qmat, probe_sets))
+
+    def partial(t: pa.Table, sig: int) -> pa.Table:
+        from .common import bcast_get
+
+        qids, qmat, probe_sets = bcast_get(ref)
         ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         n = np.linalg.norm(v, axis=1)
         n[n == 0] = 1.0
         vn = v / n[:, None]
-        sigs = ((vn @ planes.T) > 0) @ (1 << np.arange(planes.shape[0]))
         out_q, out_id, out_s = [], [], []
         for qi in range(len(qids)):
-            cand = np.fromiter(
-                (int(s) in probe_sets[qi] for s in sigs), bool, len(sigs)
-            )
-            cand &= ids != qids[qi]
+            if sig not in probe_sets[qi]:
+                continue
+            cand = ids != qids[qi]
             if not cand.any():
                 continue
             sims = vn[cand] @ qmat[qi]
@@ -163,11 +203,19 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
             }
         )
 
-    partials = (
-        read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
-        .to_pandas()
-    )
+    frames = []
+    for s in needed:
+        sig_dir = os.path.join(idx_dir, f"sig={s}")
+        if not os.path.isdir(sig_dir):
+            continue
+        frames.append(
+            rd.read_parquet(sig_dir, columns=["vec_id", "embedding"])
+            .map_batches(lambda t, s=s: partial(t, s),
+                         batch_format="pyarrow", batch_size=4096)
+            .to_pandas()
+        )
+    partials = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
     rows = []
     for qid, g in partials.groupby("query_id"):
         top = heapq.nsmallest(min(k, len(g)), g.itertuples(index=False),
@@ -175,18 +223,51 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
         for rank, r in enumerate(top, 1):
             rows.append((int(qid), rank, int(r.neighbor_id)))
     out = pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
+    out = out.astype({"query_id": "int64", "rank": "int64",
+                      "neighbor_id": "int64"})
     return finish(out, ["query_id", "rank"])
 
 
-def _ivf_dir(sf_dir: str, n_cells: int, kmeans_iters: int, seed: int) -> str:
+def _index_dir(kind: str, sf_dir: str, params: tuple) -> str:
+    """Cache dir for a persisted ANN index. The tag folds in a DATA
+    fingerprint (embeddings.parquet size + mtime_ns) so a regenerated or
+    edited table at the same path invalidates the cache instead of
+    silently serving stale inverted lists (round-2 ADVICE)."""
     import hashlib
     import os
 
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    fp = f"{st.st_size}:{st.st_mtime_ns}"
     tag = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}:{n_cells}:{kmeans_iters}:{seed}:v1".encode(),
+        f"{kind}:{os.path.abspath(sf_dir)}:{fp}:{params}:v2".encode(),
         digest_size=8,
     ).hexdigest()
-    return f"/tmp/doonop_ivf/{tag}"
+    return f"/tmp/doonop_ann/{kind}_{tag}"
+
+
+def _publish_dir(tmp: str, out_dir: str) -> None:
+    """Atomically publish a staged index dir; tolerate a concurrent
+    builder having won the race (round-2 ADVICE: two processes staging
+    into one fixed .tmp interleaved their output — stage into a
+    process-unique dir and treat 'out_dir already exists' as success)."""
+    import os
+    import shutil
+
+    try:
+        os.replace(tmp, out_dir)
+    except OSError:
+        if os.path.isdir(out_dir):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+
+
+def _stage_dir(out_dir: str) -> str:
+    import os
+    import uuid
+
+    return f"{out_dir}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
 
 
 def _build_ivf_index(sf_dir: str, n_cells: int, kmeans_iters: int,
@@ -259,11 +340,11 @@ def _build_ivf_index(sf_dir: str, n_cells: int, kmeans_iters: int,
         cell = np.argmax((v / nn[:, None]) @ cents.T, axis=1)
         return t.append_column("cell", pa.array(cell.astype(np.int32)))
 
-    tmp = out_dir + ".tmp"
+    tmp = _stage_dir(out_dir)
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         tmp, partition_cols=["cell"])
     np.save(os.path.join(tmp, "centroids.npy"), cents)
-    os.replace(tmp, out_dir)
+    _publish_dir(tmp, out_dir)
 
 
 def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
@@ -279,7 +360,7 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
 
     import ray.data as rd
 
-    idx_dir = _ivf_dir(sf_dir, n_cells, kmeans_iters, seed)
+    idx_dir = _index_dir("ivf", sf_dir, (n_cells, kmeans_iters, seed))
     if not os.path.isdir(idx_dir):
         os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
         _build_ivf_index(sf_dir, n_cells, kmeans_iters, seed, idx_dir)
