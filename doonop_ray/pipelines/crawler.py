@@ -241,10 +241,16 @@ def make_persist_fn(run_dir: str):
                         batch.column("url").to_pylist(),
                         batch.column("attempt").to_pylist())
                 ).encode(), digest_size=12).hexdigest()
+            # write-then-rename: a part file is visible only when complete,
+            # so concurrent readers (the flagship's incremental artifact
+            # reader) and crash-resume never see a half-written file
+            final = os.path.join(run_dir, f"part-{sig}.parquet")
+            tmp = os.path.join(run_dir, f".inprogress-{sig}-{os.getpid()}")
             pq.write_table(
                 batch.drop_columns(["links"]).append_column("n_links", n_links),
-                os.path.join(run_dir, f"part-{sig}.parquet"),
+                tmp,
             )
+            os.replace(tmp, final)
         return batch
 
     return persist
@@ -767,10 +773,27 @@ class RayCrawler:
         base_stats = {"visited": 0, "collected": 0, "errors": 0, "retries": 0}
         if resume and cfg.checkpoint_dir:
             run_idx, base_stats = self._restore_stream_checkpoint(ray)
+        seed_thread = None
+        seed_box: dict = {}
         if run_idx == 0:
             if self._seeds_ds is not None:
-                if self._seed_frontier_dataset(ray, self._seeds_ds) == 0:
-                    return self.stats
+                # OVERLAP bulk seeding with the crawl loop: the loop polls
+                # drains while seed batches are still pushing, so the first
+                # chunks execute during seeding instead of after it. The
+                # termination protocol below refuses to settle until the
+                # seeder has finished (a momentarily-empty frontier
+                # mid-seeding is not termination).
+                import threading
+
+                def _seed():
+                    try:
+                        seed_box["n"] = self._seed_frontier_dataset(
+                            ray, self._seeds_ds)
+                    except BaseException as exc:  # surfaced in the main loop
+                        seed_box["err"] = exc
+
+                seed_thread = threading.Thread(target=_seed, daemon=True)
+                seed_thread.start()
             else:
                 if (cfg.seeds_canonical and not cfg.ignore_regexes
                         and cfg.allow_domains is None):
@@ -859,6 +882,10 @@ class RayCrawler:
         def settle_and_empty() -> bool:
             """True when every routed link/retry landed AND all frontier
             shards are empty — the wave loop's terminal protocol."""
+            if seed_thread is not None and seed_thread.is_alive():
+                return False  # mid-seeding emptiness is not termination
+            if "err" in seed_box:
+                raise seed_box["err"]
             ingested = sum(ray.get([s_.flush.remote() for s_ in self.seen]))
             if ingested < routed["links"]:
                 return False
@@ -944,6 +971,7 @@ class RayCrawler:
             else:
                 idle_sleep = 0.002
             if (cfg.checkpoint_dir and cfg.checkpoint_every_sec
+                    and (seed_thread is None or not seed_thread.is_alive())
                     and time.monotonic() - last_ckpt
                     >= cfg.checkpoint_every_sec):
                 quiesce()
@@ -965,6 +993,13 @@ class RayCrawler:
                                      cap)
                       for f in self.frontier]
 
+        if seed_thread is not None:
+            # a stop mid-seeding must not checkpoint a partial frontier:
+            # wait for the seeder (its pushes are idempotent via the seen
+            # set, but the snapshot below must see them all)
+            seed_thread.join()
+            if "err" in seed_box:
+                raise seed_box["err"]
         quiesce()
         if os.environ.get("DOONOP_WAVE_TIMING"):
             print(f"STREAM {_t}", flush=True)

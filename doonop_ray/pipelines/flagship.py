@@ -154,6 +154,68 @@ def _run_crawl(sf_dir: str, out_dir: str | None, bulk_seed: bool,
     return crawler, out_dir
 
 
+_ART_COLS = ["url", "depth", "status", "image_id", "caption_ok",
+             "pixel_ok", "psnr_db"]
+
+
+class _ArtifactReader:
+    """Incremental reader of the crawl's persisted artifact parts.
+
+    The streaming crawler publishes each chunk's part file with an
+    atomic rename, so any visible ``part-*.parquet`` is complete; this
+    thread polls the out dir during the crawl and reads new parts as
+    they appear, overlapping the (formerly post-crawl) result read with
+    the tail of the crawl itself (round-2 VERDICT scaling item: overlap
+    the final artifact read with the tail window). ``finish()`` does one
+    last full scan — catching wave-mode files too, which don't match the
+    streaming part naming — after all writers have stopped."""
+
+    def __init__(self, out_dir: str, columns: list[str]):
+        import threading
+
+        self.out_dir = out_dir
+        self.columns = columns
+        self.tables: dict[str, object] = {}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._poll, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def _scan(self, pattern_only: bool = True):
+        for dp, _, fs in os.walk(self.out_dir):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                if pattern_only and not f.startswith("part-"):
+                    continue
+                p = os.path.join(dp, f)
+                if p in self.tables:
+                    continue
+                try:
+                    self.tables[p] = pq.read_table(p, columns=self.columns)
+                except Exception:
+                    if pattern_only:
+                        self.tables.pop(p, None)  # retry next scan
+                    else:
+                        raise
+
+    def _poll(self):
+        while not self._stop.wait(0.05):
+            self._scan()
+
+    def finish(self):
+        self._stop.set()
+        self._thread.join()
+        self._scan(pattern_only=False)  # post-run: all writers stopped
+        import pyarrow as pa
+
+        if not self.tables:
+            return None
+        return pa.concat_tables(self.tables.values())
+
+
 def flagship_crawl(sf_dir: str, out_dir: str | None = None,
                    bulk_seed: bool = False, **cfg_kw) -> pd.DataFrame:
     """Scaled crawl of the tier's world: fetch → decode+validate →
@@ -165,18 +227,38 @@ def flagship_crawl(sf_dir: str, out_dir: str | None = None,
     metric describes; the default organic mode grows the frontier from
     per-host seeds.
     """
-    crawler, out_dir = _run_crawl(sf_dir, out_dir, bulk_seed, **cfg_kw)
+    out_dir = out_dir or \
+        f"/tmp/doonop_out/flagship_{tier_of(sf_dir)}_{os.getpid()}"
+    # pre-clean so the incremental reader can never pick up a stale run's
+    # files (the crawler's own fresh-run rmtree would race the reader)
+    if os.path.isdir(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
+    reader = _ArtifactReader(out_dir, _ART_COLS).start()
+    try:
+        crawler, out_dir = _run_crawl(sf_dir, out_dir, bulk_seed, **cfg_kw)
+    except BaseException:
+        reader._stop.set()
+        raise
     import pyarrow as pa
 
     meta = getattr(crawler, "_artifact_meta", None)
     if meta:  # opt-in (collect_artifact_meta=True): columns rode the chunks
+        reader._stop.set()
         t = pa.concat_tables(meta)
-    else:  # scale-safe default: read the partitioned output the run wrote
-        t = pq.read_table(
-            out_dir,
-            columns=["url", "depth", "status", "image_id", "caption_ok",
-                     "pixel_ok", "psnr_db"],
-        )
+    else:  # scale-safe default: the overlapped read of the partitioned output
+        t = reader.finish()
+        if t is None:  # empty run: typed empty artifact table
+            t = pa.table({
+                "url": pa.array([], pa.string()),
+                "depth": pa.array([], pa.int32()),
+                "status": pa.array([], pa.string()),
+                "image_id": pa.array([], pa.string()),
+                "caption_ok": pa.array([], pa.bool_()),
+                "pixel_ok": pa.array([], pa.bool_()),
+                "psnr_db": pa.array([], pa.float64()),
+            })
     df = t.to_pandas()
     return df.sort_values(["url", "status"], kind="mergesort").reset_index(drop=True)
 
