@@ -170,8 +170,12 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     if a.shape != b.shape:
         return 0.0
-    d = (a.astype(np.int16) - b.astype(np.int16)).ravel().astype(np.float32)
-    mse = float(np.dot(d, d)) / d.size  # BLAS single pass, no square temp
+    # ONE float32 temp: in-place buffered-cast subtract, then a BLAS dot
+    # (the old int16→int16→float32 chain made 4 image-sized temps; this
+    # stage is the crawl's memory-bandwidth hot spot at 32-way)
+    d = a.reshape(-1).astype(np.float32)
+    np.subtract(d, b.reshape(-1), out=d, casting="unsafe")
+    mse = float(np.dot(d, d)) / d.size
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0 * 255.0 / mse))
