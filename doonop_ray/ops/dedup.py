@@ -399,14 +399,34 @@ def simhash_signatures(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35,
+                            max_rows: int = 50_000) -> pd.DataFrame:
     """All (a, b) vec_id pairs with cosine similarity >= threshold.
 
     Ray side: normalized block matmul against the broadcast full matrix
-    (the IVF/LSH-bucketed variant is the scale path; brute force is the
-    exactness baseline). Computed in float64 to match the SQL oracle.
+    — the EXACTNESS BASELINE, O(N²) compute and an N×dim broadcast.
+    Above ``max_rows`` it routes to ``embedding_neardup_lsh`` (the scale
+    path) instead of building the broadcast matrix (round-2 VERDICT #8:
+    a 100 TB caller must not be able to invoke the O(N²) twin by
+    accident); the row count comes from parquet metadata, no data read.
+    Computed in float64 to match the SQL oracle.
     """
+    import os
+
+    import pyarrow.parquet as pq_
     import ray
+
+    n_rows = pq_.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    if n_rows > max_rows:
+        import warnings
+
+        warnings.warn(
+            f"embedding_neardup_pairs: {n_rows} rows > max_rows={max_rows}; "
+            "routing to embedding_neardup_lsh (recall ~0.91 at the "
+            "threshold boundary, exact precision). Call the LSH variant "
+            "directly to silence this.", RuntimeWarning, stacklevel=2)
+        return embedding_neardup_lsh(sf_dir, threshold)
 
     emb = read_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
     ids_all = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
@@ -446,8 +466,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8,
     """Exact 1-gram (distinct-token) Jaccard pairs >= threshold among
     doc_id < max_doc_id — the brute-force small end of the dedup family with
     a DuckDB oracle (the MinHash pipeline is its scale path). Pairs are
-    checked in map_batches blocks against a broadcast token-set table."""
+    checked in map_batches blocks against a broadcast token-set table.
+    ``max_doc_id`` is hard-capped: the token-set broadcast and O(N²)
+    pair loop are exactness-baseline machinery only (round-2 VERDICT #8)."""
     import ray
+
+    if max_doc_id > 10_000:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the O(N²) exactness baseline, capped "
+            f"at max_doc_id<=10000 (got {max_doc_id}); use "
+            "minhash_lsh_pairs for corpus-scale near-dup")
 
     docs = read_arrow(sf_dir, "documents", ["doc_id", "text"])
     import pyarrow.compute as pcmp

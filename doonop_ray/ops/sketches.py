@@ -67,14 +67,30 @@ def hll_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     pinned vs exact distinct counts in tests (~1.6% stderr at p=12)."""
 
     def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native per-type grouping (round-2 VERDICT: the pandas
+        # conversion here was the only non-Arrow hop in the stage):
+        # distinct (type, user) pairs via C++ group_by, then one pass
+        # over the sorted pairs slices each type's user run
+        import pyarrow.compute as pc_
+
+        pairs = t.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"], use_threads=False).aggregate([])
+        pairs = pairs.sort_by("event_type")
+        et = pairs["event_type"].combine_chunks()
+        users = pairs["user_id"].combine_chunks()
         types, blobs = [], []
-        tt = t.select(["event_type", "user_id"])
-        df = tt.to_pandas()
-        for et, g in df.groupby("event_type", sort=False):
-            types.append(et)
-            blobs.append(
-                _registers([str(u) for u in g["user_id"].unique()]).tobytes()
-            )
+        n = len(pairs)
+        if n:
+            change = np.flatnonzero(np.asarray(
+                pc_.not_equal(et.slice(1), et.slice(0, n - 1)),
+                dtype=bool))
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((starts[1:], [n]))
+            for s, e in zip(starts, ends):
+                types.append(et[int(s)].as_py())
+                blobs.append(_registers(
+                    [str(u) for u in users.slice(s, e - s).to_pylist()]
+                ).tobytes())
         return pa.table({"event_type": pa.array(types, pa.string()),
                          "regs": pa.array(blobs, pa.binary())})
 

@@ -762,6 +762,18 @@ class RayCrawler:
 
         cfg = self.cfg
         assert cfg.limit is None, "limit runs use wave mode (bounded overshoot)"
+        if (cfg.max_per_host_per_wave is not None
+                and cfg.host_rate_per_sec is None):
+            import warnings
+
+            warnings.warn(
+                "max_per_host_per_wave is a PER-POLL cap in streaming mode "
+                "(polls are far more frequent than waves, so the effective "
+                "per-host release rate is much higher than wave mode's); "
+                "use host_rate_per_sec/host_burst token buckets for "
+                "time-based politeness — their semantics are identical in "
+                "both modes.",
+                RuntimeWarning, stacklevel=2)
         if not (resume and cfg.checkpoint_dir) and os.path.isdir(self.out_dir):
             import shutil
 

@@ -427,12 +427,17 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
 def crawl_polite(sf_dir: str) -> pd.DataFrame:
     """Flagship crawl with per-host politeness token buckets engaged
     (north_rule politeness budget; over-cap URLs defer, never drop).
-    Returns the artifact table; rows-only check — pinned against the
-    politeness unit tests + set-equality in tests/."""
+    Uses the TIME-BASED token buckets, whose semantics are identical in
+    wave and streaming mode (round-2 VERDICT #6: the per-wave cap
+    silently weakened to a per-poll cap under streaming); generous
+    rate/burst so the politeness machinery is exercised without making
+    the query wall-time rate-bound. Returns the artifact table;
+    rows-only check — pinned against the politeness unit tests +
+    set-equality in tests/."""
     return flagship_crawl(
         sf_dir,
         out_dir=f"/tmp/doonop_out/polite_{tier_of(sf_dir)}_{os.getpid()}",
-        max_per_host_per_wave=8,
+        host_rate_per_sec=2000.0, host_burst=64.0,
     )
 
 

@@ -300,3 +300,52 @@ def test_streaming_survives_object_store_pressure(tmp_path):
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["stats"] == res["oracle"]
     assert res["spilled"], "object store never spilled — test not binding"
+
+def test_streaming_token_bucket_rate_matches_wave_mode(ray_session, tmp_path):
+    """VERDICT round-2 #6: time-based politeness must behave identically
+    in wave and streaming mode. Both modes crawl the same world under the
+    same (rate, burst); each must be rate-bound to at least
+    (pages_per_host - burst) / rate seconds, visit the same url set, and
+    never drop a page."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    w = build_world(WORLDS[0])  # 3 hosts x 6 pages
+    rate, burst = 6.0, 2.0
+    per_host = WORLDS[0].pages_per_host
+    floor_sec = (per_host - burst) / rate
+
+    stats, elapsed = {}, {}
+    for mode, streaming in (("wave", False), ("stream", True)):
+        cfg = _cfg(w, use_robots=True, streaming=streaming, engines=2,
+                   wave_budget=32, num_frontier_shards=2,
+                   host_rate_per_sec=rate, host_burst=burst)
+        c = RayCrawler(cfg, w.pages, w.images, w.robots_map(),
+                       str(tmp_path / f"out_{mode}"), world_seed=WORLDS[0].seed)
+        t0 = _time.monotonic()
+        stats[mode] = c.run().as_dict()
+        elapsed[mode] = _time.monotonic() - t0
+
+    assert stats["wave"] == stats["stream"]
+    u_wave = set(pq.read_table(str(tmp_path / "out_wave"),
+                               columns=["url"]).column("url").to_pylist())
+    u_stream = set(pq.read_table(str(tmp_path / "out_stream"),
+                                 columns=["url"]).column("url").to_pylist())
+    assert u_wave == u_stream
+    # both modes are bound by the same token-refill floor
+    assert elapsed["wave"] >= floor_sec * 0.9, elapsed
+    assert elapsed["stream"] >= floor_sec * 0.9, elapsed
+
+
+def test_streaming_warns_on_per_wave_cap(ray_session, tmp_path):
+    import warnings
+
+    w = build_world(WORLDS[0])
+    cfg = _cfg(w, streaming=True, engines=2, max_per_host_per_wave=4)
+    c = RayCrawler(cfg, w.pages, w.images, w.robots_map(),
+                   str(tmp_path / "out_capwarn"), world_seed=WORLDS[0].seed)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        c.run()
+    assert any("PER-POLL cap" in str(r.message) for r in rec)

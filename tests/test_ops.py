@@ -220,3 +220,25 @@ def test_embedding_neardup_lsh_recall_and_precision(entrymod, ray_session):
     assert a <= e
     # banding recall: 8 bands x 6 bits on near-duplicate vectors
     assert len(a) / max(1, len(e)) >= 0.5, (len(a), len(e))
+
+
+def test_brute_force_twins_route_by_size(ray_session):
+    """VERDICT round-2 #8: the O(N^2) baselines must refuse / reroute on
+    large inputs instead of building a corpus-sized broadcast."""
+    import warnings
+
+    import pytest as _pytest
+
+    from doonop_ray.ops.dedup import (embedding_neardup_lsh,
+                                      embedding_neardup_pairs,
+                                      ngram_jaccard_pairs)
+
+    with _pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(SF, max_doc_id=1_000_000)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        routed = embedding_neardup_pairs(SF, max_rows=1)
+    assert any("embedding_neardup_lsh" in str(r.message) for r in rec)
+    direct = embedding_neardup_lsh(SF)
+    assert routed.equals(direct)
