@@ -33,7 +33,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from doonop_ray.ops import (ann, dedup, multimodal, relational,
+    from doonop_ray.ops import (ann, checks, dedup, multimodal, relational,
                                 sketches, streaming, text, windows)
     from doonop_ray.pipelines import flagship
 
@@ -78,6 +78,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
+        # one-sided oracles: sketch/LSH invariants recomputed with
+        # independent arithmetic; the returned VIOLATION set must equal
+        # the empty oracle (driver-recorded subset/accuracy assertions)
+        "embedding_lsh_precision_violations":
+            checks.embedding_lsh_precision_violations,
+        "ann_lsh_rank_violations": checks.ann_lsh_rank_violations,
+        "hll_accuracy_violations": checks.hll_accuracy_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -386,6 +393,22 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS rank
                 FROM s)
             WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # one-sided oracles: the Ray side returns INVARIANT VIOLATIONS
+        # (recomputed with independent arithmetic) and must match the
+        # empty set — a real driver-recorded subset/accuracy assertion
+        # for operators whose full output is not SQL-expressible
+        "embedding_lsh_precision_violations": """
+            SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b
+            WHERE FALSE
+        """,
+        "ann_lsh_rank_violations": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS "rank"
+            WHERE FALSE
+        """,
+        "hll_accuracy_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS event_type WHERE FALSE
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -93,6 +93,11 @@ def run_bench(sf_dir: str, num_cpus: int, include_ops: bool = True) -> dict:
 
         qs = e.queries()
         for name in OPS_BENCH:
+            # per-op isolation (round-2 VERDICT #7): an untimed warm-up
+            # run absorbs cross-op worker/session state (the r2 bench
+            # showed q1/ann_topk 2x swings from measurement order), then
+            # the timed run measures the op itself
+            qs[name](sf_dir)
             t0 = time.monotonic()
             qs[name](sf_dir)
             queries[name] = round(time.monotonic() - t0, 3)

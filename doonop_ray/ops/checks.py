@@ -1,0 +1,129 @@
+"""One-sided oracle queries (round-2 VERDICT #10).
+
+Sketch/LSH operators have no SQL-expressible full equality, but several
+of their INVARIANTS are checkable: each query here recomputes the
+invariant with independent arithmetic and returns the VIOLATING rows —
+expected empty — so the driver's strict rows+schema+hash compare against
+a ``WHERE FALSE`` DuckDB oracle becomes a real, recorded subset/accuracy
+assertion instead of a rows-only shrug.
+
+The recomputation paths deliberately avoid the code under test:
+cosines come from a fresh float64 driver-side dot product over vectors
+fetched by id, and exact distinct counts come from an Arrow group_by —
+not from the LSH bucketing or HLL register code being checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .common import finish, read
+
+
+def _vectors_for(sf_dir: str, ids: set[int]) -> dict[int, np.ndarray]:
+    """Fetch the (few) vectors with vec_id in ``ids`` via a pruned scan —
+    only matching rows reach the driver."""
+    import pyarrow.compute as pc
+
+    id_arr = pa.array(sorted(ids), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["vec_id"], value_set=id_arr))
+
+    df = (
+        read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = {}
+    for vid, emb in zip(df["vec_id"], df["embedding"]):
+        v = np.asarray(emb, dtype=np.float64)
+        n = np.linalg.norm(v)
+        out[int(vid)] = v / (n if n else 1.0)
+    return out
+
+
+def embedding_lsh_precision_violations(
+        sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
+    """Every pair emitted by ``embedding_neardup_lsh`` must have exact
+    float64 cosine >= threshold (LSH recall is probabilistic, PRECISION
+    is exact). Returns the violating pairs — expected empty."""
+    from .dedup import embedding_neardup_lsh
+
+    pairs = embedding_neardup_lsh(sf_dir, threshold)
+    if pairs.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    vecs = _vectors_for(sf_dir, set(pairs["a"]) | set(pairs["b"]))
+    bad_a, bad_b = [], []
+    for a, b in zip(pairs["a"], pairs["b"]):
+        if float(vecs[int(a)] @ vecs[int(b)]) < threshold:
+            bad_a.append(int(a))
+            bad_b.append(int(b))
+    return finish(pd.DataFrame({"a": pd.Series(bad_a, dtype="int64"),
+                                "b": pd.Series(bad_b, dtype="int64")}),
+                  ["a", "b"])
+
+
+def ann_lsh_rank_violations(sf_dir: str, k: int = 10,
+                            n_queries: int = 5) -> pd.DataFrame:
+    """``ann_topk_lsh`` must return, per query, neighbors in strictly
+    non-increasing exact-cosine order with the documented tiebreak
+    (neighbor_id asc). Returns (query_id, rank) rows whose exact cosine
+    exceeds the previous rank's — expected empty."""
+    from .ann import ann_topk_lsh
+
+    res = ann_topk_lsh(sf_dir, k=k, n_queries=n_queries)
+    if res.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    ids = set(res["query_id"]) | set(res["neighbor_id"])
+    vecs = _vectors_for(sf_dir, ids)
+    bad_q, bad_r = [], []
+    for qid, g in res.sort_values(["query_id", "rank"]).groupby("query_id"):
+        prev = None
+        for _, row in g.iterrows():
+            sim = float(vecs[int(qid)] @ vecs[int(row["neighbor_id"])])
+            key = (-sim, int(row["neighbor_id"]))
+            if prev is not None and key < prev:
+                bad_q.append(int(qid))
+                bad_r.append(int(row["rank"]))
+            prev = key
+    return finish(pd.DataFrame({"query_id": pd.Series(bad_q, dtype="int64"),
+                                "rank": pd.Series(bad_r, dtype="int64")}),
+                  ["query_id", "rank"])
+
+
+def hll_accuracy_violations(sf_dir: str,
+                            max_rel_err: float = 0.08) -> pd.DataFrame:
+    """HLL(p=12) distinct estimates must land within ``max_rel_err``
+    (5x the 1.6% stderr) of the EXACT per-type distinct user count,
+    recomputed via Arrow group_by. Returns the violating event types —
+    expected empty."""
+    from .sketches import hll_distinct_users_per_type
+
+    approx = hll_distinct_users_per_type(sf_dir)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"],
+                          use_threads=False).aggregate([])
+
+    # distinct (type, user) partials per batch, exact merge via a second
+    # distinct, then count per type (type cardinality is bounded)
+    df = (
+        read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .drop_duplicates()
+    )
+    exact = df.groupby("event_type")["user_id"].nunique()
+    bad = []
+    for _, row in approx.iterrows():
+        ex = int(exact.get(row["event_type"], 0))
+        if ex == 0 or abs(row["approx_users"] - ex) / ex > max_rel_err:
+            bad.append(row["event_type"])
+    return finish(pd.DataFrame({"event_type": pd.Series(bad, dtype="str")}),
+                  ["event_type"])
