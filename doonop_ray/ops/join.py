@@ -63,6 +63,13 @@ def shuffle_join(left, right, key: str, left_cols: list[str],
     how='left' : unmatched left rows keep null right columns.
     how='semi' : left rows whose key appears on the right (no right cols).
     how='anti' : left rows whose key does NOT appear on the right.
+
+    Output invariant consumers may rely on: every key's rows land in
+    exactly ONE output block (interior groups in their block, all
+    boundary-straddling groups in the single coalesced edge block), so a
+    block-local ``group_by(key)`` over the result with
+    ``batch_size=None`` is a COMPLETE per-key aggregate — no second
+    all-to-all needed.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")

@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from datetime import datetime
 
-from .common import bcast_get, finish, grouped_aggregate, r4, read, read_arrow
+from .common import bcast_get, finish, r4, read, read_arrow
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -102,21 +102,23 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
               ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
     joined = shuffle_join(li, qualifying, "key", ["rev"], [], how="semi")
-    per_order = grouped_aggregate(joined, "key", [("rev", "sum")])
 
-    def block_top10(t: pa.Table) -> pa.Table:
-        # round BEFORE the partial top-k so block selection uses exactly
-        # the ordering the final (rounded) driver sort uses — otherwise a
-        # sub-1e-4 difference could drop a row that rounding would have
-        # tie-broken into the top 10
+    def block_agg_top10(t: pa.Table) -> pa.Table:
+        # shuffle_join guarantees a key's rows never straddle output
+        # blocks, so this block-local sum is the COMPLETE per-order
+        # revenue — no second all-to-all. Round BEFORE the partial top-k
+        # so block selection uses exactly the ordering the final
+        # (rounded) driver sort uses — otherwise a sub-1e-4 difference
+        # could drop a row that rounding would have tie-broken in
+        t = t.group_by("key", use_threads=False).aggregate([("rev", "sum")])
         t = t.set_column(t.schema.get_field_index("rev_sum"), "rev_sum",
                          pa.array(r4(t["rev_sum"].to_numpy(zero_copy_only=False))))
         idx = pc.sort_indices(t, sort_keys=[("rev_sum", "descending"),
                                             ("key", "ascending")])
         return t.take(idx.slice(0, min(10, len(t))))
 
-    out = per_order.map_batches(
-        block_top10, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = joined.map_batches(
+        block_agg_top10, batch_format="pyarrow", batch_size=None).to_pandas()
     out = out.rename(columns={"key": "l_orderkey", "rev_sum": "revenue"})
     out["revenue"] = r4(out["revenue"])
     out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
