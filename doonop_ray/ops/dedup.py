@@ -315,8 +315,10 @@ def minhash_lsh_pairs(
                              "b": pa.array([max(x, y)], pa.int64())})
         return empty
 
+    # candidate-sized rows: coalesce before the verify sort (a 64-block
+    # sort of a few hundred rows is all fixed overhead)
     rows = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        shingle_pair_rows, batch_format="pyarrow")
+        shingle_pair_rows, batch_format="pyarrow").repartition(8)
     out = grouped_apply(rows, "pair", verify_pair, empty,
                         min_group_size=2).to_pandas()
     if out.empty:

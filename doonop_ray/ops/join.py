@@ -55,7 +55,10 @@ def _tag(ds, key: str, keep: list[str], pad: list[tuple[str, pa.DataType]],
 
 
 def shuffle_join(left, right, key: str, left_cols: list[str],
-                 right_cols: list[str], how: str = "inner"):
+                 right_cols: list[str], how: str = "inner",
+                 left_types: dict | None = None,
+                 right_types: dict | None = None,
+                 num_blocks: int | None = None):
     """Join two Datasets on ``key``; returns a Dataset with columns
     ``[key] + left_cols (+ right_cols for inner/left)``.
 
@@ -63,6 +66,15 @@ def shuffle_join(left, right, key: str, left_cols: list[str],
     how='left' : unmatched left rows keep null right columns.
     how='semi' : left rows whose key appears on the right (no right cols).
     how='anti' : left rows whose key does NOT appear on the right.
+
+    ``left_types``/``right_types`` ({col: pa.DataType}) type the null
+    padding without a ``Dataset.schema()`` call — schema inference on a
+    lazy read+map chain executes part of the pipeline (~0.1-1 s per
+    side); callers that know their projection types should pass them.
+    ``num_blocks`` coalesces the tagged union before the sort: parquet
+    reads default to ~2 blocks/CPU, and sort cost grows with partition
+    count, so joins of modest inputs are faster sorted into fewer, fuller
+    blocks (measured 1.8 s → 1.1 s on a 165k-row join at 32 CPUs).
 
     Output invariant consumers may rely on: every key's rows land in
     exactly ONE output block (interior groups in their block, all
@@ -76,20 +88,28 @@ def shuffle_join(left, right, key: str, left_cols: list[str],
     if how in ("semi", "anti") and right_cols:
         raise ValueError("semi/anti joins carry no right columns")
 
-    lsch, rsch = left.schema(), right.schema()
-    if lsch is None or rsch is None:
-        # an empty side after repartition loses its schema; we then can't
-        # type the null padding — callers' real inputs are never schema-less
-        raise ValueError("shuffle_join requires both sides to have a schema "
-                         "(an empty Dataset after repartition has none)")
-    lschema = lsch.base_schema
-    rschema = rsch.base_schema
-    ltypes = [(c, lschema.field(c).type) for c in left_cols]
-    rtypes = [(c, rschema.field(c).type) for c in right_cols]
+    def _types_of(ds, cols, given):
+        if given is not None:
+            return [(c, given[c]) for c in cols]
+        sch = ds.schema()
+        if sch is None:
+            # an empty side after repartition loses its schema; we then
+            # can't type the null padding — real inputs are never
+            # schema-less
+            raise ValueError(
+                "shuffle_join requires a schema (an empty Dataset after "
+                "repartition has none); pass left_types/right_types")
+        base = sch.base_schema
+        return [(c, base.field(c).type) for c in cols]
+
+    ltypes = _types_of(left, left_cols, left_types)
+    rtypes = _types_of(right, right_cols, right_types)
     order = [key] + left_cols + right_cols + ["__side"]
 
     tagged = _tag(left, key, left_cols, rtypes, 0, order).union(
         _tag(right, key, right_cols, ltypes, 1, order))
+    if num_blocks is not None:
+        tagged = tagged.repartition(num_blocks)
 
     out_cols = [key] + left_cols + (right_cols if how in ("inner", "left") else [])
 
@@ -135,13 +155,18 @@ def shuffle_join(left, right, key: str, left_cols: list[str],
             join_block, batch_format="pyarrow", batch_size=None)
     interior_out = sorted_ds.map_batches(
         interior, batch_format="pyarrow", batch_size=None)
-    # edge rows: ≤2 key-groups per block — coalesce and join in one go
-    # (materialized so the repartition barrier stays out of the consumer's
-    # streaming plan, same as ops/common.grouped_aggregate)
-    edge_out = (
-        sorted_ds.map_batches(edges, batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(join_block, batch_format="pyarrow", batch_size=None)
-        .materialize()
-    )
-    return interior_out.union(edge_out)
+    # edge rows: ≤2 key-groups per block — O(blocks × straddling-group
+    # size), independent of corpus size, so they are joined driver-side
+    # (a repartition(1) pipeline for this cost ~0.5 s of barrier overhead
+    # per join; the driver concat is microseconds at any corpus scale)
+    import ray
+    import ray.data as rd
+
+    edge_refs = sorted_ds.map_batches(
+        edges, batch_format="pyarrow", batch_size=None).to_arrow_refs()
+    # empty blocks come back schema-less — drop them before the concat
+    parts = [t for t in ray.get(edge_refs) if len(t)]
+    if not parts:
+        return interior_out
+    edge_tbl = pa.concat_tables(parts).combine_chunks()
+    return interior_out.union(rd.from_arrow(join_block(edge_tbl)))

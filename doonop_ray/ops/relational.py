@@ -87,7 +87,8 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
     qualifying = shuffle_join(
-        orders_f, cust_keys, "key", ["o_orderkey"], [], how="semi"
+        orders_f, cust_keys, "key", ["o_orderkey"], [], how="semi",
+        left_types={"o_orderkey": pa.int64()}, right_types={}, num_blocks=32,
     ).map_batches(lambda t: pa.table({"key": t["o_orderkey"]}),
                   batch_format="pyarrow")
 
@@ -101,7 +102,9 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     li = read(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
               ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
-    joined = shuffle_join(li, qualifying, "key", ["rev"], [], how="semi")
+    joined = shuffle_join(li, qualifying, "key", ["rev"], [], how="semi",
+                          left_types={"rev": pa.float64()}, right_types={},
+                          num_blocks=32)
 
     def block_agg_top10(t: pa.Table) -> pa.Table:
         # shuffle_join guarantees a key's rows never straddle output
@@ -163,7 +166,9 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         lambda t: pa.table({"key": t["o_orderkey"], "o_custkey": t["o_custkey"]}),
         batch_format="pyarrow")
-    j1 = shuffle_join(li, orders, "key", ["sn", "rev"], ["o_custkey"], "inner")
+    j1 = shuffle_join(li, orders, "key", ["sn", "rev"], ["o_custkey"], "inner",
+                      left_types={"sn": pa.int32(), "rev": pa.float64()},
+                      right_types={"o_custkey": pa.int64()}, num_blocks=32)
 
     def rekey_cust(t: pa.Table) -> pa.Table:
         part = pa.table({"key": t["o_custkey"], "sn": t["sn"],
@@ -177,7 +182,9 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow")
     j2 = shuffle_join(
         j1.map_batches(rekey_cust, batch_format="pyarrow", batch_size=65536),
-        cust, "key", ["sn", "rev"], ["cn"], "inner")
+        cust, "key", ["sn", "rev"], ["cn"], "inner",
+        left_types={"sn": pa.int32(), "rev": pa.float64()},
+        right_types={"cn": pa.int32()}, num_blocks=32)
 
     def name_partial(t: pa.Table) -> pa.Table:
         n_key, n_name, _, _ = bcast_get(dims_ref)
@@ -463,7 +470,10 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
             "l_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64())}),
         batch_format="pyarrow")
     j1 = shuffle_join(li, orders, "key", ["sn", "vol"],
-                      ["o_custkey", "l_year"], "inner")
+                      ["o_custkey", "l_year"], "inner",
+                      left_types={"sn": pa.int32(), "vol": pa.float64()},
+                      right_types={"o_custkey": pa.int64(),
+                                   "l_year": pa.int64()}, num_blocks=32)
 
     def rekey_cust(t: pa.Table) -> pa.Table:
         part = pa.table({"key": t["o_custkey"], "sn": t["sn"],
@@ -478,7 +488,10 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
         batch_format="pyarrow")
     j2 = shuffle_join(
         j1.map_batches(rekey_cust, batch_format="pyarrow", batch_size=65536),
-        cust, "key", ["sn", "vol", "l_year"], ["cn"], "inner")
+        cust, "key", ["sn", "vol", "l_year"], ["cn"], "inner",
+        left_types={"sn": pa.int32(), "vol": pa.float64(),
+                    "l_year": pa.int64()},
+        right_types={"cn": pa.int32()}, num_blocks=32)
 
     def name_partial(t: pa.Table) -> pa.Table:
         n_key, n_name, _, _ = bcast_get(dims_ref)
@@ -553,7 +566,10 @@ def q9_profit_by_nation(sf_dir: str, part_pattern: str = "red") -> pd.DataFrame:
             "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64())}),
         batch_format="pyarrow")
     j1 = shuffle_join(li, orders, "key", ["nation", "profit"],
-                      ["o_year"], "inner")
+                      ["o_year"], "inner",
+                      left_types={"nation": pa.string(),
+                                  "profit": pa.float64()},
+                      right_types={"o_year": pa.int64()}, num_blocks=32)
 
     out = (
         j1.map_batches(
