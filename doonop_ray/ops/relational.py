@@ -6,8 +6,10 @@ column names match the paired oracle SQL in ``__ray_entry__.oracle_sql``.
 Patterns exercised (SURVEY.md §2d — what the rebuild adds on top of the
 reference's driver-side counters):
 - partial aggregation inside map_batches before the groupby shuffle;
-- broadcast hash joins (dimension dict via ray.put, lookup per batch)
-  instead of all-to-all shuffle joins for small sides;
+- broadcast lookups ONLY for bounded dimension tables (nation, region,
+  supplier, part — ray.put once, pc.index_in/take per batch);
+- corpus-growing fact sides (orders, customer) through the sort-cogroup
+  ``shuffle_join`` (round-3: no fact-table ray.put anywhere);
 - vectorized Arrow predicates (regex, date) pushed into the read/batch;
 - global sort + limit on pre-reduced data only.
 """
