@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             checks.embedding_lsh_precision_violations,
         "ann_lsh_rank_violations": checks.ann_lsh_rank_violations,
         "hll_accuracy_violations": checks.hll_accuracy_violations,
+        "simhash_consistency_violations":
+            checks.simhash_consistency_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -409,6 +411,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_accuracy_violations": """
             SELECT CAST(NULL AS VARCHAR) AS event_type WHERE FALSE
+        """,
+        "simhash_consistency_violations": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -96,6 +96,34 @@ def ann_lsh_rank_violations(sf_dir: str, k: int = 10,
                   ["query_id", "rank"])
 
 
+def simhash_consistency_violations(sf_dir: str) -> pd.DataFrame:
+    """SimHash must be a deterministic pure function of the text: two
+    INDEPENDENT distributed computations (separate scans, different
+    batch boundaries) must agree per doc_id — catching any batch-order,
+    cache-state or dict-ordering dependence in the kernel. Returns the
+    disagreeing doc_ids — expected empty."""
+    import pyarrow.compute as pc
+
+    from .common import grouped_aggregate
+    from .dedup import simhash_batch
+
+    def pass_with(batch_size):
+        return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            simhash_batch, batch_format="pyarrow", batch_size=batch_size)
+
+    both = pass_with(1024).union(pass_with(333))
+    agged = grouped_aggregate(
+        both, "doc_id", [("simhash", "min"), ("simhash", "max")])
+    bad = agged.map_batches(
+        lambda t: pa.table({"doc_id": t.filter(pc.not_equal(
+            t["simhash_min"], t["simhash_max"]))["doc_id"]}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if bad.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return finish(bad.astype({"doc_id": "int64"}), ["doc_id"])
+
+
 def hll_accuracy_violations(sf_dir: str,
                             max_rel_err: float = 0.08) -> pd.DataFrame:
     """HLL(p=12) distinct estimates must land within ``max_rel_err``

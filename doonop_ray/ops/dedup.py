@@ -346,54 +346,57 @@ def jaccard_brute_force(texts: dict[int, str], threshold: float = 0.5,
 # ---------------------------------------------------------------------------
 
 
+def simhash_batch(t: pa.Table) -> pa.Table:
+    """Batch kernel of ``simhash_signatures`` (shared with the
+    consistency check in ``ops/checks.py``): one reduceat over the
+    batch's concatenated token hashes — no per-token numpy ops
+    (round-1 hot-loop fix); token-hash cache amortizes blake2b across
+    repeated words in the batch."""
+    counts, all_h = [], []
+    cache: dict[str, int] = {}
+    for text in t["text"].to_pylist():
+        toks = [w for w in "".join(
+            c if c.isalnum() else " " for c in text.lower()
+        ).split() if w]
+        counts.append(len(toks))
+        for w in toks:
+            h = cache.get(w)
+            if h is None:
+                h = hash_bytes(w)
+                cache[w] = h
+            all_h.append(h)
+    n = len(counts)
+    counts_np = np.asarray(counts, dtype=np.int64)
+    if all_h:
+        hs = np.asarray(all_h, dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)          # (T, 64)
+        # sentinel zero row: guards reduceat against an offset == len
+        # when the trailing doc has no tokens (add-identity)
+        bits = np.concatenate([bits, np.zeros((1, 64), np.int64)])
+        offsets = np.concatenate(([0], np.cumsum(counts_np)[:-1]))
+        ones = np.add.reduceat(bits, offsets, axis=0)      # (n, 64)
+        ones[counts_np == 0] = 0  # reduceat misreads empty segments
+    else:
+        ones = np.zeros((n, 64), dtype=np.int64)
+    acc = 2 * ones - counts_np[:, None]
+    packed = np.packbits((acc > 0).astype(np.uint8), axis=1,
+                         bitorder="little")
+    vals = np.ascontiguousarray(packed).view(np.uint64).reshape(-1)
+    return pa.table({"doc_id": t["doc_id"],
+                     "simhash": pa.array(vals.view(np.int64), pa.int64())})
+
+
 def simhash_signatures(sf_dir: str) -> pd.DataFrame:
     """64-bit SimHash over \\w+ tokens (Charikar 2002): sum token-hash
     bit vectors, sign per bit. Returned as signed int64."""
-
-    def sh(t: pa.Table) -> pa.Table:
-        # one reduceat over the batch's concatenated token hashes — no
-        # per-token numpy ops (round-1 hot-loop fix); token-hash cache
-        # amortizes blake2b across repeated words in the batch
-        counts, all_h = [], []
-        cache: dict[str, int] = {}
-        for text in t["text"].to_pylist():
-            toks = [w for w in "".join(
-                c if c.isalnum() else " " for c in text.lower()
-            ).split() if w]
-            counts.append(len(toks))
-            for w in toks:
-                h = cache.get(w)
-                if h is None:
-                    h = hash_bytes(w)
-                    cache[w] = h
-                all_h.append(h)
-        n = len(counts)
-        counts_np = np.asarray(counts, dtype=np.int64)
-        if all_h:
-            hs = np.asarray(all_h, dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)          # (T, 64)
-            # sentinel zero row: guards reduceat against an offset == len
-            # when the trailing doc has no tokens (add-identity)
-            bits = np.concatenate([bits, np.zeros((1, 64), np.int64)])
-            offsets = np.concatenate(([0], np.cumsum(counts_np)[:-1]))
-            ones = np.add.reduceat(bits, offsets, axis=0)      # (n, 64)
-            ones[counts_np == 0] = 0  # reduceat misreads empty segments
-        else:
-            ones = np.zeros((n, 64), dtype=np.int64)
-        acc = 2 * ones - counts_np[:, None]
-        packed = np.packbits((acc > 0).astype(np.uint8), axis=1,
-                             bitorder="little")
-        vals = np.ascontiguousarray(packed).view(np.uint64).reshape(-1)
-        return pa.table({"doc_id": t["doc_id"],
-                         "simhash": pa.array(vals.view(np.int64), pa.int64())})
-
     out = (
         read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(sh, batch_format="pyarrow")
+        .map_batches(simhash_batch, batch_format="pyarrow")
         .to_pandas()
     )
     return finish(out, ["doc_id"])
+
 
 
 # ---------------------------------------------------------------------------
