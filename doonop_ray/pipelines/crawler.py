@@ -941,8 +941,16 @@ class RayCrawler:
             _t["drain"] += time.monotonic() - _t0
             drains = []
             n_new = 0
+            # tail shaping: when a poll drains less than a full cohort,
+            # split it into finer chunks so the stragglers spread over
+            # every core instead of a few long chunk tasks
+            total_polled = sum(len(e) for e in got)
+            rows_this_poll = (
+                chunk_rows if total_polled >= chunk_rows * max(2, cfg.engines // 2)
+                else max(32, chunk_rows // 4)
+            )
             for entries in got:
-                for i in range(0, len(entries), chunk_rows):
+                for i in range(0, len(entries), rows_this_poll):
                     # the window caps SUBMISSION, not just outstanding
                     # count — already-submitted tasks that block on the
                     # cold broadcast get over-spawn workers regardless of
@@ -957,7 +965,7 @@ class RayCrawler:
                         absorb(done)
                         _t["wait"] += time.monotonic() - _t0
                     inflight.add(chunk_task.remote(
-                        entries[i:i + chunk_rows], [fns_ref]))
+                        entries[i:i + rows_this_poll], [fns_ref]))
                     n_new += 1
             _t["chunks"] += n_new
             if inflight:
