@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": windows.events_last_order,
         "event_value_median": windows.event_value_median,
         "events_rolling_avg": windows.events_rolling_avg,
+        "events_windowed_p90": windows.events_windowed_p90,
         "top_orders_per_customer": relational.top_orders_per_customer,
         # crawl engine (reference-semantics; rows-only — pinned vs the
         # workload.rs oracle in tests/test_crawler.py)
@@ -414,6 +415,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_consistency_violations": """
             SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE
+        """,
+        "events_windowed_p90": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value)
+                       AS p90_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

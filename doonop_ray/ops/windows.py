@@ -306,3 +306,42 @@ def orders_events_range_join(sf_dir: str, days: int = 7) -> pd.DataFrame:
         .astype({"o_orderkey": "int64", "n_events": "int64"})
     )
     return finish(out, ["o_orderkey"])
+
+
+def events_windowed_p90(sf_dir: str) -> pd.DataFrame:
+    """Windowed percentile over the event stream: exact discrete p90 of
+    ``value`` per (event_type, 1-hour tumbling window). The window key's
+    cardinality grows with stream time, so the per-window percentile runs
+    through ``grouped_apply`` (sort-cogroup, vectorized boundary detect)
+    rather than Ray's per-group machinery. PERCENTILE_DISC semantics
+    (value at ceil(0.9*n) in sort order — no interpolation) so the float
+    matches the DuckDB oracle bit-exactly."""
+    import numpy as np
+
+    from .common import grouped_apply
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "value": t["value"],
+        })
+
+    def p90(g: pa.Table) -> pa.Table:
+        v = np.sort(g["value"].to_numpy(zero_copy_only=False))
+        k = max(0, int(np.ceil(0.9 * len(v))) - 1)
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "hour": g["hour"].slice(0, 1),
+            "p90_value": pa.array([float(v[k])], pa.float64()),
+        })
+
+    empty = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "hour": pa.array([], pa.timestamp("us")),
+        "p90_value": pa.array([], pa.float64()),
+    })
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        bucket, batch_format="pyarrow")
+    out = grouped_apply(ds, ["event_type", "hour"], p90, empty).to_pandas()
+    return finish(out, ["event_type", "hour"])
