@@ -186,7 +186,9 @@ class _ArtifactReader:
     def _scan(self, pattern_only: bool = True):
         for dp, _, fs in os.walk(self.out_dir):
             for f in fs:
-                if not f.endswith(".parquet"):
+                # skip metadata/hidden files (_wave_metrics.parquet etc.
+                # — same convention pyarrow dataset discovery applies)
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
                     continue
                 if pattern_only and not f.startswith("part-"):
                     continue
@@ -539,51 +541,58 @@ def build_training_dataset(sf_dir: str, out_root: str | None = None) -> pd.DataF
     ).map_batches(keep_validated, batch_format="pyarrow")
     # retries/revisits can emit an id twice — exact dedup on the short id
     # key (sort-cogroup, nothing corpus-sized on the driver)
-    uniq = grouped_aggregate(ids_ds, "image_id", [("image_id", "count")])
+    uniq = grouped_aggregate(
+        ids_ds, "image_id", [("image_id", "count")]
+    ).map_batches(lambda t: t.select(["image_id"]),
+                  batch_format="pyarrow").materialize()
+    n_ids = uniq.count()
+    if n_ids == 0:
+        # zero validated ids (ADVICE round-2): typed empty manifest
+        return pd.DataFrame({"shard": pd.Series([], dtype="str"),
+                             "rows": pd.Series([], dtype="int64")})
+    # DETERMINISTIC sharding: shard membership is a pure function of
+    # (image_id, n_ids) — physical batch/block boundaries vary run to
+    # run, so batch-digest names would rename shards on every rerun.
+    # grouped_apply co-locates each shard's full id set; the per-group
+    # writer emits shard-{id:05d} with content sorted by image_id.
+    n_shards = max(1, -(-n_ids // 4096))
 
     w = world_for(sf_dir)
     images_ref = _refs_for(tier, w)[1]
 
-    class ShardWriter:
-        """Actor-pool stage: slice this batch's validated payloads out of
-        the broadcast images table (zero-copy) and write one dataset
-        shard; emits the manifest row."""
+    def assign_shard(t):
+        import zlib
 
-        def __init__(self):
-            import pyarrow.compute as pc
+        import pyarrow as pa_
 
-            from ..stages.fetch import _deref
+        sids = [zlib.crc32(s.encode()) % n_shards
+                for s in t["image_id"].to_pylist()]
+        return t.append_column("shard_id", pa_.array(sids, pa_.int32()))
 
-            self._pc = pc
-            self.tab = _deref(images_ref)
+    def write_shard(g):
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import hashlib
+        from ..stages.fetch import _deref
 
-            pc = self._pc
-            ids = batch.column("image_id")
-            idx = pc.index_in(ids, value_set=self.tab.column("image_id"))
-            rows = self.tab.take(idx)
-            sig = hashlib.blake2b(
-                "|".join(ids.to_pylist()).encode(), digest_size=12
-            ).hexdigest()
-            path = dataset_path(out_root, f"shard-{sig}")
-            written = write_table(rows, path)
-            return pa.table({
-                "shard": pa.array([written], pa.string()),
-                "rows": pa.array([len(rows)], pa.int64()),
-            })
+        tab = _deref(images_ref)
+        ids = g["image_id"].combine_chunks().sort()
+        idx = pc_.index_in(ids, value_set=tab.column("image_id"))
+        rows = tab.take(idx)
+        sid = int(g["shard_id"][0].as_py())
+        path = dataset_path(out_root, f"shard-{sid:05d}")
+        written = write_table(rows, path)
+        return pa_.table({
+            "shard": pa_.array([written], pa_.string()),
+            "rows": pa_.array([len(rows)], pa_.int64()),
+        })
 
-    manifest = (
-        uniq.map_batches(lambda t: t.select(["image_id"]),
-                         batch_format="pyarrow")
-        .map_batches(ShardWriter, batch_format="pyarrow", batch_size=4096,
-                     concurrency=(1, 8), num_cpus=1)
-        .to_pandas()
-    )
-    if manifest.empty:
-        # zero validated ids: an all-empty Ray result loses its schema
-        # (ADVICE round-2) — return a typed empty manifest
-        return pd.DataFrame({"shard": pd.Series([], dtype="str"),
-                             "rows": pd.Series([], dtype="int64")})
+    from ..ops.common import grouped_apply
+
+    empty = pa.table({"shard": pa.array([], pa.string()),
+                      "rows": pa.array([], pa.int64())})
+    manifest = grouped_apply(
+        uniq.map_batches(assign_shard, batch_format="pyarrow"),
+        "shard_id", write_shard, empty,
+    ).to_pandas()
     return manifest.sort_values("shard").reset_index(drop=True)

@@ -94,3 +94,21 @@ def test_build_training_dataset_end_to_end(ray_session, tmp_path):
                             w.params.img_min, w.params.img_max)
     assert psnr(truth, pix) >= 40.0
     assert row["caption"] == expected_caption(row["image_id"], w.params.seed)
+
+
+def test_build_training_dataset_rerun_is_idempotent(ray_session, tmp_path):
+    """Round-3 resumability contract: shard names are a pure function of
+    their content (id batch digest), so a re-run overwrites the same
+    shard files instead of duplicating the dataset."""
+    import glob
+
+    from doonop_ray.pipelines.flagship import build_training_dataset
+
+    out = str(tmp_path / "train2")
+    m1 = build_training_dataset(SF, out_root=out)
+    files1 = sorted(glob.glob(f"{out}/shard-*.parquet"))
+    m2 = build_training_dataset(SF, out_root=out)
+    files2 = sorted(glob.glob(f"{out}/shard-*.parquet"))
+    assert files1 == files2
+    assert list(m1["shard"]) == list(m2["shard"])
+    assert int(m1["rows"].sum()) == int(m2["rows"].sum())

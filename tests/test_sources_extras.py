@@ -293,3 +293,18 @@ def test_token_bucket_crawl_end_to_end(ray_session, tmp_path):
     s2 = paced.run()
     assert s2.visited == s1.visited
     assert paced.seen_sets() == free.seen_sets()
+
+
+def test_flagship_limit_run_reads_wave_output(ray_session):
+    """A limit run falls back to wave mode (bounded overshoot); the
+    incremental artifact reader's final full scan must still assemble
+    the result from the wave-mode parquet layout."""
+    import pyarrow.parquet as pq
+
+    from doonop_ray.pipelines.flagship import flagship_crawl
+
+    out = "/tmp/doonop_out/tt_limit"
+    df = flagship_crawl("sf0.001", out_dir=out, limit=20)
+    assert len(df) > 0
+    t = pq.read_table(out, columns=["url"])
+    assert set(df["url"]) == set(t.column("url").to_pylist())
