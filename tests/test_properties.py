@@ -241,3 +241,28 @@ def test_shuffle_join_left_matches_pandas(ray_session, data):
     assert (got["key"].to_numpy() == exp["key"].to_numpy()).all()
     gr, er = got["rv"].to_numpy(dtype=float), exp["rv"].to_numpy(dtype=float)
     assert ((gr == er) | (np.isnan(gr) & np.isnan(er))).all()
+
+
+def test_shuffle_join_hot_key_straddles_many_blocks(ray_session):
+    """Skew regression: one key holding most rows spans MANY sorted
+    blocks, so the whole group routes through the edge pass; counts must
+    still be exact and the semi/inner outputs complete."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.join import shuffle_join
+
+    n_hot = 20_000
+    lkeys = np.concatenate([np.zeros(n_hot, dtype=np.int64),
+                            np.arange(1, 101, dtype=np.int64)])
+    lvals = np.arange(len(lkeys), dtype=np.int64)
+    left = rd.from_arrow(pa.table({"key": lkeys, "lv": lvals})).repartition(16)
+    right = rd.from_arrow(pa.table({"key": np.array([0, 7, 999], dtype=np.int64),
+                                    "rv": np.array([1, 2, 3], dtype=np.int64)}))
+    inner = shuffle_join(left, right, "key", ["lv"], ["rv"], "inner").to_pandas()
+    assert len(inner) == n_hot + 1  # hot key + key 7
+    assert (inner[inner["key"] == 0]["rv"] == 1).all()
+    assert sorted(inner[inner["key"] == 0]["lv"]) == list(range(n_hot))
+    anti = shuffle_join(left, right, "key", ["lv"], [], "anti").to_pandas()
+    assert len(anti) == 99  # keys 1..100 minus key 7
