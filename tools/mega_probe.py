@@ -51,14 +51,22 @@ def main() -> None:
     w.pages = w.pages.combine_chunks()
     w.images = prep_images_table(w.images)
 
-    seeds = w.pages.column("url").to_pylist()
-    cfg = _crawl_cfg(w, "scale", seeds=seeds,
-                     wave_budget=len(seeds) + 1024, seeds_canonical=True)
+    # bulk-seed as a DATASET (round 3): seeding runs distributed and
+    # OVERLAPPED with the chunk loop — no driver-side 1M-url list
+    import ray.data as rd
+
+    url_tbl = w.pages.select(["url"])
+    step = 8192
+    seeds_ds = rd.from_arrow(
+        [url_tbl.slice(i, step) for i in range(0, len(url_tbl), step)])
+    cfg = _crawl_cfg(w, "scale", wave_budget=len(url_tbl) + 1024,
+                     seeds_canonical=True)
     out_dir = "/tmp/doonop_out/mega_probe"
     t0 = time.monotonic()
     crawler = RayCrawler(cfg, w.pages, w.images, w.robots_map(), out_dir,
                          world_seed=params.seed,
-                         img_bounds=(params.img_min, params.img_max))
+                         img_bounds=(params.img_min, params.img_max),
+                         seeds_ds=seeds_ds)
     stats = crawler.run()
     crawl_sec = time.monotonic() - t0
     print(json.dumps({
