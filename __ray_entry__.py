@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": text.deterministic_sample,
         "top_tokens": text.top_tokens,
         "doc_length_histogram": text.doc_length_histogram,
+        "curate_documents": text.curate_documents,
+        "sample_per_lang": text.sample_per_lang,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -366,6 +368,30 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
                        AS rolling_avg
             FROM events ORDER BY event_id
+        """,
+        "curate_documents": f"""
+            WITH s AS (
+                SELECT doc_id,
+                    CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens,
+                    CAST(len(regexp_extract_all(lower(text), '{STOP_PAT}')) AS BIGINT) AS n_stop,
+                    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS BIGINT) AS s_en,
+                    CAST(len(regexp_extract_all(lower(text), '\\b(der|und|die|das|ist)\\b')) AS BIGINT) AS s_de,
+                    CAST(len(regexp_extract_all(lower(text), '\\b(le|la|et|les|est)\\b')) AS BIGINT) AS s_fr,
+                    CAST(len(regexp_extract_all(lower(text), '\\b(el|la|de|que|es)\\b')) AS BIGINT) AS s_es,
+                    array_to_string(list_slice({_TOKENS}, 1, 3), ' ') AS k
+                FROM documents)
+            SELECT MIN(doc_id) AS doc_id FROM s
+            WHERE n_tokens BETWEEN 10 AND 1000 AND n_stop > 0
+              AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+            GROUP BY k ORDER BY 1
+        """,
+        "sample_per_lang": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY md5(text), doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 10 ORDER BY 1, 2
         """,
         "dedup_prefix": f"""
             SELECT MIN(doc_id) AS doc_id FROM (

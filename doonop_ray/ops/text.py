@@ -203,3 +203,75 @@ def doc_length_histogram(sf_dir: str, bucket: int = 100) -> pd.DataFrame:
         .to_pandas()
     )
     return finish(out, ["bucket"])
+
+
+def curate_documents(sf_dir: str) -> pd.DataFrame:
+    """The training-data CURATION pipeline end-to-end, composed from the
+    suite's own stages in ONE scan + one short-key shuffle: keep
+    documents that (a) pass the quality gate (10 <= tokens <= 1000 with
+    at least one stopword — ``quality_scores`` semantics), (b) are
+    English under the marker heuristic (``lang_guess`` semantics: en
+    wins ties), and (c) survive prefix dedup (min doc_id per first-3-
+    token key among the QUALIFYING docs — ``dedup_prefix`` semantics).
+    The filters run inside map_batches so only (doc_id, prefix-key)
+    survivors reach the ``grouped_aggregate`` shuffle."""
+    from .common import grouped_aggregate
+
+    def qualify(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        lt = pa.table({"low": low})
+        n_tokens = _count_re(t, "text", TOKEN_RE).to_numpy(zero_copy_only=False)
+        stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+        n_stop = _count_re(lt, "low", stop_pat).to_numpy(zero_copy_only=False)
+        scores = []
+        for _, words in LANG_MARKERS:
+            pat = r"\b(" + "|".join(words) + r")\b"
+            scores.append(_count_re(lt, "low", pat).to_numpy(zero_copy_only=False))
+        s = np.stack(scores)  # (4, n) — row 0 is en; first max wins
+        ok = ((n_tokens >= 10) & (n_tokens <= 1000) & (n_stop > 0)
+              & (np.argmax(s, axis=0) == 0))
+        toks = pc.split_pattern_regex(low, r"\W+").to_pylist()
+        keys = [" ".join([w for w in l if w][:3]) for l in toks]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "k": pa.array(keys, pa.string()),
+        }).filter(pa.array(ok))
+
+    keyed = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        qualify, batch_format="pyarrow")
+    out = (
+        grouped_aggregate(keyed, "k", [("doc_id", "min")])
+        .to_pandas()
+        .rename(columns={"doc_id_min": "doc_id"})[["doc_id"]]
+    )
+    return finish(out, ["doc_id"])
+
+
+def sample_per_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Deterministic STRATIFIED sample: the k docs per ``lang`` stratum
+    with the smallest (md5(text), doc_id) — reproducible on any engine
+    (the ROW_NUMBER-over-hash shape every training-data split uses).
+    Stratum cardinality grows with label space, so the per-stratum
+    top-k runs through ``grouped_apply``."""
+    import hashlib
+
+    from .common import grouped_apply
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode()).hexdigest()
+              for x in t["text"].to_pylist()]
+        return pa.table({"lang": t["lang"], "doc_id": t["doc_id"],
+                         "h": pa.array(hs, pa.string())})
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("h", "ascending"),
+                                            ("doc_id", "ascending")])
+        top = g.take(idx.slice(0, min(k, len(g))))
+        return top.select(["lang", "doc_id"])
+
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64())})
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        hash_rows, batch_format="pyarrow")
+    out = grouped_apply(ds, "lang", topk, empty).to_pandas()
+    return finish(out, ["lang", "doc_id"])
