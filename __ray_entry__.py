@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_median": windows.event_value_median,
         "events_rolling_avg": windows.events_rolling_avg,
         "events_windowed_p90": windows.events_windowed_p90,
+        "orders_cumulative_revenue": windows.orders_cumulative_revenue,
         "top_orders_per_customer": relational.top_orders_per_customer,
         # crawl engine (reference-semantics; rows-only — pinned vs the
         # workload.rs oracle in tests/test_crawler.py)
@@ -441,6 +442,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_consistency_violations": """
             SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE
+        """,
+        "orders_cumulative_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey
+                                           ROWS UNBOUNDED PRECEDING)
+                       AS cum_revenue
+            FROM orders ORDER BY 1, 2
         """,
         "events_windowed_p90": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

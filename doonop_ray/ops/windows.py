@@ -345,3 +345,34 @@ def events_windowed_p90(sf_dir: str) -> pd.DataFrame:
         bucket, batch_format="pyarrow")
     out = grouped_apply(ds, ["event_type", "hour"], p90, empty).to_pandas()
     return finish(out, ["event_type", "hour"])
+
+
+def orders_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
+    """Running total per customer: cumulative o_totalprice over each
+    customer's orders in (o_orderdate, o_orderkey) order — the classic
+    SUM() OVER (PARTITION BY ... ORDER BY ...) window, via
+    ``grouped_apply`` (customer cardinality grows with the corpus).
+    Both engines accumulate in the same fixed order, so the floats are
+    bit-identical — no rounding needed."""
+    import numpy as np
+
+    from .common import grouped_apply
+
+    def cum(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("o_orderdate", "ascending"),
+                                            ("o_orderkey", "ascending")])
+        g = g.take(idx)
+        run = np.cumsum(g["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "o_custkey": g["o_custkey"],
+            "o_orderkey": g["o_orderkey"],
+            "cum_revenue": pa.array(run, pa.float64()),
+        })
+
+    empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                      "o_orderkey": pa.array([], pa.int64()),
+                      "cum_revenue": pa.array([], pa.float64())})
+    ds = read(sf_dir, "orders",
+              ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    out = grouped_apply(ds, "o_custkey", cum, empty).to_pandas()
+    return finish(out, ["o_custkey", "o_orderkey"])
