@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly": relational.orders_monthly,
         "brand_price_stats": relational.brand_price_stats,
         "q7_volume_shipping": relational.q7_volume_shipping,
+        "customer_order_counts": relational.customer_order_counts,
         "q9_profit_by_nation": relational.q9_profit_by_nation,
         "revenue_by_order_priority": relational.revenue_by_order_priority,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
@@ -65,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": text.top_tokens,
         "doc_length_histogram": text.doc_length_histogram,
         "curate_documents": text.curate_documents,
+        "top_tokens_heavy_hitters": text.top_tokens_heavy_hitters,
         "sample_per_lang": text.sample_per_lang,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -308,6 +310,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
             FROM documents ORDER BY doc_id
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "top_tokens_heavy_hitters": f"""
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT unnest({_TOKENS}) AS token FROM documents)
+            GROUP BY 1 ORDER BY n DESC, token LIMIT 20
         """,
         "top_tokens": f"""
             SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (

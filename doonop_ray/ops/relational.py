@@ -654,3 +654,34 @@ def revenue_by_order_priority(sf_dir: str) -> pd.DataFrame:
     rev = np.asarray(out["revenue"], dtype=np.float64)
     out["revenue"] = np.sign(rev) * np.floor(np.abs(rev) + 0.5)
     return finish(out, ["o_orderpriority"])
+
+
+def customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """LEFT join shape at fact×fact scale: every customer with their
+    order count, INCLUDING zero-order customers. Orders pre-reduce to
+    one (custkey, n) row per key via ``grouped_aggregate``; customers
+    LEFT-``shuffle_join`` against it and nulls become zero — no
+    corpus-growing broadcast on either side."""
+    from .common import grouped_aggregate
+    from .join import shuffle_join
+
+    counts = grouped_aggregate(
+        read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            lambda t: pa.table({"key": t["o_custkey"]}),
+            batch_format="pyarrow"),
+        "key", [("key", "count")],
+    ).map_batches(
+        lambda t: pa.table({"key": t["key"],
+                            "n": pc.cast(t["key_count"], pa.int64())}),
+        batch_format="pyarrow")
+    cust = read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table({"key": t["c_custkey"]}), batch_format="pyarrow")
+    j = shuffle_join(cust, counts, "key", [], ["n"], "left",
+                     left_types={}, right_types={"n": pa.int64()},
+                     num_blocks=32)
+    out = j.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["key"],
+            "n_orders": pc.fill_null(t["n"], 0)}),
+        batch_format="pyarrow").to_pandas()
+    return finish(out, ["c_custkey"])

@@ -275,3 +275,68 @@ def sample_per_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
         hash_rows, batch_format="pyarrow")
     out = grouped_apply(ds, "lang", topk, empty).to_pandas()
     return finish(out, ["lang", "doc_id"])
+
+
+def top_tokens_heavy_hitters(sf_dir: str, k: int = 20,
+                             counters: int = 2000) -> pd.DataFrame:
+    """EXACT global top-k tokens via two passes — the 100 TB-safe heavy
+    hitters pattern: (1) per-batch Misra–Gries summaries (``counters``
+    counters each) merge on the driver into a candidate set that
+    provably contains every token with frequency > N/counters (ample
+    headroom over the Zipf top-k on any text corpus); (2) one scan
+    counts ONLY the broadcast candidates exactly, and the bounded-key
+    groupby + top-k finishes. Unlike ``top_tokens``'s full-vocabulary
+    ``grouped_aggregate``, nothing vocabulary-sized is ever shuffled."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def mg_summary(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        flat = pc.list_flatten(pc.split_pattern_regex(low, r"\W+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        counts: dict[str, int] = {}
+        for tok in flat.to_pylist():
+            if tok in counts:
+                counts[tok] += 1
+            elif len(counts) < counters:
+                counts[tok] = 1
+            else:  # decrement-all step, drop zeros
+                dead = []
+                for w in counts:
+                    counts[w] -= 1
+                    if counts[w] == 0:
+                        dead.append(w)
+                for w in dead:
+                    del counts[w]
+        return pa.table({"token": pa.array(list(counts), pa.string()),
+                         "weight": pa.array(list(counts.values()), pa.int64())})
+
+    summaries = read(sf_dir, "documents", ["text"]).map_batches(
+        mg_summary, batch_format="pyarrow").to_pandas()
+    # driver merge of per-batch summaries: O(batches × counters) rows
+    merged = summaries.groupby("token")["weight"].sum()
+    cand = pa.array(merged.sort_values(ascending=False).head(
+        counters).index.tolist(), pa.string())
+    cand_ref = ray.put(cand)
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        from .common import bcast_get
+
+        cand = bcast_get(cand_ref)
+        low = pc.utf8_lower(t["text"])
+        flat = pc.list_flatten(pc.split_pattern_regex(low, r"\W+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        flat = flat.filter(pc.is_in(flat, value_set=cand))
+        return pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")])
+
+    out = (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return out.reset_index(drop=True)
