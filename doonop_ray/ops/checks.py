@@ -134,20 +134,33 @@ def hll_accuracy_violations(sf_dir: str,
 
     approx = hll_distinct_users_per_type(sf_dir)
 
+    from ray.data.aggregate import Sum
+
+    from .common import grouped_aggregate
+
     def pairs(t: pa.Table) -> pa.Table:
         return t.group_by(["event_type", "user_id"],
                           use_threads=False).aggregate([])
 
-    # distinct (type, user) partials per batch, exact merge via a second
-    # distinct, then count per type (type cardinality is bounded)
-    df = (
+    # exact distinct (type, user) via grouped_aggregate (user cardinality
+    # grows with the corpus — nothing user-sized reaches the driver),
+    # then a bounded-key count per type
+    uniq = grouped_aggregate(
         read(sf_dir, "events", ["event_type", "user_id"])
-        .map_batches(pairs, batch_format="pyarrow")
-        .map_batches(pairs, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
-        .drop_duplicates()
+        .map_batches(pairs, batch_format="pyarrow"),
+        ["event_type", "user_id"], [("user_id", "count")],
     )
-    exact = df.groupby("event_type")["user_id"].nunique()
+    exact_df = (
+        uniq.map_batches(
+            lambda t: t.select(["event_type"]).group_by(
+                "event_type", use_threads=False).aggregate(
+                [([], "count_all")]),
+            batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    exact = exact_df.set_index("event_type")["n"]
     bad = []
     for _, row in approx.iterrows():
         ex = int(exact.get(row["event_type"], 0))
