@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_validate": flagship.image_validate,
         "image_phash_neardup": flagship.image_phash_neardup,
         "build_training_dataset": flagship.build_training_dataset,
+        "training_dataset_stats": flagship.training_dataset_stats,
     }
 
 

@@ -596,3 +596,53 @@ def build_training_dataset(sf_dir: str, out_root: str | None = None) -> pd.DataF
         "shard_id", write_shard, empty,
     ).to_pandas()
     return manifest.sort_values("shard").reset_index(drop=True)
+
+
+def training_dataset_stats(sf_dir: str) -> pd.DataFrame:
+    """CONSUMER of the crawl's end product: builds (or reuses) the
+    training dataset, reads the shards back distributed through the
+    Lance-seam reader (``io.ray_read``), and aggregates per-format
+    row counts + payload/pixel stats — the shape a training-side data
+    loader's sanity pass takes. Verifies end-product integrity: the
+    aggregated row count must equal the manifest's."""
+    import pyarrow as pa
+    import pyarrow.compute as pcmp
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..io import ray_read
+
+    tier = tier_of(sf_dir)
+    out_root = f"/tmp/doonop_out/training_{tier}_{os.getpid()}"
+    manifest_rows = None
+    if not os.path.isdir(out_root) or not any(
+            f.startswith("shard-") for f in os.listdir(out_root)):
+        manifest = build_training_dataset(sf_dir, out_root=out_root)
+        manifest_rows = int(manifest["rows"].sum())
+
+    def partial(t: pa.Table) -> pa.Table:
+        nbytes = pcmp.cast(pcmp.binary_length(t["bytes"]), pa.int64())
+        px = pcmp.multiply(pcmp.cast(t["w"], pa.int64()),
+                           pcmp.cast(t["h"], pa.int64()))
+        return pa.table({
+            "fmt": t["fmt"], "nbytes": nbytes, "px": px,
+        }).group_by("fmt").aggregate(
+            [("nbytes", "sum"), ("px", "sum"), ("px", "min"),
+             ("px", "max"), ("nbytes", "count")])
+
+    out = (
+        ray_read(out_root)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("nbytes_sum", alias_name="total_bytes"),
+            Sum("px_sum", alias_name="total_px"),
+            Min("px_min", alias_name="min_px"),
+            Max("px_max", alias_name="max_px"),
+            Sum("nbytes_count", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    if manifest_rows is not None:
+        assert int(out["n_rows"].sum()) == manifest_rows, \
+            "training dataset rows != manifest rows"
+    return out.sort_values("fmt", kind="mergesort").reset_index(drop=True)
