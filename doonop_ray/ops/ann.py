@@ -111,8 +111,7 @@ def _build_lsh_index(sf_dir: str, n_planes: int, seed: int,
 
     import ray
 
-    _, q1 = _queries(sf_dir, 1)  # dim probe (deterministic, distributed)
-    dim = q1.shape[1]
+    dim = _embedding_dim(sf_dir)
     planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
     ref = ray.put(planes)
 
@@ -203,19 +202,8 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
             }
         )
 
-    frames = []
-    for s in needed:
-        sig_dir = os.path.join(idx_dir, f"sig={s}")
-        if not os.path.isdir(sig_dir):
-            continue
-        frames.append(
-            rd.read_parquet(sig_dir, columns=["vec_id", "embedding"])
-            .map_batches(lambda t, s=s: partial(t, s),
-                         batch_format="pyarrow", batch_size=4096)
-            .to_pandas()
-        )
-    partials = pd.concat(frames, ignore_index=True) if frames else \
-        pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+    partials = _probe_partitions(
+        idx_dir, "sig", needed, partial, ["vec_id", "embedding"])
     rows = []
     for qid, g in partials.groupby("query_id"):
         top = heapq.nsmallest(min(k, len(g)), g.itertuples(index=False),
@@ -226,6 +214,62 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
     out = out.astype({"query_id": "int64", "rank": "int64",
                       "neighbor_id": "int64"})
     return finish(out, ["query_id", "rank"])
+
+
+def _probe_partitions(idx_dir: str, col: str, needed: list[int],
+                      partial, columns: list[str]) -> pd.DataFrame:
+    """Read a strict SUBSET of a hive-partitioned index (only the probed
+    ``col=value`` dirs) in ONE Ray pipeline — a blocking pipeline per
+    partition would serialize dozens of fixed pipeline overheads.
+    ``include_paths`` recovers each row's partition value; runs of equal
+    path inside a batch are sliced so ``partial(table, value)`` keeps
+    its per-partition contract."""
+    import os
+    import re
+
+    import pandas as pd_
+    import pyarrow as pa_
+    import ray.data as rd_
+
+    dirs = [os.path.join(idx_dir, f"{col}={v}") for v in needed]
+    files = [os.path.join(dp, f)
+             for d in dirs if os.path.isdir(d)
+             for dp, _, fs in os.walk(d)
+             for f in fs if f.endswith(".parquet")]
+    if not files:
+        return pd_.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+    pat = re.compile(rf"{col}=(\d+)")
+
+    def by_path(t: pa_.Table) -> pa_.Table:
+        paths = t["path"].to_pylist()
+        body = t.drop_columns(["path"])
+        if not paths:  # empty block: schema-preserving empty result
+            return partial(body, -1)
+        outs, start = [], 0
+        for i in range(1, len(paths) + 1):
+            if i == len(paths) or paths[i] != paths[start]:
+                v = int(pat.search(paths[start]).group(1))
+                outs.append(partial(body.slice(start, i - start), v))
+                start = i
+        return pa_.concat_tables(outs)
+
+    return (
+        rd_.read_parquet(files, columns=columns, include_paths=True)
+        .map_batches(by_path, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+
+
+def _embedding_dim(sf_dir: str) -> int:
+    """Vector dimension from ONE row-group read — a full distributed
+    scan just to learn the dim would be a wasted corpus pass."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    f = pq_.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    first = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first.column(0)[0])
 
 
 def _index_dir(kind: str, sf_dir: str, params: tuple) -> str:
@@ -405,21 +449,9 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
             }
         )
 
-    # probe ONLY the needed partitions — each cell dir is its own read
-    frames = []
-    for c in needed:
-        cell_dir = os.path.join(idx_dir, f"cell={c}")
-        if not os.path.isdir(cell_dir):
-            continue
-        part = (
-            rd.read_parquet(cell_dir, columns=["vec_id", "embedding"])
-            .map_batches(lambda t, c=c: partial(t, c),
-                         batch_format="pyarrow", batch_size=4096)
-            .to_pandas()
-        )
-        frames.append(part)
-    partials = pd.concat(frames, ignore_index=True) if frames else \
-        pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+    # probe ONLY the needed partitions (one pipeline over the subset)
+    partials = _probe_partitions(
+        idx_dir, "cell", needed, partial, ["vec_id", "embedding"])
     rows = []
     for qid, g in partials.groupby("query_id"):
         top = heapq.nsmallest(min(k, len(g)), g.itertuples(index=False),

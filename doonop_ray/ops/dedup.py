@@ -160,7 +160,8 @@ def minhash_lsh_pairs(
     2. ``grouped_apply`` over band buckets emits CANDIDATE pairs whose
        signature-estimated Jaccard clears ``threshold - 0.25`` (Chernoff
        at 64 perms: a true >=threshold pair fails that slack with
-       p < 4e-4, and only if ALL its colliding bands fail). The cap
+       p < 4e-4; the estimate is the same in every band, so this is a
+       single trial per pair, not per band). The cap
        order inside an over-full bucket mixes (band_hash, doc_id) so an
        exact-duplicate group larger than ``max_bucket`` rotates its
        survivors per band instead of losing the same tail in every band

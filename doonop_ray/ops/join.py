@@ -159,14 +159,13 @@ def shuffle_join(left, right, key: str, left_cols: list[str],
     # size), independent of corpus size, so they are joined driver-side
     # (a repartition(1) pipeline for this cost ~0.5 s of barrier overhead
     # per join; the driver concat is microseconds at any corpus scale)
-    import ray
     import ray.data as rd
 
-    edge_refs = sorted_ds.map_batches(
-        edges, batch_format="pyarrow", batch_size=None).to_arrow_refs()
-    # empty blocks come back schema-less — drop them before the concat
-    parts = [t for t in ray.get(edge_refs) if len(t)]
-    if not parts:
+    from .common import _collect_blocks
+
+    edge_tbl = _collect_blocks(
+        sorted_ds.map_batches(edges, batch_format="pyarrow",
+                              batch_size=None))
+    if edge_tbl is None:
         return interior_out
-    edge_tbl = pa.concat_tables(parts).combine_chunks()
     return interior_out.union(rd.from_arrow(join_block(edge_tbl)))

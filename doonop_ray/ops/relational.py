@@ -25,6 +25,15 @@ from datetime import datetime
 from .common import bcast_get, finish, r4, read, read_arrow
 
 
+def _ensure_cols(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
+    """An all-empty Ray result loses its schema in to_pandas (empty
+    blocks carry no columns); rebuild a typed empty frame so downstream
+    column access and the oracle compare see the declared schema."""
+    if len(df.columns):
+        return df
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+
+
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary with
     partial per-batch aggregation before the tiny groupby shuffle."""
@@ -124,6 +133,7 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
 
     out = joined.map_batches(
         block_agg_top10, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = _ensure_cols(out, {"key": "int64", "rev_sum": "float64"})
     out = out.rename(columns={"key": "l_orderkey", "rev_sum": "revenue"})
     out["revenue"] = r4(out["revenue"])
     out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
@@ -201,6 +211,7 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("rev_sum", alias_name="revenue"))
         .to_pandas()
     )
+    out = _ensure_cols(out, {"n_name": "str", "revenue": "float64"})
     out["revenue"] = r4(out["revenue"])
     return finish(out, ["n_name"])
 
@@ -516,6 +527,8 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
         .aggregate(Sum("volume_sum", alias_name="revenue"))
         .to_pandas()
     )
+    out = _ensure_cols(out, {"supp_nation": "str", "cust_nation": "str",
+                             "l_year": "int64", "revenue": "float64"})
     out["revenue"] = r4(out["revenue"])
     return finish(out, ["supp_nation", "cust_nation", "l_year"])
 
@@ -585,6 +598,8 @@ def q9_profit_by_nation(sf_dir: str, part_pattern: str = "red") -> pd.DataFrame:
         .aggregate(Sum("profit_sum", alias_name="sum_profit"))
         .to_pandas()
     )
+    out = _ensure_cols(out, {"nation": "str", "o_year": "int64",
+                             "sum_profit": "float64"})
     out["sum_profit"] = r4(out["sum_profit"])
     return finish(out, ["nation", "o_year"])
 

@@ -399,11 +399,20 @@ class RayCrawler:
         cfg = self.cfg
         seen, frontier = self.seen, self.frontier
         ns, nf = cfg.num_seen_shards, cfg.num_frontier_shards
+        # mirror the list-seeding guard: unless the caller declared the
+        # urls pre-canonical AND no filters are configured, every batch
+        # goes through the same clean pass (canonicalize + dedup +
+        # filter) the reference applies to seeds (cfg.rs:338-342)
+        clean_needed = not (cfg.seeds_canonical and not cfg.ignore_regexes
+                            and cfg.allow_domains is None)
+        filters = self.filters
 
         def seed_batch(t: pa.Table) -> pa.Table:
             import ray as _ray
 
             urls = t.column("url").to_pylist()
+            if clean_needed:
+                urls = clean_seeds(urls, filters)
             per_seen: list[list[str]] = [[] for _ in range(ns)]
             for u in urls:
                 per_seen[shard_of(u, ns)].append(u)

@@ -237,11 +237,16 @@ def flagship_crawl(sf_dir: str, out_dir: str | None = None,
         import shutil
 
         shutil.rmtree(out_dir)
-    reader = _ArtifactReader(out_dir, _ART_COLS).start()
+    # no incremental reader when the chunks carry the meta themselves —
+    # it would read (and hold) the whole artifact table a second time
+    want_reader = not cfg_kw.get("collect_artifact_meta", False)
+    reader = (_ArtifactReader(out_dir, _ART_COLS).start()
+              if want_reader else None)
     try:
         crawler, out_dir = _run_crawl(sf_dir, out_dir, bulk_seed, **cfg_kw)
     except BaseException:
-        reader._stop.set()
+        if reader is not None:
+            reader._stop.set()
         raise
     import pyarrow as pa
 
@@ -250,6 +255,12 @@ def flagship_crawl(sf_dir: str, out_dir: str | None = None,
         reader._stop.set()
         t = pa.concat_tables(meta)
     else:  # scale-safe default: the overlapped read of the partitioned output
+        if reader is None:
+            # meta was requested but the run produced none (e.g. a limit
+            # run falls back to wave mode): one-shot post-run scan
+            reader = _ArtifactReader(out_dir, _ART_COLS)
+            reader._stop.set()
+            reader._thread.start()
         t = reader.finish()
         if t is None:  # empty run: typed empty artifact table
             t = pa.table({
@@ -618,6 +629,16 @@ def training_dataset_stats(sf_dir: str) -> pd.DataFrame:
             f.startswith("shard-") for f in os.listdir(out_root)):
         manifest = build_training_dataset(sf_dir, out_root=out_root)
         manifest_rows = int(manifest["rows"].sum())
+    if not any(f.startswith("shard-") for f in os.listdir(out_root)):
+        # zero validated images: no shards to read — empty stats frame
+        return pd.DataFrame({
+            "fmt": pd.Series([], dtype="str"),
+            "total_bytes": pd.Series([], dtype="int64"),
+            "total_px": pd.Series([], dtype="int64"),
+            "min_px": pd.Series([], dtype="int64"),
+            "max_px": pd.Series([], dtype="int64"),
+            "n_rows": pd.Series([], dtype="int64"),
+        })
 
     def partial(t: pa.Table) -> pa.Table:
         nbytes = pcmp.cast(pcmp.binary_length(t["bytes"]), pa.int64())
