@@ -311,12 +311,27 @@ def top_tokens_heavy_hitters(sf_dir: str, k: int = 20,
         return pa.table({"token": pa.array(list(counts), pa.string()),
                          "weight": pa.array(list(counts.values()), pa.int64())})
 
+    from .common import grouped_aggregate
+
+    # merge the per-batch summaries DISTRIBUTED: the summary rows are
+    # batches × counters (not corpus-sized, but corpus-GROWING), so the
+    # weight sum runs through grouped_aggregate and only per-block
+    # top-`counters` partials reach the driver
     summaries = read(sf_dir, "documents", ["text"]).map_batches(
-        mg_summary, batch_format="pyarrow").to_pandas()
-    # driver merge of per-batch summaries: O(batches × counters) rows
-    merged = summaries.groupby("token")["weight"].sum()
-    cand = pa.array(merged.sort_values(ascending=False).head(
-        counters).index.tolist(), pa.string())
+        mg_summary, batch_format="pyarrow")
+    merged = grouped_aggregate(summaries, "token", [("weight", "sum")])
+
+    def block_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("weight_sum", "descending"),
+                                            ("token", "ascending")])
+        return t.take(idx.slice(0, min(counters, len(t))))
+
+    tops = merged.map_batches(
+        block_top, batch_format="pyarrow", batch_size=None).to_pandas()
+    cand = pa.array(
+        tops.sort_values(["weight_sum", "token"], ascending=[False, True],
+                         kind="mergesort").head(counters)["token"].tolist(),
+        pa.string())
     cand_ref = ray.put(cand)
 
     def exact_counts(t: pa.Table) -> pa.Table:
