@@ -260,8 +260,27 @@ def sample_per_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
     def hash_rows(t: pa.Table) -> pa.Table:
         hs = [hashlib.md5(x.encode()).hexdigest()
               for x in t["text"].to_pylist()]
-        return pa.table({"lang": t["lang"], "doc_id": t["doc_id"],
-                         "h": pa.array(hs, pa.string())})
+        t = pa.table({"lang": t["lang"], "doc_id": t["doc_id"],
+                      "h": pa.array(hs, pa.string())})
+        # per-batch PARTIAL top-k per stratum: the global top-k per lang
+        # is a subset of every batch's local top-k, so the stratum
+        # shuffle carries only blocks × langs × k rows, not the corpus
+        idx = pc.sort_indices(t, sort_keys=[("lang", "ascending"),
+                                            ("h", "ascending"),
+                                            ("doc_id", "ascending")])
+        t = t.take(idx)
+        lang = t["lang"].combine_chunks()
+        n = len(t)
+        if n == 0:
+            return t
+        change = np.concatenate((
+            [True], np.asarray(pc.not_equal(lang.slice(1),
+                                            lang.slice(0, n - 1)),
+                               dtype=bool)))
+        group_start = np.maximum.accumulate(
+            np.where(change, np.arange(n), 0))
+        rank = np.arange(n) - group_start
+        return t.filter(pa.array(rank < k))
 
     def topk(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=[("h", "ascending"),
