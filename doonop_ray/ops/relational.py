@@ -217,10 +217,24 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
 
 def top_orders_by_value(sf_dir: str) -> pd.DataFrame:
-    """Global sort + limit (ds.sort is the shuffle; result is tiny)."""
-    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
-    return out.to_pandas()
+    """Global top-10 via per-block PARTIAL top-k + a tiny driver merge —
+    a full ds.sort for a bounded result is an all-to-all the operator
+    doesn't need (the global top-k is a subset of every block's local
+    top-k)."""
+
+    def block_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("o_totalprice", "descending"),
+                                            ("o_orderkey", "ascending")])
+        return t.take(idx.slice(0, min(10, len(t))))
+
+    out = (
+        read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(block_top, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    out = out.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(10)
+    return out.reset_index(drop=True)
 
 
 def filter_parts_regex(sf_dir: str) -> pd.DataFrame:

@@ -153,8 +153,18 @@ def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     partials = read(sf_dir, "documents", ["text"]).map_batches(
         partial, batch_format="pyarrow")
+    merged = grouped_aggregate(partials, "token", [("count_all", "sum")])
+
+    def block_top(t: pa.Table) -> pa.Table:
+        # per-block partial top-k: the vocabulary-sized aggregate never
+        # reaches the driver (blocks × k rows do)
+        idx = pc.sort_indices(t, sort_keys=[("count_all_sum", "descending"),
+                                            ("token", "ascending")])
+        return t.take(idx.slice(0, min(k, len(t))))
+
     out = (
-        grouped_aggregate(partials, "token", [("count_all", "sum")])
+        merged.map_batches(block_top, batch_format="pyarrow",
+                           batch_size=None)
         .to_pandas()
         .rename(columns={"count_all_sum": "n"})
     )
