@@ -325,29 +325,31 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
 
 
 def customers_no_recent_orders(sf_dir: str) -> pd.DataFrame:
-    """Broadcast ANTI-join (ray_guide "Semi / anti join"): customers with
-    no order on/after 2000-01-01 — the order-key set broadcasts once via
-    ray.put and each customer batch filters against it (no shuffle)."""
-    import ray
+    """ANTI-join at fact×fact scale: customers with no order on/after
+    2000-01-01. The recent-order custkey side grows with the corpus, so
+    it goes through ``shuffle_join`` (semi/anti tolerate duplicate right
+    keys — no distinct pass needed) instead of a ray.put broadcast."""
+    from .join import shuffle_join
 
-    orders = read_arrow(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-    recent = pc.filter(
-        orders["o_custkey"],
-        pc.greater_equal(orders["o_orderdate"], pa.scalar(datetime(2000, 1, 1))),
-    )
-    keys_ref = ray.put(pc.unique(recent.combine_chunks()))
-
-    def anti(t: pa.Table) -> pa.Table:
-        keys = bcast_get(keys_ref)
-        return t.filter(
-            pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
-        )
-
-    out = (
-        read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
-        .map_batches(anti, batch_format="pyarrow")
-        .to_pandas()
-    )
+    recent = read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"key": t.filter(pc.greater_equal(
+            t["o_orderdate"], pa.scalar(datetime(2000, 1, 1))))["o_custkey"]}),
+        batch_format="pyarrow")
+    cust = read(sf_dir, "customer",
+                ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"key": t["c_custkey"], "c_name": t["c_name"],
+                            "c_mktsegment": t["c_mktsegment"]}),
+        batch_format="pyarrow")
+    out = shuffle_join(
+        cust, recent, "key", ["c_name", "c_mktsegment"], [], "anti",
+        left_types={"c_name": pa.string(), "c_mktsegment": pa.string()},
+        right_types={}, num_blocks=32,
+    ).map_batches(
+        lambda t: pa.table({"c_custkey": t["key"], "c_name": t["c_name"],
+                            "c_mktsegment": t["c_mktsegment"]}),
+        batch_format="pyarrow").to_pandas()
+    out = _ensure_cols(out, {"c_custkey": "int64", "c_name": "str",
+                             "c_mktsegment": "str"})
     return finish(out, ["c_custkey"])
 
 
@@ -385,25 +387,30 @@ def region_customer_rollup(sf_dir: str) -> pd.DataFrame:
 
 
 def semi_join_recent_customers(sf_dir: str) -> pd.DataFrame:
-    """Broadcast SEMI join: customers with at least one order on/after
-    2000-01-01 (the positive twin of customers_no_recent_orders)."""
-    import ray
+    """SEMI join at fact×fact scale: customers with at least one order
+    on/after 2000-01-01 (the positive twin of
+    customers_no_recent_orders; same shuffle shape, same reason)."""
+    from .join import shuffle_join
 
-    orders = read_arrow(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-    recent = pc.filter(
-        orders["o_custkey"],
-        pc.greater_equal(orders["o_orderdate"], pa.scalar(datetime(2000, 1, 1))),
-    )
-    keys_ref = ray.put(pc.unique(recent.combine_chunks()))
-
-    def semi(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["c_custkey"], value_set=bcast_get(keys_ref)))
-
-    out = (
-        read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
-        .map_batches(semi, batch_format="pyarrow")
-        .to_pandas()
-    )
+    recent = read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"key": t.filter(pc.greater_equal(
+            t["o_orderdate"], pa.scalar(datetime(2000, 1, 1))))["o_custkey"]}),
+        batch_format="pyarrow")
+    cust = read(sf_dir, "customer",
+                ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"key": t["c_custkey"], "c_name": t["c_name"],
+                            "c_mktsegment": t["c_mktsegment"]}),
+        batch_format="pyarrow")
+    out = shuffle_join(
+        cust, recent, "key", ["c_name", "c_mktsegment"], [], "semi",
+        left_types={"c_name": pa.string(), "c_mktsegment": pa.string()},
+        right_types={}, num_blocks=32,
+    ).map_batches(
+        lambda t: pa.table({"c_custkey": t["key"], "c_name": t["c_name"],
+                            "c_mktsegment": t["c_mktsegment"]}),
+        batch_format="pyarrow").to_pandas()
+    out = _ensure_cols(out, {"c_custkey": "int64", "c_name": "str",
+                             "c_mktsegment": "str"})
     return finish(out, ["c_custkey"])
 
 
