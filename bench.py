@@ -44,6 +44,7 @@ def _init_ray(num_cpus: int):
 OPS_BENCH = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_revenue_by_nation",
     "token_counts",
     "dedup_exact",
     "minhash_lsh_pairs",
@@ -51,6 +52,8 @@ OPS_BENCH = [
     "ann_topk_cosine",
     "events_hourly",
     "user_sessions",
+    "curate_documents",
+    "top_tokens_heavy_hitters",
 ]
 
 
