@@ -266,3 +266,20 @@ def test_shuffle_join_hot_key_straddles_many_blocks(ray_session):
     assert sorted(inner[inner["key"] == 0]["lv"]) == list(range(n_hot))
     anti = shuffle_join(left, right, "key", ["lv"], [], "anti").to_pandas()
     assert len(anti) == 99  # keys 1..100 minus key 7
+
+
+def test_shuffle_join_inner_takes_first_right_match(ray_session):
+    """Documented contract: inner/left assume a unique-keyed right side;
+    with duplicates, pc.index_in semantics (FIRST match in the block's
+    right-row order) apply rather than a cross-product — pin it so a
+    future rewrite doesn't silently change to many-to-many."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.join import shuffle_join
+
+    left = rd.from_arrow(pa.table({"key": [1, 2], "lv": [10, 20]}))
+    right = rd.from_arrow(pa.table({"key": [1, 1, 3], "rv": [7, 8, 9]}))
+    got = shuffle_join(left, right, "key", ["lv"], ["rv"], "inner").to_pandas()
+    assert len(got) == 1  # key 1 only, one row (no cross product)
+    assert got.iloc[0]["key"] == 1 and got.iloc[0]["rv"] in (7, 8)
