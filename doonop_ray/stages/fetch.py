@@ -309,13 +309,18 @@ class Validator:
         blobs: list[bytes | None] = [None] * n
 
         src_idx = np.asarray(idx.fill_null(0))
+        # batch-convert the metadata columns once instead of per-row
+        # .as_py() calls (small but free win at 512-row chunks)
+        fmt_l = row_fmt.to_pylist()
+        cap_l = row_cap.to_pylist()
+        ph_l = row_ph.to_pylist()
         for i in np.flatnonzero(valid):
             iid = ids[i]
             j = self._blob_base + int(src_idx[i])
             blob = self._blob_mv[self._blob_off[j] : self._blob_off[j + 1]]
-            fmt = row_fmt[i].as_py()
-            caption = row_cap[i].as_py()
-            ph = row_ph[i].as_py()
+            fmt = fmt_l[i]
+            caption = cap_l[i]
+            ph = ph_l[i]
             try:
                 pix = self._decode(blob, fmt)
             except Exception:
