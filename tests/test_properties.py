@@ -283,3 +283,28 @@ def test_shuffle_join_inner_takes_first_right_match(ray_session):
     got = shuffle_join(left, right, "key", ["lv"], ["rv"], "inner").to_pandas()
     assert len(got) == 1  # key 1 only, one row (no cross product)
     assert got.iloc[0]["key"] == 1 and got.iloc[0]["rv"] in (7, 8)
+
+
+@given(keyed_tables())
+@settings(max_examples=8, deadline=None)
+def test_grouped_aggregate_string_keys_match_pandas(ray_session, data):
+    """The dedup family groups on string digests — pin the grouping
+    primitives on string keys too (int-only coverage before)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.common import grouped_aggregate
+
+    keys, vals, blocks = data
+    skeys = np.array([f"k{k:05d}" for k in keys])
+    ds = rd.from_arrow(pa.table({"k": skeys, "v": vals})).repartition(blocks)
+    got = (
+        grouped_aggregate(ds, "k", [("v", "sum"), ("v", "count")])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = (pd.DataFrame({"k": skeys, "v": vals}).groupby("k")
+           .agg(v_sum=("v", "sum"), v_count=("v", "count")).reset_index())
+    assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (got["v_sum"].to_numpy() == exp["v_sum"].to_numpy()).all()
+    assert (got["v_count"].to_numpy() == exp["v_count"].to_numpy()).all()

@@ -308,3 +308,45 @@ def test_flagship_limit_run_reads_wave_output(ray_session):
     assert len(df) > 0
     t = pq.read_table(out, columns=["url"])
     assert set(df["url"]) == set(t.column("url").to_pylist())
+
+
+def test_read_table_auto_formats_agree(ray_session, tmp_path):
+    """The jsonl/csv source paths must produce the same rows + schema as
+    the parquet reference (operators downstream are format-agnostic)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doonop_ray.sources.tables import read_table_auto, sniff_format
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"]).slice(0, 50)
+    ref_schema = src.schema
+
+    pq_path = str(tmp_path / "docs.parquet")
+    pq.write_table(src, pq_path)
+    jl_path = str(tmp_path / "docs.jsonl")
+    df = src.to_pandas()
+    df.to_json(jl_path, orient="records", lines=True)
+    csv_path = str(tmp_path / "docs.csv")
+    df.to_csv(csv_path, index=False)
+
+    assert sniff_format(pq_path) == "parquet"
+    assert sniff_format(jl_path) == "jsonl"
+    assert sniff_format(csv_path) == "csv"
+
+    base = read_table_auto(pq_path).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    for p in (jl_path, csv_path):
+        got = read_table_auto(
+            p, columns=["doc_id", "lang", "n_chars"], schema=ref_schema
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(base), p
+
+    # extensionless content sniffing
+    import shutil
+
+    noext = str(tmp_path / "blob")
+    shutil.copy(jl_path, noext)
+    assert sniff_format(noext) == "jsonl"
+    shutil.copy(pq_path, noext)
+    assert sniff_format(noext) == "parquet"
