@@ -45,6 +45,11 @@ def read_table_auto(path: str, columns: list[str] | None = None,
     int64 when the parquet uses int32) via one vectorized cast per
     batch; ``columns`` prunes at the read where the format supports it
     (parquet) or right after (jsonl/csv).
+
+    Timestamp caveat: export timestamps as ISO-8601 STRINGS (both
+    readers parse those correctly). An epoch-integer column cast to
+    timestamp would be interpreted in the TARGET unit — silently wrong
+    by the unit ratio — so no implicit epoch handling is attempted.
     """
     import pyarrow as pa
     import ray.data as rd

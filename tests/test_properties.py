@@ -308,3 +308,31 @@ def test_grouped_aggregate_string_keys_match_pandas(ray_session, data):
     assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
     assert (got["v_sum"].to_numpy() == exp["v_sum"].to_numpy()).all()
     assert (got["v_count"].to_numpy() == exp["v_count"].to_numpy()).all()
+
+
+@given(join_inputs())
+@settings(max_examples=6, deadline=None)
+def test_shuffle_join_string_keys_match_pandas(ray_session, data):
+    """Join on string keys (digest-keyed dedup shapes) — int-only
+    coverage before."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.join import shuffle_join
+
+    lkeys, lvals, rkeys, rvals, blocks = data
+    ls = np.array([f"k{k:05d}" for k in lkeys])
+    rs = np.array([f"k{k:05d}" for k in rkeys])
+    left = rd.from_arrow(pa.table({"key": ls, "lv": lvals})).repartition(blocks)
+    right = rd.from_arrow(pa.table({"key": rs, "rv": rvals}))
+    got = shuffle_join(left, right, "key", ["lv"], ["rv"], "inner").to_pandas()
+    if not len(got.columns):
+        got = pd.DataFrame({"key": [], "lv": [], "rv": []})
+    got = got.sort_values(["key", "lv"], kind="mergesort").reset_index(drop=True)
+    exp = pd.DataFrame({"key": ls, "lv": lvals}).merge(
+        pd.DataFrame({"key": rs, "rv": rvals}), on="key", how="inner")
+    exp = exp.sort_values(["key", "lv"], kind="mergesort").reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ("key", "lv", "rv"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
