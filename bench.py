@@ -149,11 +149,28 @@ def run_scaling(sf_dir: str) -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    # Null-hypothesis ceiling, bracketing the crawl runs: what efficiency
+    # does this box give zero-communication, zero-shared-state work at the
+    # same two widths and the same core-pinning protocol?  The sandbox's
+    # vCPUs are not 4x-linear (host oversubscription — even a tight
+    # pure-Python scalar loop lands 0.52-0.79 across sessions), so the
+    # crawl's efficiency is reported both raw and relative to the
+    # machine's contemporaneous ceiling.  Probing before AND after the
+    # crawl children brackets the host's load drift; any single probe is
+    # an underestimate of the hardware ceiling, so take the max.
+    # See tools/machine_ceiling.py.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from machine_ceiling import probe
+
+    ceil_pre = probe(reps=3, small=lo, large=hi)
     r_lo = child(lo)
     r_hi = child(hi)
     tput_lo = r_lo["pages_per_sec"]
     tput_hi = r_hi["pages_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
+    ceil_post = probe(reps=3, small=lo, large=hi)
+    ceil = ceil_pre if ceil_pre["ceiling"] >= ceil_post["ceiling"] else ceil_post
+    ceil = dict(ceil, pre=ceil_pre["ceiling"], post=ceil_post["ceiling"])
     return {
         "metric": "crawl_scaling_efficiency (8 -> 32 cpus, fresh processes)",
         "value": round(eff, 3),
@@ -164,6 +181,8 @@ def run_scaling(sf_dir: str) -> dict:
         "pages_per_sec_32": tput_hi,
         "world_pages": r_hi["world_pages"],
         "sf": r_hi["sf"],
+        "machine_ceiling": ceil,
+        "efficiency_vs_ceiling": round(eff / ceil["ceiling"], 3),
     }
 
 
