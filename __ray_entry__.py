@@ -33,8 +33,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from doonop_ray.ops import (ann, checks, dedup, multimodal, relational,
-                                sketches, streaming, text, windows)
+    from doonop_ray.ops import (ann, bucket, checks, dedup, multimodal,
+                                relational, sketches, streaming, text,
+                                windows)
     from doonop_ray.pipelines import flagship
 
     return {
@@ -54,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_price_stats": relational.brand_price_stats,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "customer_order_counts": relational.customer_order_counts,
+        "order_revenue_by_segment_bucketed":
+            bucket.order_revenue_by_segment_bucketed,
         "q9_profit_by_nation": relational.q9_profit_by_nation,
         "revenue_by_order_priority": relational.revenue_by_order_priority,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
@@ -315,6 +318,13 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": """
             SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "order_revenue_by_segment_bucketed": """
+            SELECT c_mktsegment AS segment,
+                   ROUND(SUM(o_totalprice)) AS total_revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1 ORDER BY 1
         """,
         "top_tokens_heavy_hitters": f"""
