@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
+        "neardup_dedup_corpus": dedup.neardup_dedup_corpus,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
@@ -356,6 +357,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
             SELECT a AS doc_id, MIN(b) AS component
             FROM reach GROUP BY a ORDER BY a
+        """,
+        "neardup_dedup_corpus": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(lower(text), '\w+')) AS toks
+                FROM documents WHERE doc_id < 200),
+            pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.toks, b.toks)) * 1.0 /
+                      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8),
+            edges AS (
+                SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+                UNION SELECT doc_id, doc_id FROM t),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            comp AS (
+                SELECT a AS doc_id, MIN(b) AS component
+                FROM reach GROUP BY a)
+            SELECT d.doc_id, d.lang FROM documents d
+            JOIN comp c ON d.doc_id = c.doc_id
+            WHERE c.doc_id = c.component ORDER BY 1
         """,
         "ngram_jaccard_pairs": r"""
             WITH t AS (SELECT doc_id,

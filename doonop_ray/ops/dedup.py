@@ -559,6 +559,34 @@ def neardup_components(sf_dir: str, threshold: float = 0.8,
     return finish(out, ["doc_id"])
 
 
+def neardup_dedup_corpus(sf_dir: str, threshold: float = 0.8,
+                         max_doc_id: int = 200) -> pd.DataFrame:
+    """End-to-end near-duplicate corpus dedup — the composition a
+    training-data pipeline actually runs: near-dup graph → connected
+    components → keep ONE representative per cluster (the min-doc_id
+    label) → emit the surviving documents.
+
+    The survivor set is component representatives, bounded by
+    ``max_doc_id`` (same exactness-window contract as
+    ``ngram_jaccard_pairs``), so it rides the final filter's closure as
+    a tiny value_set; the corpus scan stays a streaming map_batches
+    filter. At 100 TB swap the edge source for ``minhash_lsh_pairs``
+    and the survivor filter for a semi ``shuffle_join``/``bucketed_join``
+    on doc_id — same shape, unbounded survivors.
+    """
+    comp = neardup_components(sf_dir, threshold, max_doc_id)
+    keep = pa.array(
+        comp.loc[comp["doc_id"] == comp["component"], "doc_id"].to_numpy(),
+        pa.int64(),
+    )
+    docs = read(sf_dir, "documents", ["doc_id", "lang"])
+    out = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=keep)),
+        batch_format="pyarrow",
+    )
+    return finish(out.to_pandas().astype({"doc_id": "int64"}), ["doc_id"])
+
+
 def dedup_keep_best(sf_dir: str) -> pd.DataFrame:
     """Policy dedup: within each first-3-token prefix group keep the
     BEST doc (max n_chars, doc_id tiebreak) — the keep-highest-quality

@@ -129,6 +129,17 @@ def test_neardup_components_transitive(entrymod, ray_session):
     assert (comp.index >= comp.values).all()
 
 
+def test_neardup_dedup_corpus_keeps_one_per_component(entrymod, ray_session):
+    from doonop_ray.ops.dedup import neardup_components, neardup_dedup_corpus
+
+    comp = neardup_components(SF)
+    survivors = neardup_dedup_corpus(SF)
+    # exactly the component representatives (min doc_id labels) survive
+    reps = sorted(comp["component"].unique())
+    assert list(survivors["doc_id"]) == reps
+    assert set(survivors.columns) == {"doc_id", "lang"}
+
+
 def test_hll_accuracy_vs_exact(entrymod, duck, ray_session):
     from doonop_ray.ops.sketches import hll_distinct_users_per_type
 
