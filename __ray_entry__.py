@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": text.doc_length_histogram,
         "curate_documents": text.curate_documents,
         "top_tokens_heavy_hitters": text.top_tokens_heavy_hitters,
+        "contamination_check": text.contamination_check,
         "sample_per_lang": text.sample_per_lang,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -281,6 +282,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "contamination_check": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\w+') AS toks
+                FROM documents),
+            grams AS (
+                SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks)-2)) AS i FROM tok)),
+            test AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+            SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM test)
+            ORDER BY doc_id
         """,
         "quality_scores": rf"""
             WITH t AS (

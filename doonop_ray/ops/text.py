@@ -384,3 +384,83 @@ def top_tokens_heavy_hitters(sf_dir: str, k: int = 20,
     out = out.sort_values(["n", "token"], ascending=[False, True],
                           kind="mergesort").head(k)
     return out.reset_index(drop=True)
+
+
+def _word_ngrams(t: pa.Table, n: int):
+    """Vectorized word n-grams: (row_index, gram_string) flat arrays.
+
+    Tokens flatten once per batch; gram strings are built by n-1
+    elementwise object-array concatenations over shifted views (no
+    per-row Python loop). Windows that straddle two documents are
+    masked out via ``list_parent_indices`` equality.
+    """
+    low = pc.utf8_lower(t["text"])
+    lists = pc.split_pattern_regex(low, r"\W+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parent = parent.filter(mask)
+    toks = np.asarray(flat.to_pylist(), dtype=object)
+    par = np.asarray(parent)
+    if len(toks) < n:
+        return np.empty(0, np.int64), np.empty(0, object)
+    m = len(toks) - n + 1
+    valid = par[:m] == par[n - 1:]
+    g = toks[:m].copy()
+    for k in range(1, n):
+        g = g + " "
+        g = g + toks[k:m + k]
+    return par[:m][valid].astype(np.int64), g[valid]
+
+
+def contamination_check(sf_dir: str, n: int = 4,
+                        holdout_mod: int = 10) -> pd.DataFrame:
+    """Train/test contamination detection — the pre-training hygiene
+    gate: which TRAIN documents share any word ``n``-gram with the
+    held-out evaluation set (``doc_id % holdout_mod == 0``)?
+
+    Scale shape (the standard production decomposition): the holdout
+    set is small BY CONSTRUCTION (an eval set), so its distinct-gram
+    set is collected once (per-batch unique pre-trim → driver unique)
+    and broadcast via ``ray.put``; the train corpus then streams
+    through one vectorized map_batches membership scan
+    (``pc.is_in`` against the broadcast value_set) — no shuffle, no
+    train-side materialization. Per-batch doc_id uniqueness is global
+    uniqueness because a document's grams never split across batches.
+    """
+    import ray
+
+    from .common import bcast_get
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hold_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(ids % holdout_mod == 0))
+        if len(sub) == 0:
+            return pa.table({"g": pa.array([], pa.string())})
+        _, grams = _word_ngrams(sub, n)
+        return pa.table({"g": pa.array(np.unique(grams), pa.string())})
+
+    hold = docs.map_batches(hold_partial, batch_format="pyarrow").to_pandas()
+    gset = pa.array(pd.unique(hold["g"]), pa.string())
+    gref = ray.put(gset)
+
+    def scan(t: pa.Table) -> pa.Table:
+        vs = bcast_get(gref)
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(ids % holdout_mod != 0))
+        empty = pa.table({"doc_id": pa.array([], pa.int64())})
+        if len(sub) == 0:
+            return empty
+        didx, grams = _word_ngrams(sub, n)
+        if len(grams) == 0:
+            return empty
+        hit = pc.is_in(pa.array(grams, pa.string()), value_set=vs)
+        hitm = hit.to_numpy(zero_copy_only=False)
+        cids = np.unique(sub["doc_id"].to_numpy()[didx[hitm]])
+        return pa.table({"doc_id": pa.array(cids, pa.int64())})
+
+    out = docs.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return finish(out.astype({"doc_id": "int64"}), ["doc_id"])

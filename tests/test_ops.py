@@ -39,7 +39,7 @@ SQL_QUERIES = [
     "events_sliding_counts", "events_last_order", "event_value_median",
     "top_orders_per_customer", "ngram_jaccard_pairs", "deterministic_sample",
     "neardup_components", "customers_no_recent_orders", "dedup_keep_best",
-    "events_rolling_avg",
+    "events_rolling_avg", "contamination_check",
 ]
 
 
@@ -138,6 +138,16 @@ def test_neardup_dedup_corpus_keeps_one_per_component(entrymod, ray_session):
     reps = sorted(comp["component"].unique())
     assert list(survivors["doc_id"]) == reps
     assert set(survivors.columns) == {"doc_id", "lang"}
+
+
+def test_contamination_check_excludes_holdout(entrymod, ray_session):
+    from doonop_ray.ops.text import contamination_check
+
+    got = contamination_check(SF)
+    # the holdout set itself is never reported as contaminated, and the
+    # synthetic corpus has real 4-gram overlap to detect
+    assert len(got) > 0
+    assert (got["doc_id"] % 10 != 0).all()
 
 
 def test_hll_accuracy_vs_exact(entrymod, duck, ray_session):
