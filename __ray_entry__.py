@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_heavy_hitters": text.top_tokens_heavy_hitters,
         "contamination_check": text.contamination_check,
         "sample_per_lang": text.sample_per_lang,
+        "train_val_test_split": text.train_val_test_split,
+        "boilerplate_segments": text.boilerplate_segments,
+        "tfidf_top_terms": text.tfidf_top_terms,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -96,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_accuracy_violations": checks.hll_accuracy_violations,
         "simhash_consistency_violations":
             checks.simhash_consistency_violations,
+        "minhash_precision_violations":
+            checks.minhash_precision_violations,
+        "ann_ivf_recall_violations": checks.ann_ivf_recall_violations,
+        "phash_pair_violations": checks.phash_pair_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -505,6 +512,79 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_consistency_violations": """
             SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE
+        """,
+        "minhash_precision_violations": """
+            SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b
+            WHERE FALSE
+        """,
+        "ann_ivf_recall_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS metric,
+                   CAST(NULL AS DOUBLE) AS value
+            WHERE FALSE
+        """,
+        "phash_pair_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b
+            WHERE FALSE
+        """,
+        "train_val_test_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b'
+                            THEN 'train'
+                        WHEN substr(md5(text), 1, 1) IN ('c', 'd')
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        "boilerplate_segments": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\w+') AS ts
+                FROM documents),
+            gidx AS (
+                SELECT doc_id, ts,
+                       unnest(generate_series(
+                           0, CAST(len(ts) // 3 AS BIGINT) - 1)) AS g
+                FROM toks),
+            segs AS (
+                SELECT doc_id,
+                       array_to_string(ts[(g*3+1):(g*3+3)], ' ') AS k
+                FROM gidx),
+            dfq AS (SELECT k, count(DISTINCT doc_id) AS nd
+                    FROM segs GROUP BY k),
+            boiler AS (SELECT k FROM dfq WHERE nd >= 3),
+            tot AS (SELECT doc_id, count(*) AS n_segments
+                    FROM segs GROUP BY doc_id),
+            nb AS (SELECT s.doc_id, count(*) AS n_boiler
+                   FROM segs s JOIN boiler b ON s.k = b.k
+                   GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(t.n_segments, 0) AS n_segments,
+                   COALESCE(nb.n_boiler, 0) AS n_boiler
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN nb USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+                FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(DISTINCT doc_id) AS df
+                    FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+                       ROUND(tf.tf * ln(n.n / dfq.df), 4) AS tfidf,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, dfq.df ASC, tf.tok ASC
+                       ) AS rnk
+                FROM tf JOIN dfq USING (tok), n)
+            SELECT doc_id, tok, tf, df, tfidf, rnk
+            FROM scored WHERE rnk <= 5 ORDER BY doc_id, rnk
         """,
         "orders_cumulative_revenue": """
             SELECT o_custkey, o_orderkey,

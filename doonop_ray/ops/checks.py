@@ -96,6 +96,114 @@ def ann_lsh_rank_violations(sf_dir: str, k: int = 10,
                   ["query_id", "rank"])
 
 
+def minhash_precision_violations(
+        sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Every pair emitted by ``minhash_lsh_pairs`` must have exact
+    shingle-set Jaccard >= threshold (LSH banding affects recall only;
+    the exact-verify stage guarantees PRECISION). Recomputed here with
+    an INDEPENDENT shingler — raw 3-token string shingles via a regex
+    tokenizer, no blake2b hashing, so even a hash-collision-inflated
+    Jaccard in the pipeline would be caught. Returns the violating
+    pairs — expected empty."""
+    import re
+
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(sf_dir, threshold)
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64")})
+    if pairs.empty:
+        return empty
+    ids = set(pairs["a"]) | set(pairs["b"])
+    id_arr = pa.array(sorted(int(i) for i in ids), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["doc_id"], value_set=id_arr))
+
+    df = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def shingles(text: str) -> set:
+        toks = tok_re.findall(text.lower())
+        if len(toks) < 3:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {int(d): shingles(x) for d, x in zip(df["doc_id"], df["text"])}
+    bad_a, bad_b = [], []
+    for a, b in zip(pairs["a"], pairs["b"]):
+        sa, sb = sh[int(a)], sh[int(b)]
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 1.0
+        if j < threshold:
+            bad_a.append(int(a))
+            bad_b.append(int(b))
+    return finish(pd.DataFrame({"a": pd.Series(bad_a, dtype="int64"),
+                                "b": pd.Series(bad_b, dtype="int64")}),
+                  ["a", "b"])
+
+
+def ann_ivf_recall_violations(sf_dir: str, k: int = 10, n_queries: int = 5,
+                              floor: float = 0.3) -> pd.DataFrame:
+    """IVF recall gate: overall recall@k of ``ann_topk_ivf`` against the
+    exact brute-force baseline (``ann_topk_cosine`` — a disjoint code
+    path: broadcast matmul partial-top-k, no index) must be >= ``floor``
+    (the tests' pin for 4/16 probed cells on random vectors). Returns a
+    single (metric, value) row when violated — expected empty."""
+    from .ann import ann_topk_cosine, ann_topk_ivf
+
+    exact = ann_topk_cosine(sf_dir, k=k, n_queries=n_queries)
+    approx = ann_topk_ivf(sf_dir, k=k, n_queries=n_queries)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = (len(e & a) / len(e)) if e else 1.0
+    if recall >= floor:
+        return pd.DataFrame({"metric": pd.Series([], dtype="str"),
+                             "value": pd.Series([], dtype="float64")})
+    return pd.DataFrame({"metric": ["ivf_recall_at_k"],
+                         "value": [round(recall, 4)]})
+
+
+def phash_pair_violations(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """Every pair emitted by ``image_phash_neardup`` must (a) report the
+    true hamming distance between the two images' phashes and (b) sit
+    within ``max_hamming``. Recomputed independently from the crawl
+    world's phash column via a driver-side popcount over a pruned
+    id-filtered read. Returns the violating pairs — expected empty."""
+    from ..pipelines.flagship import image_phash_neardup, world_for
+
+    pairs = image_phash_neardup(sf_dir, max_hamming)
+    empty = pd.DataFrame({"a": pd.Series([], dtype="str"),
+                          "b": pd.Series([], dtype="str")})
+    if pairs.empty:
+        return empty
+    w = world_for(sf_dir)
+    import pyarrow.compute as pc
+
+    ids = sorted(set(pairs["a"]) | set(pairs["b"]))
+    sub = w.images.select(["image_id", "phash"]).filter(
+        pc.is_in(w.images["image_id"], value_set=pa.array(ids, pa.string())))
+    ph = {i: int(np.uint64(p))
+          for i, p in zip(sub["image_id"].to_pylist(),
+                          sub["phash"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64).view(np.uint64))}
+    bad_a, bad_b = [], []
+    for a, b, h in zip(pairs["a"], pairs["b"], pairs["hamming"]):
+        d = bin(ph[a] ^ ph[b]).count("1")
+        if d != int(h) or d > max_hamming:
+            bad_a.append(a)
+            bad_b.append(b)
+    return finish(pd.DataFrame({"a": pd.Series(bad_a, dtype="str"),
+                                "b": pd.Series(bad_b, dtype="str")}),
+                  ["a", "b"])
+
+
 def simhash_consistency_violations(sf_dir: str) -> pd.DataFrame:
     """SimHash must be a deterministic pure function of the text: two
     INDEPENDENT distributed computations (separate scans, different

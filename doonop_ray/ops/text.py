@@ -414,6 +414,198 @@ def _word_ngrams(t: pa.Table, n: int):
     return par[:m][valid].astype(np.int64), g[valid]
 
 
+def train_val_test_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 3-way train/val/test partition by content hash —
+    the reproducible-split primitive every training run needs: the
+    first hex digit of md5(text) routes 12/16 to train, 2/16 to val,
+    2/16 to test, so any engine (and any rerun at any scale) assigns
+    every document identically with NO shuffle, no RNG state, and no
+    coordination — a pure map over the stream."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        first = np.array(
+            [hashlib.md5(x.encode()).hexdigest()[0]
+             for x in t["text"].to_pylist()])
+        split = np.where(
+            first <= "b", "train",
+            np.where((first == "c") | (first == "d"), "val", "test"))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "split": pa.array(split, pa.string()),
+        })
+
+    out = (
+        read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return finish(out, ["doc_id"])
+
+
+def _doc_tokens(t: pa.Table):
+    """Flat lowercase \\w+ tokens + row indices for a batch: one
+    vectorized split, empties masked out."""
+    low = pc.utf8_lower(t["text"])
+    lists = pc.split_pattern_regex(low, r"\W+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    return flat.filter(mask), parent.filter(mask)
+
+
+def boilerplate_segments(sf_dir: str, seg: int = 3,
+                         min_docs: int = 3) -> pd.DataFrame:
+    """Cross-corpus boilerplate detection (the RefinedWeb/CCNet-style
+    repeated-span gate): chop each doc into NON-OVERLAPPING ``seg``-token
+    segments, count each segment's corpus-wide document frequency, and
+    report per doc how many of its segments are boilerplate (appear in
+    >= ``min_docs`` distinct docs). Returns (doc_id, n_segments,
+    n_boiler).
+
+    Scale shape: segments shuffle as 16-byte blake2b keys (never the
+    text); document frequency is a ``grouped_aggregate`` over per-batch
+    (doc, key)-deduped rows (a doc never splits across batches, so
+    batch-local dedup is global); the boilerplate key set is
+    corpus-growing, so the membership test is a ``shuffle_join`` semi —
+    NOT a broadcast; per-doc totals are map-side."""
+    from .common import grouped_aggregate
+    from .join import shuffle_join
+
+    def seg_rows(t: pa.Table) -> pa.Table:
+        flat, parent = _doc_tokens(t)
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        par = np.asarray(parent)
+        counts = np.bincount(par, minlength=len(t))
+        nseg = counts // seg
+        m = int(nseg.sum())
+        if m == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.binary())})
+        starts = np.cumsum(counts) - counts        # first token per doc
+        cum = np.cumsum(nseg) - nseg               # first chunk per doc
+        within = np.arange(m) - np.repeat(cum, nseg)
+        tok0 = np.repeat(starts, nseg) + within * seg
+        g = toks[tok0].copy()
+        for j in range(1, seg):
+            g = g + " "
+            g = g + toks[tok0 + j]
+        keys = [hashlib.blake2b(s.encode(), digest_size=16).digest()
+                for s in g]
+        doc = t["doc_id"].take(pa.array(np.repeat(
+            np.arange(len(t), dtype=np.int64), nseg)))
+        return pa.table({"doc_id": doc, "k": pa.array(keys, pa.binary())})
+
+    def totals(t: pa.Table) -> pa.Table:
+        _, parent = _doc_tokens(t)
+        counts = np.bincount(np.asarray(parent), minlength=len(t))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_segments": pa.array(counts // seg, pa.int64()),
+        })
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    segs = docs.map_batches(seg_rows, batch_format="pyarrow")
+
+    # document frequency over batch-deduped (doc, key) pairs
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["doc_id", "k"], use_threads=False).aggregate([])
+
+    dfreq = grouped_aggregate(
+        segs.map_batches(dedup_pairs, batch_format="pyarrow"),
+        "k", [("doc_id", "count")])
+    boiler = dfreq.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["doc_id_count"], min_docs)).select(["k"]),
+        batch_format="pyarrow")
+
+    hits = shuffle_join(
+        segs, boiler, "k", ["doc_id"], [], how="semi",
+        left_types={"doc_id": pa.int64()}, right_types={})
+    nb = grouped_aggregate(hits, "doc_id", [("k", "count")])
+
+    out = shuffle_join(
+        docs.map_batches(totals, batch_format="pyarrow"),
+        nb.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"],
+                                "n_boiler": t["k_count"]}),
+            batch_format="pyarrow"),
+        "doc_id", ["n_segments"], ["n_boiler"], how="left",
+        left_types={"n_segments": pa.int64()},
+        right_types={"n_boiler": pa.int64()},
+    ).to_pandas()
+    out["n_boiler"] = out["n_boiler"].fillna(0).astype("int64")
+    return finish(out.astype({"doc_id": "int64", "n_segments": "int64"}),
+                  ["doc_id"])
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the feature-extraction
+    staple. Returns (doc_id, tok, tf, df, tfidf, rnk) with rnk 1..k
+    ordered by the INTEGER-exact key (tf desc, df asc, tok asc);
+    tfidf = round(tf * ln(N/df), 4) rides along as the score.
+
+    Scale shape: term frequencies are map-side (a doc never splits
+    across batches → one C++ group_by per batch); document frequency is
+    one ``grouped_aggregate`` over the (doc, token)-distinct tf rows;
+    the vocabulary is corpus-growing, so tf⋈df is a ``shuffle_join`` on
+    the token — not a broadcast; the per-doc top-k regroups once via
+    ``grouped_apply``."""
+    from .common import grouped_aggregate, grouped_apply
+    from .join import shuffle_join
+
+    n_docs = read(sf_dir, "documents", ["doc_id"]).count()
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        flat, parent = _doc_tokens(t)
+        tt = pa.table({"doc_id": t["doc_id"].take(parent), "tok": flat})
+        g = tt.group_by(["doc_id", "tok"],
+                        use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "tok", "tf"])
+
+    tf_ds = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tf_rows, batch_format="pyarrow")
+    # tf rows are (doc, token)-distinct by construction, so counting
+    # rows per token IS the document frequency
+    df_ds = grouped_aggregate(
+        tf_ds.map_batches(lambda t: t.select(["tok"]),
+                          batch_format="pyarrow"),
+        "tok", [("tok", "count")],
+    ).map_batches(
+        lambda t: pa.table({"tok": t["tok"], "df": t["tok_count"]}),
+        batch_format="pyarrow")
+
+    joined = shuffle_join(
+        tf_ds, df_ds, "tok", ["doc_id", "tf"], ["df"], how="inner",
+        left_types={"doc_id": pa.int64(), "tf": pa.int64()},
+        right_types={"df": pa.int64()})
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("tf", "descending"),
+                                            ("df", "ascending"),
+                                            ("tok", "ascending")])
+        top = g.take(idx.slice(0, min(k, len(g))))
+        tfv = top["tf"].to_numpy()
+        dfv = top["df"].to_numpy()
+        return pa.table({
+            "doc_id": top["doc_id"],
+            "tok": top["tok"],
+            "tf": tfv,
+            "df": dfv,
+            "tfidf": pa.array(r4(tfv * np.log(n_docs / dfv)), pa.float64()),
+            "rnk": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        })
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "tok": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64()),
+                      "df": pa.array([], pa.int64()),
+                      "tfidf": pa.array([], pa.float64()),
+                      "rnk": pa.array([], pa.int64())})
+    out = grouped_apply(joined, "doc_id", topk, empty).to_pandas()
+    return finish(out, ["doc_id", "rnk"])
+
+
 def contamination_check(sf_dir: str, n: int = 4,
                         holdout_mod: int = 10) -> pd.DataFrame:
     """Train/test contamination detection — the pre-training hygiene

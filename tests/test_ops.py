@@ -40,6 +40,9 @@ SQL_QUERIES = [
     "top_orders_per_customer", "ngram_jaccard_pairs", "deterministic_sample",
     "neardup_components", "customers_no_recent_orders", "dedup_keep_best",
     "events_rolling_avg", "contamination_check",
+    "train_val_test_split", "boilerplate_segments", "tfidf_top_terms",
+    "minhash_precision_violations", "ann_ivf_recall_violations",
+    "phash_pair_violations",
 ]
 
 
