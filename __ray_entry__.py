@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": text.train_val_test_split,
         "boilerplate_segments": text.boilerplate_segments,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "winnowing_fingerprints": text.winnowing_fingerprints,
+        "score_documents_model": text.score_documents_model,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -564,6 +566,48 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot t USING (doc_id)
             LEFT JOIN nb USING (doc_id)
             ORDER BY doc_id
+        """,
+        "winnowing_fingerprints": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\w+') AS ts
+                FROM documents),
+            pos AS (SELECT doc_id, ts,
+                           unnest(generate_series(1, len(ts) - 2)) AS i
+                    FROM toks),
+            grams AS (
+                SELECT doc_id, i,
+                       md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS h,
+                       len(ts) - 2 AS ng
+                FROM pos),
+            wmin AS (
+                SELECT doc_id, i, ng,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 3 FOLLOWING) AS fp
+                FROM grams)
+            SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= ng - 3
+            ORDER BY doc_id, fp
+        """,
+        "score_documents_model": """
+            WITH feats AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text), '\\w+'))
+                            AS DOUBLE) AS n_tokens,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '\\b(the|a|and|of|to|in|is|for)\\b'))
+                            AS DOUBLE) AS n_stop
+                FROM documents),
+            z AS (
+                SELECT doc_id,
+                       -2.0 + 0.01 * n_tokens + 0.002 * n_chars
+                       + 3.0 * (n_stop / greatest(1.0, n_tokens)) AS z
+                FROM feats)
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + exp(-z)), 4) AS score,
+                   ROUND(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
+            FROM z ORDER BY doc_id
         """,
         "tfidf_top_terms": """
             WITH toks AS (

@@ -606,6 +606,107 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return finish(out, ["doc_id", "rnk"])
 
 
+def winnowing_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> pd.DataFrame:
+    """Document fingerprinting by WINNOWING (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): hash every overlapping ``k``-token gram, slide
+    a window of ``w`` consecutive gram hashes, keep each window's
+    minimum — guaranteeing any shared run of ``w+k-1`` tokens between
+    two documents shares a fingerprint, at ~2/(w+1) the storage of the
+    full gram set. Returns distinct (doc_id, fp) rows.
+
+    Pure map — no shuffle: grams ride ``_word_ngrams``'s vectorized
+    flat arrays, the window minimum is ``w-1`` elementwise
+    ``np.minimum`` passes over shifted views (doc boundaries masked via
+    parent-index equality), and per-batch dedup is global dedup because
+    a document never splits across batches."""
+
+    def fps(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.string())})
+        par, grams = _word_ngrams(t, k)
+        if len(grams) < w:
+            return empty
+        # object dtype: np.minimum has no unicode loop but falls back to
+        # python richcompare for objects — still one pass per shift
+        hs = np.asarray(
+            [hashlib.md5(g.encode()).hexdigest() for g in grams],
+            dtype=object)
+        m = len(hs) - w + 1
+        wmin = hs[:m].copy()
+        for j in range(1, w):
+            np.minimum(wmin, hs[j:m + j], out=wmin)
+        valid = par[:m] == par[w - 1:]
+        sel = pa.table({
+            "doc_id": t["doc_id"].take(pa.array(par[:m][valid])),
+            "fp": pa.array(wmin[valid], pa.string()),
+        })
+        return sel.group_by(["doc_id", "fp"], use_threads=False).aggregate([])
+
+    out = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fps, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return finish(out, ["doc_id", "fp"])
+
+
+# fixed "model" weights: (bias, w_tokens, w_chars, w_stop_ratio) — stands
+# in for a trained quality classifier checkpoint
+_MODEL_W = (-2.0, 0.01, 0.002, 3.0)
+
+
+class _ModelScorer:
+    """Actor-pool model-inference stage: the BATCHED INFERENCE pattern —
+    the 'model' (here a logistic scorer over the quality features; in
+    production a real checkpoint) is loaded ONCE per actor in
+    ``__init__`` from a broadcast ref, and ``__call__`` scores a whole
+    Arrow batch vectorized."""
+
+    def __init__(self, weights_ref):
+        from .common import bcast_get
+
+        self.w = np.asarray(bcast_get(weights_ref), dtype=np.float64)
+        self.stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        lt = pa.table({"low": low})
+        n_tokens = _count_re(lt, "low", TOKEN_RE).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n_stop = _count_re(lt, "low", self.stop_pat).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n_chars = pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ratio = n_stop / np.maximum(1.0, n_tokens)
+        z = (self.w[0] + self.w[1] * n_tokens + self.w[2] * n_chars
+             + self.w[3] * ratio)
+        score = r4(1.0 / (1.0 + np.exp(-z)))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "score": pa.array(score, pa.float64()),
+            "keep": pa.array(score >= 0.5),
+        })
+
+
+def score_documents_model(sf_dir: str) -> pd.DataFrame:
+    """Model-based quality scoring of every document — the batched-
+    inference stage every modern curation pipeline runs (fasttext/
+    classifier gating). Stateful actor pool: weights ship once via
+    ``ray.put`` and deserialize once per actor (``_ModelScorer``);
+    scoring is one vectorized pass per batch. Deterministic logistic
+    scorer => exact DuckDB oracle."""
+    import ray
+
+    wref = ray.put(_MODEL_W)
+    out = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_ModelScorer, fn_constructor_args=(wref,),
+                     concurrency=2, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return finish(out, ["doc_id"])
+
+
 def contamination_check(sf_dir: str, n: int = 4,
                         holdout_mod: int = 10) -> pd.DataFrame:
     """Train/test contamination detection — the pre-training hygiene

@@ -42,7 +42,8 @@ SQL_QUERIES = [
     "events_rolling_avg", "contamination_check",
     "train_val_test_split", "boilerplate_segments", "tfidf_top_terms",
     "minhash_precision_violations", "ann_ivf_recall_violations",
-    "phash_pair_violations",
+    "phash_pair_violations", "winnowing_fingerprints",
+    "score_documents_model",
 ]
 
 
