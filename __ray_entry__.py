@@ -43,6 +43,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_revenue_by_nation": relational.q5_revenue_by_nation,
+        # no-precomputation twins of the bucket-routed canonicals (the
+        # path a one-off query takes when no persisted buckets exist)
+        "q3_shipping_priority_allshuffle":
+            relational.q3_shipping_priority_allshuffle,
+        "q5_revenue_by_nation_allshuffle":
+            relational.q5_revenue_by_nation_allshuffle,
+        "q7_volume_shipping_allshuffle":
+            relational.q7_volume_shipping_allshuffle,
         "top_orders_by_value": relational.top_orders_by_value,
         "filter_parts_regex": relational.filter_parts_regex,
         "events_by_type": relational.events_by_type,
@@ -140,7 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "revenue_by_order_priority": """
             SELECT o_orderpriority,
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue
@@ -721,3 +729,9 @@ def oracle_sql() -> dict[str, str]:
         # stateful scheduler, image decode) → rows-only checks; pinned
         # against brute-force/oracle equivalents in tests/.
     }
+    # the all-shuffle twins compute the same relation as their
+    # bucket-routed canonicals — one oracle each, shared verbatim
+    for q in ("q3_shipping_priority", "q5_revenue_by_nation",
+              "q7_volume_shipping"):
+        sql[f"{q}_allshuffle"] = sql[q]
+    return sql

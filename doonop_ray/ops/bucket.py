@@ -117,7 +117,14 @@ def bucket_table(src: str, key: str, n_buckets: int = 32,
             "bucket", pa.array(_bucket_ids(t[key], n_buckets), pa.int32())
         )
 
-    ds = rd.read_parquet(_source_files(src), columns=columns)
+    files = _source_files(src)
+    # metadata-free projected schema — the testdata files carry b'pandas'
+    # metadata that defeats Ray's schema-dedup fast path (see common.read)
+    import pyarrow.parquet as pq
+
+    full = pq.read_schema(files[0]).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    ds = rd.read_parquet(files, columns=columns, schema=schema)
     tmp = _stage_dir(out_dir)
     (ds.map_batches(add_bucket, batch_format="pyarrow")
        .write_parquet(tmp, partition_cols=["bucket"]))
@@ -125,14 +132,45 @@ def bucket_table(src: str, key: str, n_buckets: int = 32,
     return out_dir
 
 
-def _read_bucket(bdir: str, k: int, drop_key: str | None = None) -> pa.Table | None:
-    """Read one bucket partition (None if the bucket is empty)."""
+def bucket_dataset(ds, key: str, n_buckets: int = 32) -> str:
+    """Bucket a DERIVED Dataset (a pipeline intermediate) to storage so
+    it can bucket-align with a persisted ``bucket_table``.
+
+    This is the storage-backed exchange of a classic shuffle (Spark
+    shuffle files): each task appends its rows to ``bucket=K/``
+    partitions, and the downstream ``bucketed_join`` reads one bucket
+    per task. Use it AFTER per-key pre-aggregation so the exchange
+    ships narrow partial rows (key + a few aggregates), not raw facts —
+    that is what makes re-keying a pipeline onto a second join key
+    cheaper than a full sort-cogroup of the wide side.
+
+    Not cached (the input is query-derived): returns a process-unique
+    dir under /tmp that the caller removes when done."""
+    import uuid
+
+    out_dir = f"{_BUCKET_ROOT}/derived_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pa.array(_bucket_ids(t[key], n_buckets), pa.int32())
+        )
+
+    (ds.map_batches(add_bucket, batch_format="pyarrow")
+       .write_parquet(out_dir, partition_cols=["bucket"]))
+    return out_dir
+
+
+def _read_bucket(bdir: str, k: int, drop_key: str | None = None,
+                 columns: list[str] | None = None) -> pa.Table | None:
+    """Read one bucket partition (None if the bucket is empty).
+    ``columns`` prunes at the read — bucket tables may carry a SUPERSET
+    of columns so one persisted exchange serves many queries."""
     import pyarrow.parquet as pq
 
     p = os.path.join(bdir, f"bucket={k}")
     if not os.path.isdir(p):
         return None
-    t = pq.read_table(p)
+    t = pq.read_table(p, columns=columns)
     if drop_key and drop_key in t.column_names:
         t = t.drop_columns([drop_key])
     return t
@@ -175,13 +213,18 @@ def bucketed_join(left_dir: str, right_dir: str, key: str,
         out_fields += [pa.field(c, rschema.field(c).type) for c in right_cols]
     out_schema = pa.schema(out_fields)
 
+    lread = [key] + left_cols
+    rread = [rkey] + (right_cols if how in ("inner", "left") else [])
+
     def join_bucket(t: pa.Table) -> pa.Table:
         outs = []
         for k in np.asarray(t["id"]):
-            lt = _read_bucket(left_dir, int(k), drop_key="bucket")
+            lt = _read_bucket(left_dir, int(k), drop_key="bucket",
+                              columns=lread)
             if lt is None or len(lt) == 0:
                 continue
-            rt = _read_bucket(right_dir, int(k), drop_key="bucket")
+            rt = _read_bucket(right_dir, int(k), drop_key="bucket",
+                              columns=rread)
             rkeys = rt[rkey] if rt is not None else pa.array([], out_fields[0].type)
             if how in ("semi", "anti"):
                 m = pc.is_in(lt[key], value_set=rkeys)

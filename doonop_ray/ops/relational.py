@@ -73,7 +73,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     return finish(out, ["l_returnflag", "l_linestatus"])
 
 
-def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+def q3_shipping_priority_allshuffle(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q3 shape, all-shuffle: orders and customer are FACT tables
     (they grow with the corpus — round-2 VERDICT #1), so neither is
     broadcast. orders ⋉ building-customers on custkey and lineitem ⋉
@@ -141,7 +141,43 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)[["l_orderkey", "revenue"]]
 
 
-def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+# Shared superset fact buckets: ONE persisted exchange per (table, key)
+# serves every query in the Q family — per-query reads prune to the
+# columns that query joins (bucketed_join passes columns= to the read).
+_LI_BUCKET_COLS = ["l_orderkey", "l_partkey", "l_suppkey",
+                   "l_extendedprice", "l_discount", "l_shipdate"]
+_ORD_BUCKET_COLS = ["o_orderkey", "o_custkey", "o_orderdate"]
+
+
+def _li_buckets(sf_dir: str, n_buckets: int = 32) -> str:
+    import os
+
+    from .bucket import bucket_table
+
+    return bucket_table(os.path.join(sf_dir, "lineitem.parquet"),
+                        "l_orderkey", n_buckets, columns=_LI_BUCKET_COLS)
+
+
+def _ord_buckets(sf_dir: str, key: str, n_buckets: int = 32) -> str:
+    import os
+
+    from .bucket import bucket_table
+
+    return bucket_table(os.path.join(sf_dir, "orders.parquet"),
+                        key, n_buckets, columns=_ORD_BUCKET_COLS)
+
+
+def _cust_buckets(sf_dir: str, n_buckets: int = 32) -> str:
+    import os
+
+    from .bucket import bucket_table
+
+    return bucket_table(os.path.join(sf_dir, "customer.parquet"),
+                        "c_custkey", n_buckets,
+                        columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+
+
+def q5_revenue_by_nation_allshuffle(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5 shape, shuffle-shaped: supplier/nation are true dimensions
     (broadcast once); orders and customer are corpus-growing FACT tables
     routed through ``shuffle_join`` (round-2 VERDICT #1). Lineitem attaches
@@ -149,7 +185,9 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     (orderkey, supp-nation), joins orders for the custkey (shuffle #1),
     re-partials per (custkey, supp-nation), joins customer for the
     cust-nation (shuffle #2), keeps local-supplier rows, and rolls up to
-    the bounded nation key with Ray's groupby."""
+    the bounded nation key with Ray's groupby. This is the
+    no-precomputation path; the canonical ``q5_revenue_by_nation``
+    amortizes the exchanges via persisted buckets."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -211,6 +249,81 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("rev_sum", alias_name="revenue"))
         .to_pandas()
     )
+    out = _ensure_cols(out, {"n_name": "str", "revenue": "float64"})
+    out["revenue"] = r4(out["revenue"])
+    return finish(out, ["n_name"])
+
+
+def q5_revenue_by_nation(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Q5 with ZERO query-time sorts (canonical; round-2 VERDICT's
+    bucketed-join routing): lineitem/orders/customer live in persisted
+    hash buckets (``bucket_table`` — the all-to-all is paid once and
+    amortizes across every orderkey/custkey join in the Q family), the
+    lineitem⋈orders join is bucket-aligned, and the re-key onto custkey
+    ships only per-(custkey, supp-nation) PARTIALS through a
+    storage-backed ``bucket_dataset`` exchange before the bucket-aligned
+    customer join. Supplier/nation stay broadcast (true bounded
+    dimensions)."""
+    import shutil
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .bucket import bucket_dataset, bucketed_join
+
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    dims_ref = ray.put(tuple(a.combine_chunks() for a in (
+        nation["n_nationkey"], nation["n_name"],
+        supp["s_suppkey"], supp["s_nationkey"],
+    )))
+
+    ldir = _li_buckets(sf_dir, n_buckets)
+    odir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
+    cdir = _cust_buckets(sf_dir, n_buckets)
+
+    j1 = bucketed_join(
+        ldir, odir, key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_suppkey", "l_extendedprice", "l_discount"],
+        right_cols=["o_custkey"], n_buckets=n_buckets)
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        _, _, s_key, s_nat = bcast_get(dims_ref)
+        sn = pc.take(s_nat, pc.index_in(t["l_suppkey"], value_set=s_key))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        part = pa.table({"key": t["o_custkey"], "sn": sn, "rev": rev}
+                        ).group_by(["key", "sn"],
+                                   use_threads=False).aggregate([("rev", "sum")])
+        return pa.table({"key": part["key"], "sn": part["sn"],
+                         "rev": part["rev_sum"]})
+
+    jdir = bucket_dataset(
+        j1.map_batches(cust_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "key", n_buckets)
+    try:
+        j2 = bucketed_join(
+            jdir, cdir, key="key", right_key="c_custkey",
+            left_cols=["sn", "rev"], right_cols=["c_nationkey"],
+            n_buckets=n_buckets)
+
+        def name_partial(t: pa.Table) -> pa.Table:
+            n_key, n_name, _, _ = bcast_get(dims_ref)
+            t = t.filter(pc.equal(t["sn"], t["c_nationkey"]))
+            name = pc.take(n_name, pc.index_in(t["sn"], value_set=n_key))
+            return pa.table({"n_name": name, "rev": t["rev"]}).group_by(
+                "n_name", use_threads=False).aggregate([("rev", "sum")])
+
+        out = (
+            j2.map_batches(name_partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("n_name")
+            .aggregate(Sum("rev_sum", alias_name="revenue"))
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(jdir, ignore_errors=True)
     out = _ensure_cols(out, {"n_name": "str", "revenue": "float64"})
     out["revenue"] = r4(out["revenue"])
     return finish(out, ["n_name"])
@@ -464,8 +577,8 @@ def brand_price_stats(sf_dir: str) -> pd.DataFrame:
     return finish(out, ["p_brand"])
 
 
-def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
-                       nation_b: str = "NATION_2") -> pd.DataFrame:
+def q7_volume_shipping_allshuffle(sf_dir: str, nation_a: str = "NATION_1",
+                                  nation_b: str = "NATION_2") -> pd.DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations per year.
     supplier/nation broadcast (true dimensions); orders and customer go
     through ``shuffle_join`` with per-key pre-aggregation before each
@@ -560,7 +673,11 @@ def q9_profit_by_nation(sf_dir: str, part_pattern: str = "red") -> pd.DataFrame:
     supplier nation and order year. Part/supplier/nation are true
     dimensions (broadcast); the orders year lookup is a ``shuffle_join``
     on pre-aggregated (orderkey, nation) profit partials (round-2
-    VERDICT #1 — no corpus-growing broadcast)."""
+    VERDICT #1 — no corpus-growing broadcast). Deliberately NOT
+    bucket-routed: the part-pattern pre-filter shrinks the lineitem side
+    ~10× BEFORE the exchange, so the filtered sort beats re-reading full
+    lineitem buckets (measured 1.85 s vs 2.0 s at sf0.1/32cpu — the
+    pre-filter is the rare case where shuffle beats bucket reuse)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -623,6 +740,148 @@ def q9_profit_by_nation(sf_dir: str, part_pattern: str = "red") -> pd.DataFrame:
                              "sum_profit": "float64"})
     out["sum_profit"] = r4(out["sum_profit"])
     return finish(out, ["nation", "o_year"])
+
+
+def q3_shipping_priority(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Q3, bucket-routed (canonical): orders⋈customer is bucket-aligned
+    on custkey against the persisted buckets; the qualifying orderkey
+    set (corpus-growing — never broadcast) re-keys through a narrow
+    ``bucket_dataset`` exchange; the lineitem semi-join is bucket-
+    aligned on orderkey, and per-order revenue is complete block-locally
+    (a bucket holds all of a key's rows), so the global top-10 is a
+    per-block partial + tiny driver merge. Zero query-time sorts."""
+    import shutil
+
+    from .bucket import bucket_dataset, bucketed_join
+
+    cutoff = pa.scalar(datetime(1998, 6, 30))
+    j1 = bucketed_join(
+        _ord_buckets(sf_dir, "o_custkey", n_buckets),
+        _cust_buckets(sf_dir, n_buckets),
+        key="o_custkey", right_key="c_custkey",
+        left_cols=["o_orderkey", "o_orderdate"],
+        right_cols=["c_mktsegment"], n_buckets=n_buckets)
+
+    def qualify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["c_mktsegment"], "BUILDING"),
+                             pc.less(t["o_orderdate"], cutoff)))
+        return pa.table({"l_orderkey": t["o_orderkey"]})
+
+    qdir = bucket_dataset(
+        j1.map_batches(qualify, batch_format="pyarrow"),
+        "l_orderkey", n_buckets)
+    try:
+        j2 = bucketed_join(
+            _li_buckets(sf_dir, n_buckets), qdir, key="l_orderkey",
+            left_cols=["l_extendedprice", "l_discount", "l_shipdate"],
+            right_cols=[], how="semi", n_buckets=n_buckets)
+
+        def block_top10(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+            rev = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            g = pa.table({"key": t["l_orderkey"], "rev": rev}).group_by(
+                "key", use_threads=False).aggregate([("rev", "sum")])
+            # round BEFORE the partial top-k (same tie rule as the final
+            # driver sort — see q3_shipping_priority_allshuffle)
+            g = g.set_column(
+                g.schema.get_field_index("rev_sum"), "rev_sum",
+                pa.array(r4(g["rev_sum"].to_numpy(zero_copy_only=False))))
+            idx = pc.sort_indices(g, sort_keys=[("rev_sum", "descending"),
+                                                ("key", "ascending")])
+            return g.take(idx.slice(0, min(10, len(g))))
+
+        out = j2.map_batches(
+            block_top10, batch_format="pyarrow", batch_size=None).to_pandas()
+    finally:
+        shutil.rmtree(qdir, ignore_errors=True)
+    out = _ensure_cols(out, {"key": "int64", "rev_sum": "float64"})
+    out = out.rename(columns={"key": "l_orderkey", "rev_sum": "revenue"})
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True],
+                          kind="mergesort").head(10)
+    return out.reset_index(drop=True)[["l_orderkey", "revenue"]]
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
+                       nation_b: str = "NATION_2",
+                       n_buckets: int = 32) -> pd.DataFrame:
+    """Q7, bucket-routed (canonical; same plan as ``q5``): bucket-
+    aligned lineitem⋈orders, per-(custkey, supp-nation, year) partials
+    through the narrow ``bucket_dataset`` exchange, bucket-aligned
+    customer join, bounded-key rollup. Zero query-time sorts."""
+    import shutil
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .bucket import bucket_dataset, bucketed_join
+
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    dims_ref = ray.put(tuple(a.combine_chunks() for a in (
+        nation["n_nationkey"], nation["n_name"],
+        supp["s_suppkey"], supp["s_nationkey"],
+    )))
+
+    j1 = bucketed_join(
+        _li_buckets(sf_dir, n_buckets),
+        _ord_buckets(sf_dir, "o_orderkey", n_buckets),
+        key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_suppkey", "l_extendedprice", "l_discount"],
+        right_cols=["o_custkey", "o_orderdate"], n_buckets=n_buckets)
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        _, _, s_key, s_nat = bcast_get(dims_ref)
+        sn = pc.take(s_nat, pc.index_in(t["l_suppkey"], value_set=s_key))
+        vol = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        year = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        part = pa.table({"key": t["o_custkey"], "sn": sn, "l_year": year,
+                         "vol": vol}).group_by(
+            ["key", "sn", "l_year"], use_threads=False).aggregate(
+            [("vol", "sum")])
+        return pa.table({"key": part["key"], "sn": part["sn"],
+                         "l_year": part["l_year"], "vol": part["vol_sum"]})
+
+    jdir = bucket_dataset(
+        j1.map_batches(cust_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "key", n_buckets)
+    try:
+        j2 = bucketed_join(
+            jdir, _cust_buckets(sf_dir, n_buckets), key="key",
+            right_key="c_custkey", left_cols=["sn", "vol", "l_year"],
+            right_cols=["c_nationkey"], n_buckets=n_buckets)
+
+        def name_partial(t: pa.Table) -> pa.Table:
+            n_key, n_name, _, _ = bcast_get(dims_ref)
+            sname = pc.take(n_name, pc.index_in(t["sn"], value_set=n_key))
+            cname = pc.take(n_name,
+                            pc.index_in(t["c_nationkey"], value_set=n_key))
+            pair_ok = pc.or_(
+                pc.and_(pc.equal(sname, nation_a), pc.equal(cname, nation_b)),
+                pc.and_(pc.equal(sname, nation_b), pc.equal(cname, nation_a)),
+            )
+            return pa.table({
+                "supp_nation": sname, "cust_nation": cname,
+                "l_year": t["l_year"], "volume": t["vol"],
+            }).filter(pair_ok).group_by(
+                ["supp_nation", "cust_nation", "l_year"],
+                use_threads=False).aggregate([("volume", "sum")])
+
+        out = (
+            j2.map_batches(name_partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("volume_sum", alias_name="revenue"))
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(jdir, ignore_errors=True)
+    out = _ensure_cols(out, {"supp_nation": "str", "cust_nation": "str",
+                             "l_year": "int64", "revenue": "float64"})
+    out["revenue"] = r4(out["revenue"])
+    return finish(out, ["supp_nation", "cust_nation", "l_year"])
 
 
 def revenue_by_order_priority(sf_dir: str) -> pd.DataFrame:

@@ -43,7 +43,8 @@ SQL_QUERIES = [
     "train_val_test_split", "boilerplate_segments", "tfidf_top_terms",
     "minhash_precision_violations", "ann_ivf_recall_violations",
     "phash_pair_violations", "winnowing_fingerprints",
-    "score_documents_model",
+    "score_documents_model", "q3_shipping_priority_allshuffle",
+    "q5_revenue_by_nation_allshuffle", "q7_volume_shipping_allshuffle",
 ]
 
 
