@@ -32,7 +32,7 @@ _TIERS = {
     # pipeline rather than the scheduler
     "scaleh": dict(n_hosts=80, pages_per_host=1200, img=(96, 128)),
 }
-_WORLD_CACHE_VERSION = 5
+_WORLD_CACHE_VERSION = 6  # v6: cheap-truth expected_pixels/_caption rewrite
 _CACHE: dict[str, World] = {}
 _REF_CACHE: dict[str, tuple] = {}  # tier -> (pages_ref, images_ref)
 

@@ -33,7 +33,7 @@ def main() -> None:
     from doonop_ray.stages.fetch import prep_images_table
     from doonop_ray.synth import WorldParams, build_world, read_world
 
-    cache = "/tmp/doonop_worlds/tier_mega_v1"
+    cache = "/tmp/doonop_worlds/tier_mega_v2"  # v2: cheap-truth synth rewrite
     marker = os.path.join(cache, "_complete")
     params = WorldParams(seed=42, n_hosts=400, pages_per_host=2500,
                         fanout=6, p_cross=0.3, p_dead=0.03, p_invalid=0.03,
