@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text.tfidf_top_terms,
         "winnowing_fingerprints": text.winnowing_fingerprints,
         "score_documents_model": text.score_documents_model,
+        "pii_redact": text.pii_redact,
+        "repetition_scores": text.repetition_scores,
+        "keyword_search_bm25": text.keyword_search_bm25,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -616,6 +619,85 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 / (1.0 + exp(-z)), 4) AS score,
                    ROUND(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
             FROM z ORDER BY doc_id
+        """,
+        "pii_redact": r"""
+            WITH s0 AS (SELECT doc_id, source || ': ' || text AS t0
+                        FROM documents),
+            s1 AS (SELECT doc_id,
+              length(regexp_extract_all(t0,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+              regexp_replace(t0,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '[PII]', 'g') AS t1 FROM s0),
+            s2 AS (SELECT doc_id, c1,
+              length(regexp_extract_all(t1, '\+?\d[\d -]{7,}\d')) AS c2,
+              regexp_replace(t1, '\+?\d[\d -]{7,}\d', '[PII]', 'g') AS t2
+              FROM s1),
+            s3 AS (SELECT doc_id, c1, c2,
+              length(regexp_extract_all(t2,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c3,
+              regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                '[PII]', 'g') AS t3 FROM s2),
+            s4 AS (SELECT doc_id, c1, c2, c3,
+              length(regexp_extract_all(t3, '\bsrc\d+\b')) AS c4,
+              regexp_replace(t3, '\bsrc\d+\b', '[PII]', 'g') AS t4
+              FROM s3)
+            SELECT doc_id, t4 AS clean_text,
+                   (c1 + c2 + c3 + c4)::BIGINT AS n_redacted
+            FROM s4 ORDER BY doc_id
+        """,
+        "repetition_scores": r"""
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '\W+'), x -> x <> '') AS a
+                FROM documents),
+            toks AS (SELECT doc_id, unnest(a) AS w,
+                            generate_subscripts(a, 1) AS i FROM arr),
+            big AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w) OVER (PARTITION BY doc_id
+                                                 ORDER BY i) AS g
+                FROM toks QUALIFY g IS NOT NULL),
+            cnt AS (SELECT doc_id, g, count(*) AS c
+                    FROM big GROUP BY doc_id, g)
+            SELECT doc_id,
+                   SUM(c)::BIGINT AS n_bigrams,
+                   MAX(c)::BIGINT AS max_bigram_n,
+                   ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_bigram_frac,
+                   ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 4)
+                       AS dup_bigram_frac
+            FROM cnt GROUP BY doc_id ORDER BY doc_id
+        """,
+        "keyword_search_bm25": r"""
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '\W+'), x -> x <> '') AS a
+                FROM documents),
+            toks AS (SELECT doc_id, unnest(a) AS w FROM arr),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                             (SELECT sum(dl) * 1.0
+                              / (SELECT count(*) FROM documents)
+                              FROM dl) AS avgdl),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+                   WHERE w IN ('merge', 'window', 'scan')
+                   GROUP BY doc_id, w),
+            df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+            sc AS (
+                SELECT tf.doc_id,
+                       SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75
+                                             + 0.75 * dl.dl / stats.avgdl))
+                           ) AS s
+                FROM tf JOIN df USING (w)
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats
+                GROUP BY tf.doc_id)
+            SELECT doc_id, ROUND(s, 4) AS score
+            FROM sc ORDER BY s DESC, doc_id LIMIT 20
         """,
         "tfidf_top_terms": """
             WITH toks AS (

@@ -757,3 +757,153 @@ def contamination_check(sf_dir: str, n: int = 4,
 
     out = docs.map_batches(scan, batch_format="pyarrow").to_pandas()
     return finish(out.astype({"doc_id": "int64"}), ["doc_id"])
+
+
+# PII patterns, applied IN ORDER (counts are taken before each replace,
+# so the oracle must mirror the same sequential semantics). Both sides
+# run RE2 (pyarrow re2 kernels / DuckDB regexp_*), so the patterns stay
+# within the common RE2 subset. The synthetic corpus carries src\d+
+# tokens (real hits at every scale); email/phone/IPv4 semantics are
+# pinned against crafted inputs in tests/test_text_extra.py.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d[\d -]{7,}\d"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("srcid", r"\bsrc\d+\b"),
+)
+
+
+def pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII redaction over ``source || ': ' || text`` — the pre-training
+    scrub gate: every match of each pattern is replaced with ``[PII]``
+    and counted. Pure vectorized map (pyarrow RE2 kernels), no shuffle;
+    the replacement token contains no digits/@, so later patterns can't
+    match inside earlier redactions."""
+
+    def redact(t: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(t["source"], t["text"], ": ")
+        total = pa.array(np.zeros(len(t), np.int64))
+        for _, pat in PII_PATTERNS:
+            total = pc.add(total, pc.cast(
+                pc.count_substring_regex(txt, pat), pa.int64()))
+            txt = pc.replace_substring_regex(txt, pat, "[PII]")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": txt,
+            "n_redacted": total,
+        })
+
+    out = (
+        read(sf_dir, "documents", ["doc_id", "source", "text"])
+        .map_batches(redact, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return finish(out, ["doc_id"])
+
+
+def repetition_scores(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals per document: bigram
+    count, the top bigram's share, and the duplicate-bigram fraction
+    (1 - distinct/total). High values flag boilerplate/spam for the
+    curation gate. Pure map — a document's bigrams never straddle
+    batches, so per-batch stats are exact; the in-batch reduction is a
+    single C-level factorize+bincount pass, no shuffle."""
+
+    def rep(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "max_bigram_n": pa.array([], pa.int64()),
+            "top_bigram_frac": pa.array([], pa.float64()),
+            "dup_bigram_frac": pa.array([], pa.float64()),
+        })
+        par, grams = _word_ngrams(t, 2)
+        if len(grams) == 0:
+            return empty
+        # count per (doc,gram): factorize grams, combine with doc index
+        codes, _ = pd.factorize(grams, sort=False)
+        keys = par.astype(np.int64) * (codes.max() + 1) + codes
+        ukeys, cnt = np.unique(keys, return_counts=True)
+        udoc = (ukeys // (codes.max() + 1)).astype(np.int64)
+        # per-doc aggregates over the (doc,gram) counts (udoc is sorted)
+        docs, starts = np.unique(udoc, return_index=True)
+        n_big = np.add.reduceat(cnt, starts)
+        mx = np.maximum.reduceat(cnt, starts)
+        distinct = np.diff(np.append(starts, len(cnt)))
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(docs)),
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "max_bigram_n": pa.array(mx.astype(np.int64), pa.int64()),
+            "top_bigram_frac": pa.array(r4(mx / n_big), pa.float64()),
+            "dup_bigram_frac": pa.array(
+                r4((n_big - distinct) / n_big), pa.float64()),
+        })
+
+    out = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(rep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return finish(out, ["doc_id"])
+
+
+BM25_QUERY = ("merge", "window", "scan")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def keyword_search_bm25(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """BM25 top-k document search for a fixed query — the retrieval
+    baseline next to the ANN suite. Two streaming passes, both pure
+    maps with tiny driver merges:
+
+    pass 1: per-batch partials of (n_docs, n_tokens, df per term)
+            -> one small driver sum (corpus stats are O(|query|));
+    pass 2: per-batch vectorized tf via token-equality bincount, BM25
+            score, per-BLOCK top-k partial -> driver merges blocks*k
+            rows. Nothing corpus-sized leaves the workers."""
+    terms = list(BM25_QUERY)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, parent = _doc_tokens(t)
+        toks = np.asarray(flat, dtype=object)
+        par = np.asarray(parent)
+        row = {"n_docs": [np.int64(len(t))], "n_tokens": [np.int64(len(toks))]}
+        for term in terms:
+            hit = toks == term
+            row[f"df_{term}"] = [np.int64(len(np.unique(par[hit])))]
+        return pa.table(row)
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    st = docs.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(st["n_docs"].sum())
+    avgdl = float(st["n_tokens"].sum()) / n_docs
+    idf = {t_: float(np.log(1.0 + (n_docs - int(st[f"df_{t_}"].sum()) + 0.5)
+                            / (int(st[f"df_{t_}"].sum()) + 0.5)))
+           for t_ in terms}
+
+    def score_block(t: pa.Table) -> pa.Table:
+        flat, parent = _doc_tokens(t)
+        toks = np.asarray(flat, dtype=object)
+        par = np.asarray(parent)
+        dl = np.bincount(par, minlength=len(t)).astype(np.float64)
+        denom_dl = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        score = np.zeros(len(t), np.float64)
+        for term in terms:
+            tf = np.bincount(par[toks == term],
+                             minlength=len(t)).astype(np.float64)
+            score += idf[term] * tf * (BM25_K1 + 1.0) / (tf + denom_dl)
+        keep = score > 0.0
+        sub = pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "score": pa.array(score[keep], pa.float64()),
+        })
+        # per-block partial top-k (ties by doc_id ascending)
+        d = sub.to_pandas().sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(d.head(k), preserve_index=False)
+
+    parts = docs.map_batches(score_block, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+    top["score"] = r4(top["score"])
+    return top

@@ -45,6 +45,7 @@ SQL_QUERIES = [
     "phash_pair_violations", "winnowing_fingerprints",
     "score_documents_model", "q3_shipping_priority_allshuffle",
     "q5_revenue_by_nation_allshuffle", "q7_volume_shipping_allshuffle",
+    "pii_redact", "repetition_scores", "keyword_search_bm25",
 ]
 
 
@@ -268,3 +269,80 @@ def test_brute_force_twins_route_by_size(ray_session):
     assert any("embedding_neardup_lsh" in str(r.message) for r in rec)
     direct = embedding_neardup_lsh(SF)
     assert routed.equals(direct)
+
+
+def test_pii_redact_semantics(tmp_path, ray_session):
+    """Email/phone/IPv4 patterns pinned on crafted inputs (the testdata
+    corpus only carries src\\d+ ids, so the driver oracle exercises the
+    plumbing while this pins the per-pattern semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from doonop_ray.ops.text import pii_redact
+
+    rows = [
+        ("mail me at jo.doe+x@exa-mple.co.uk today", 1),
+        ("call +1 555 123 4567 or 555-123-4567 now", 2),
+        ("server at 10.0.255.3 and 192.168.1.1", 2),
+        ("src42 plain", 1),
+        ("nothing here", 0),
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "text": pa.array([r[0] for r in rows], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = pii_redact(str(tmp_path)).set_index("doc_id")
+    assert list(out["n_redacted"]) == [r[1] for r in rows]
+    assert out.loc[0, "clean_text"] == "s: mail me at [PII] today"
+    assert out.loc[2, "clean_text"] == "s: server at [PII] and [PII]"
+    # no digits or @ survive in any redacted text
+    for ct, (_, n) in zip(out["clean_text"], rows):
+        if n:
+            assert "@" not in ct and not any(c.isdigit() for c in ct)
+
+
+def test_bm25_matches_brute_force(tmp_path, ray_session):
+    """BM25 scores equal an independent per-document brute-force
+    computation (Robertson idf, k1=1.2, b=0.75)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from doonop_ray.ops.text import BM25_B, BM25_K1, BM25_QUERY, \
+        keyword_search_bm25
+
+    texts = [
+        "merge sort and merge join window",
+        "scan the table scan scan",
+        "window window merge",
+        "nothing relevant at all",
+        "scan merge window scan merge",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = keyword_search_bm25(str(tmp_path), k=10)
+
+    toks = [x.lower().split() for x in texts]
+    n = len(texts)
+    avgdl = sum(len(x) for x in toks) / n
+    df = {q: sum(q in x for x in toks) for q in BM25_QUERY}
+    exp = {}
+    for i, x in enumerate(toks):
+        s = 0.0
+        for q in BM25_QUERY:
+            tf = x.count(q)
+            if tf:
+                idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+                s += idf * tf * (BM25_K1 + 1) / (
+                    tf + BM25_K1 * (1 - BM25_B + BM25_B * len(x) / avgdl))
+        if s > 0:
+            exp[i] = round(s, 4)
+    assert dict(zip(got["doc_id"], got["score"])) == pytest.approx(exp)
+    # descending score, doc_id tiebreak
+    key = list(zip(-got["score"], got["doc_id"]))
+    assert key == sorted(key)
