@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": text.pii_redact,
         "repetition_scores": text.repetition_scores,
         "keyword_search_bm25": text.keyword_search_bm25,
+        "winnowing_neardup_pairs": text.winnowing_neardup_pairs,
+        "kmeans_embeddings": ann.kmeans_embeddings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -619,6 +621,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 / (1.0 + exp(-z)), 4) AS score,
                    ROUND(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
             FROM z ORDER BY doc_id
+        """,
+        "winnowing_neardup_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\w+') AS ts
+                FROM documents),
+            pos AS (SELECT doc_id, ts,
+                           unnest(generate_series(1, len(ts) - 2)) AS i
+                    FROM toks),
+            grams AS (
+                SELECT doc_id, i,
+                       md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS h,
+                       len(ts) - 2 AS ng
+                FROM pos),
+            wmin AS (
+                SELECT doc_id, i, ng,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 3 FOLLOWING) AS fp
+                FROM grams),
+            wfp AS (SELECT DISTINCT doc_id, fp FROM wmin
+                    WHERE i <= ng - 3),
+            dfq AS (SELECT fp, count(*) AS df FROM wfp GROUP BY fp),
+            p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                         count(*) AS n_shared
+                  FROM wfp a JOIN wfp b
+                       ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  WHERE a.fp IN (SELECT fp FROM dfq
+                                 WHERE df BETWEEN 2 AND 16)
+                  GROUP BY 1, 2)
+            SELECT a, b, n_shared::BIGINT AS n_shared
+            FROM p WHERE n_shared >= 2 ORDER BY a, b
         """,
         "pii_redact": r"""
             WITH s0 AS (SELECT doc_id, source || ': ' || text AS t0

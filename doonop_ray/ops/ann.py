@@ -314,23 +314,14 @@ def _stage_dir(out_dir: str) -> str:
     return f"{out_dir}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
 
 
-def _build_ivf_index(sf_dir: str, n_cells: int, kmeans_iters: int,
-                     seed: int, out_dir: str) -> None:
-    """Distributed IVF build (round-2: nothing corpus-sized touches the
-    driver):
+def _kmeans_train(sf_dir: str, n_cells: int, kmeans_iters: int) -> np.ndarray:
+    """Distributed spherical k-means over the embedding table.
 
-    1. centroid init = the n_cells smallest-vec_id vectors (same
-       partial-min merge as ``_queries`` — deterministic, distributed);
-    2. k-means iterations: map_batches assigns each vector to its
-       nearest centroid and emits per-batch (cell, sum, count) partials;
-       the driver merges only the k×dim partial table per iteration
-       (at 10^10 rows train on a hash-sampled subset first);
-    3. one final assign pass writes the inverted lists as
-       hive-partitioned parquet (``cell=N/``) so probes read ONLY the
-       probed partitions from disk.
-    """
-    import os
-
+    Centroid init is the ``n_cells`` smallest-vec_id vectors (same
+    partial-min merge as ``_queries`` — deterministic, distributed);
+    each iteration is one map_batches pass emitting per-batch
+    (cell, vec-sum, count) PARTIALS, and the driver merges only the
+    k×dim partial table — nothing corpus-sized leaves the workers."""
     import ray
 
     _, cents = _queries(sf_dir, n_cells)  # deterministic init
@@ -371,7 +362,80 @@ def _build_ivf_index(sf_dir: str, n_cells: int, kmeans_iters: int,
         norms = np.linalg.norm(means, axis=1)
         norms[norms == 0] = 1.0
         cents[nonzero] = means / norms[:, None]
+    return cents
 
+
+def kmeans_embeddings(sf_dir: str, k: int = 16,
+                      kmeans_iters: int = 5) -> pd.DataFrame:
+    """Distributed spherical k-means clustering of the embedding corpus
+    (the IVF trainer exposed as a first-class clustering operator).
+    Returns per-cluster (cluster, n_vectors, mean_sim) where mean_sim
+    is the members' average cosine to their centroid — the output is
+    O(k), computed from one extra partial-stats pass; assignments stay
+    on the workers (write them via the IVF index path if needed).
+    Deterministic: init is the k smallest-vec_id vectors, so a numpy
+    reference run matches exactly (pinned in tests/test_ops.py)."""
+    import ray
+
+    from .common import bcast_get
+
+    cents = _kmeans_train(sf_dir, k, kmeans_iters)
+    ref = ray.put(cents)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        cents = bcast_get(ref)
+        v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        nn = np.linalg.norm(v, axis=1)
+        nn[nn == 0] = 1.0
+        sims = (v / nn[:, None]) @ cents.T
+        cell = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(v)), cell]
+        return pa.table({
+            "cluster": pa.array(np.arange(len(cents)), pa.int32()),
+            "sim_sum": pa.array(
+                np.bincount(cell, weights=best, minlength=len(cents)),
+                pa.float64()),
+            "cnt": pa.array(np.bincount(cell, minlength=len(cents)),
+                            pa.int64()),
+        })
+
+    parts = (read(sf_dir, "embeddings", ["vec_id", "embedding"])
+             .map_batches(stats_partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = parts.groupby("cluster", as_index=False).agg(
+        sim_sum=("sim_sum", "sum"), n_vectors=("cnt", "sum"))
+    agg = agg[agg["n_vectors"] > 0]
+    from .common import r4
+
+    out = pd.DataFrame({
+        "cluster": agg["cluster"].astype("int32"),
+        "n_vectors": agg["n_vectors"].astype("int64"),
+        "mean_sim": r4(agg["sim_sum"] / agg["n_vectors"]),
+    })
+    return finish(out, ["cluster"])
+
+
+def _build_ivf_index(sf_dir: str, n_cells: int, kmeans_iters: int,
+                     seed: int, out_dir: str) -> None:
+    """Distributed IVF build (round-2: nothing corpus-sized touches the
+    driver):
+
+    1. centroid init = the n_cells smallest-vec_id vectors (same
+       partial-min merge as ``_queries`` — deterministic, distributed);
+    2. k-means iterations: map_batches assigns each vector to its
+       nearest centroid and emits per-batch (cell, sum, count) partials;
+       the driver merges only the k×dim partial table per iteration
+       (at 10^10 rows train on a hash-sampled subset first);
+    3. one final assign pass writes the inverted lists as
+       hive-partitioned parquet (``cell=N/``) so probes read ONLY the
+       probed partitions from disk.
+    """
+    import os
+
+    import ray
+
+    cents = _kmeans_train(sf_dir, n_cells, kmeans_iters)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     ref = ray.put(cents)
 
     def assign(t: pa.Table, ref=ref) -> pa.Table:

@@ -619,6 +619,14 @@ def winnowing_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> pd.DataFrame:
     ``np.minimum`` passes over shifted views (doc boundaries masked via
     parent-index equality), and per-batch dedup is global dedup because
     a document never splits across batches."""
+    out = _winnow_dataset(sf_dir, k, w).to_pandas()
+    return finish(out, ["doc_id", "fp"])
+
+
+def _winnow_dataset(sf_dir: str, k: int, w: int):
+    """Distinct (doc_id, fp) winnowing rows as a streaming Dataset (the
+    shared front half of ``winnowing_fingerprints`` and
+    ``winnowing_neardup_pairs``)."""
 
     def fps(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -642,12 +650,47 @@ def winnowing_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> pd.DataFrame:
         })
         return sel.group_by(["doc_id", "fp"], use_threads=False).aggregate([])
 
-    out = (
+    return (
         read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(fps, batch_format="pyarrow")
-        .to_pandas()
     )
-    return finish(out, ["doc_id", "fp"])
+
+
+def winnowing_neardup_pairs(sf_dir: str, k: int = 3, w: int = 4,
+                            max_df: int = 16,
+                            min_shared: int = 2) -> pd.DataFrame:
+    """Substring-overlap near-duplicate pairs via shared winnowing
+    fingerprints (the MOSS match step): document pairs sharing at least
+    ``min_shared`` fingerprints, i.e. at least that many distinct
+    ``w+k-1``-token runs in common. Fingerprints held by more than
+    ``max_df`` documents are boilerplate and skipped (same guard as the
+    LSH bucket caps — and at 100 TB the skew guard, since a hot
+    fingerprint would otherwise emit O(df²) pairs).
+
+    Fully distributed: one ``grouped_apply`` shuffle on fp emits
+    in-bucket pairs (bucket size bounded by ``max_df``), then a
+    ``grouped_aggregate`` counts shared fps per pair. Nothing
+    corpus-sized touches the driver."""
+    from .common import grouped_aggregate, grouped_apply
+
+    fps = _winnow_dataset(sf_dir, k, w)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        if len(g) > max_df:  # boilerplate fingerprint
+            return empty
+        ids = np.sort(g["doc_id"].to_numpy())
+        ai, bi = np.triu_indices(len(ids), 1)
+        return pa.table({"a": pa.array(ids[ai], pa.int64()),
+                         "b": pa.array(ids[bi], pa.int64())})
+
+    pairs = grouped_apply(fps, "fp", emit_pairs, empty, min_group_size=2)
+    cnt = grouped_aggregate(pairs, ["a", "b"], [("a", "count")])
+    out = cnt.to_pandas().rename(columns={"a_count": "n_shared"})
+    out = out[out["n_shared"] >= min_shared]
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return finish(out, ["a", "b"])
 
 
 # fixed "model" weights: (bias, w_tokens, w_chars, w_stop_ratio) — stands

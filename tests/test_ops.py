@@ -46,6 +46,7 @@ SQL_QUERIES = [
     "score_documents_model", "q3_shipping_priority_allshuffle",
     "q5_revenue_by_nation_allshuffle", "q7_volume_shipping_allshuffle",
     "pii_redact", "repetition_scores", "keyword_search_bm25",
+    "winnowing_neardup_pairs",
 ]
 
 
@@ -346,3 +347,44 @@ def test_bm25_matches_brute_force(tmp_path, ray_session):
     # descending score, doc_id tiebreak
     key = list(zip(-got["score"], got["doc_id"]))
     assert key == sorted(key)
+
+
+def test_kmeans_embeddings_matches_numpy_reference(ray_session):
+    """Distributed spherical k-means equals a single-process numpy run
+    with the same deterministic init (k smallest-vec_id vectors)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from doonop_ray.ops.ann import kmeans_embeddings
+    from doonop_ray.ops.common import r4
+
+    k, iters = 8, 4
+    got = kmeans_embeddings(SF, k=k, kmeans_iters=iters)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    nn = np.linalg.norm(v, axis=1)
+    nn[nn == 0] = 1.0
+    vn = v / nn[:, None]
+    cents = vn[np.argsort(ids)[:k]].copy()
+    for _ in range(iters):
+        cell = np.argmax(vn @ cents.T, axis=1)
+        for c in range(k):
+            m = cell == c
+            if m.any():
+                mu = vn[m].mean(axis=0)
+                n = np.linalg.norm(mu)
+                cents[c] = mu / (n if n else 1.0)
+    sims = vn @ cents.T
+    cell = np.argmax(sims, axis=1)
+    best = sims[np.arange(len(vn)), cell]
+    cnt = np.bincount(cell, minlength=k)
+    exp = pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int32),
+        "n_vectors": cnt.astype("int64"),
+        "mean_sim": r4(np.bincount(cell, weights=best, minlength=k)
+                       / np.maximum(cnt, 1)),
+    })
+    exp = exp[exp["n_vectors"] > 0].reset_index(drop=True)
+    assert exp.equals(got)
