@@ -980,3 +980,224 @@ def customer_order_counts(sf_dir: str) -> pd.DataFrame:
             "n_orders": pc.fill_null(t["n"], 0)}),
         batch_format="pyarrow").to_pandas()
     return finish(out, ["c_custkey"])
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: single-scan filtered global aggregate. The whole
+    query is one pruned read + a vectorized per-batch partial sum — the
+    cheapest possible distributed plan (no shuffle at all; the 'groupby'
+    is a constant key, so Ray's aggregate merges one float per block)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(datetime(1998, 1, 1))),
+                pc.less(t["l_shipdate"], pa.scalar(datetime(1999, 1, 1)))),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.03)),
+                        pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                pc.less(t["l_quantity"], pa.scalar(24.0))),
+        )
+        f = t.filter(m)
+        s = pc.sum(pc.multiply(f["l_extendedprice"], f["l_discount"]))
+        return pa.table({"part": pa.array([s.as_py() or 0.0], pa.float64())})
+
+    agg = (read(sf_dir, "lineitem",
+                ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .aggregate(Sum("part", alias_name="revenue")))
+    return pd.DataFrame({"revenue": r4([agg["revenue"] or 0.0])})
+
+
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS between two FACT tables —
+    orders in a date window counted per priority when at least one of
+    their lineitems shipped after the order date. Lineitem pre-reduces
+    to a per-orderkey max-shipdate PARTIAL inside each batch (the only
+    column the predicate needs), the orders side joins via
+    ``shuffle_join`` (one all-to-all, no corpus-growing broadcast), and
+    the join's one-key-one-block output invariant lets a block-local
+    group_by finish the per-order max before the bounded 5-row priority
+    rollup."""
+    from ray.data.aggregate import Sum
+
+    from .join import shuffle_join
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        part = pa.table({"key": t["l_orderkey"], "ship": t["l_shipdate"]}
+                        ).group_by("key", use_threads=False).aggregate(
+            [("ship", "max")])
+        return pa.table({"key": part["key"], "ship": part["ship_max"]})
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(datetime(1998, 1, 1))),
+            pc.less(t["o_orderdate"], pa.scalar(datetime(1999, 1, 1))))
+        f = t.filter(m)
+        return pa.table({"key": f["o_orderkey"],
+                         "o_orderpriority": f["o_orderpriority"],
+                         "o_orderdate": f["o_orderdate"]})
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderpriority", "o_orderdate"]
+                  ).map_batches(ord_filter, batch_format="pyarrow")
+    j = shuffle_join(
+        li, orders, "key", ["ship"], ["o_orderpriority", "o_orderdate"],
+        how="inner",
+        left_types={"ship": pa.timestamp("us")},
+        right_types={"o_orderpriority": pa.string(),
+                     "o_orderdate": pa.timestamp("us")},
+        num_blocks=32)
+
+    def per_order(t: pa.Table) -> pa.Table:
+        # complete per-order reduce (join invariant: key never straddles
+        # blocks), then the EXISTS predicate and a per-block count partial
+        g = t.group_by("key", use_threads=False).aggregate(
+            [("ship", "max"), ("o_orderpriority", "min"),
+             ("o_orderdate", "min")])
+        g = g.filter(pc.greater(g["ship_max"], g["o_orderdate_min"]))
+        c = g.group_by("o_orderpriority_min", use_threads=False).aggregate(
+            [("o_orderpriority_min", "count")])
+        return pa.table({"o_orderpriority": c["o_orderpriority_min"],
+                         "n": pc.cast(c["o_orderpriority_min_count"],
+                                      pa.int64())})
+
+    out = (j.map_batches(per_order, batch_format="pyarrow", batch_size=None)
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="order_count"))
+           .to_pandas())
+    out = _ensure_cols(out, {"o_orderpriority": "str", "order_count": "int64"})
+    return finish(out, ["o_orderpriority"])
+
+
+def q10_returned_items(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue of RETURNED
+    lineitems in an order-date window. Three corpus-growing tables
+    (lineitem, orders, customer) — both joins are ``shuffle_join``s on
+    pre-reduced partials; nation is the only broadcast (bounded
+    dimension). The global top-20 is a per-block partial top-20 over
+    the complete per-customer sums (join invariant) merged on the
+    driver — nothing corpus-sized leaves the cluster."""
+    import ray
+
+    from .join import shuffle_join
+
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    dims_ref = ray.put((nation["n_nationkey"].combine_chunks(),
+                        nation["n_name"].combine_chunks()))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        part = pa.table({"key": f["l_orderkey"], "rev": rev}).group_by(
+            "key", use_threads=False).aggregate([("rev", "sum")])
+        return pa.table({"key": part["key"], "rev": part["rev_sum"]})
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+              ).map_batches(li_partial, batch_format="pyarrow",
+                            batch_size=65536)
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(datetime(1998, 1, 1))),
+            pc.less(t["o_orderdate"], pa.scalar(datetime(1998, 7, 1))))
+        f = t.filter(m)
+        return pa.table({"key": f["o_orderkey"], "o_custkey": f["o_custkey"]})
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ord_filter, batch_format="pyarrow")
+    j1 = shuffle_join(li, orders, "key", ["rev"], ["o_custkey"], "inner",
+                      left_types={"rev": pa.float64()},
+                      right_types={"o_custkey": pa.int64()}, num_blocks=32)
+
+    def rekey(t: pa.Table) -> pa.Table:
+        part = pa.table({"key": t["o_custkey"], "rev": t["rev"]}).group_by(
+            "key", use_threads=False).aggregate([("rev", "sum")])
+        return pa.table({"key": part["key"], "rev": part["rev_sum"]})
+
+    cust = read(sf_dir, "customer",
+                ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        lambda t: pa.table({"key": t["c_custkey"], "c_name": t["c_name"],
+                            "c_nationkey": t["c_nationkey"]}),
+        batch_format="pyarrow")
+    j2 = shuffle_join(
+        j1.map_batches(rekey, batch_format="pyarrow", batch_size=None),
+        cust, "key", ["rev"], ["c_name", "c_nationkey"], "inner",
+        left_types={"rev": pa.float64()},
+        right_types={"c_name": pa.string(), "c_nationkey": pa.int32()},
+        num_blocks=32)
+
+    def block_top20(t: pa.Table) -> pa.Table:
+        g = t.group_by(["key", "c_name", "c_nationkey"],
+                       use_threads=False).aggregate([("rev", "sum")])
+        n_key, n_name = bcast_get(dims_ref)
+        name = pc.take(n_name, pc.index_in(g["c_nationkey"], value_set=n_key))
+        g = pa.table({"c_custkey": g["key"], "c_name": g["c_name"],
+                      "revenue": pa.array(
+                          r4(g["rev_sum"].to_numpy(zero_copy_only=False))),
+                      "n_name": name})
+        idx = pc.sort_indices(g, sort_keys=[("revenue", "descending"),
+                                            ("c_custkey", "ascending")])
+        return g.take(idx.slice(0, min(20, len(g))))
+
+    out = j2.map_batches(block_top20, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    out = _ensure_cols(out, {"c_custkey": "int64", "c_name": "str",
+                             "revenue": "float64", "n_name": "str"})
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True],
+                          kind="mergesort").head(20)
+    return out.reset_index(drop=True)[
+        ["c_custkey", "c_name", "revenue", "n_name"]]
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: per ship-month share of revenue from PROMO-type
+    parts over 1998. Part is a broadcast dimension (``ray.put`` once,
+    per-worker cache); each batch computes BOTH conditional partial sums
+    vectorized, and the bounded 12-row month key rolls up through Ray's
+    aggregate. Output: (o_month, promo_pct, revenue)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part_t = read_arrow(sf_dir, "part", ["p_partkey", "p_type"])
+    promo = pc.equal(part_t["p_type"], "PROMO")
+    part_ref = ray.put((part_t["p_partkey"].combine_chunks(),
+                        promo.combine_chunks()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(datetime(1998, 1, 1))),
+            pc.less(t["l_shipdate"], pa.scalar(datetime(1999, 1, 1))))
+        f = t.filter(m)
+        p_key, p_promo = bcast_get(part_ref)
+        is_promo = pc.take(p_promo, pc.index_in(f["l_partkey"],
+                                                value_set=p_key))
+        rev = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        month = pc.cast(pc.month(f["l_shipdate"]), pa.int64())
+        promo_rev = pc.if_else(is_promo, rev, pa.scalar(0.0))
+        g = pa.table({"o_month": month, "rev": rev, "promo_rev": promo_rev}
+                     ).group_by("o_month", use_threads=False).aggregate(
+            [("rev", "sum"), ("promo_rev", "sum")])
+        return pa.table({"o_month": g["o_month"], "rev": g["rev_sum"],
+                         "promo_rev": g["promo_rev_sum"]})
+
+    out = (read(sf_dir, "lineitem",
+                ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("o_month")
+           .aggregate(Sum("rev", alias_name="rev"),
+                      Sum("promo_rev", alias_name="promo_rev"))
+           .to_pandas())
+    out = _ensure_cols(out, {"o_month": "int64", "rev": "float64",
+                             "promo_rev": "float64"})
+    out["promo_pct"] = r4(100.0 * out["promo_rev"] / out["rev"])
+    out["revenue"] = r4(out["rev"])
+    return finish(out, ["o_month"])[["o_month", "promo_pct", "revenue"]]

@@ -47,6 +47,8 @@ SQL_QUERIES = [
     "q5_revenue_by_nation_allshuffle", "q7_volume_shipping_allshuffle",
     "pii_redact", "repetition_scores", "keyword_search_bm25",
     "winnowing_neardup_pairs",
+    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
+    "q14_promo_revenue",
 ]
 
 
