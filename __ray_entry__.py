@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
+        "exact_quantiles": sketches.exact_quantiles,
         # text analysis
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -82,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": text.doc_length_histogram,
         "curate_documents": text.curate_documents,
         "top_tokens_heavy_hitters": text.top_tokens_heavy_hitters,
+        "pack_sequences": text.pack_sequences,
         "contamination_check": text.contamination_check,
         "sample_per_lang": text.sample_per_lang,
         "train_val_test_split": text.train_val_test_split,
@@ -177,6 +179,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "pack_sequences": f"""
+            WITH tok AS (
+                SELECT lang, doc_id // 256 AS bucket,
+                       len({_TOKENS}) AS n
+                FROM documents
+            ), b AS (
+                SELECT lang, bucket, SUM(n) AS btok
+                FROM tok GROUP BY 1, 2
+            )
+            SELECT lang,
+                   CAST(SUM(CEIL(btok / 512.0)) AS BIGINT) AS n_sequences,
+                   CAST(SUM(btok) AS BIGINT) AS total_tokens
+            FROM b WHERE btok > 0 GROUP BY 1 ORDER BY 1
+        """,
+        "exact_quantiles": """
+            WITH s AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) rn,
+                              COUNT(*) OVER () n FROM events)
+            SELECT CAST(q AS DOUBLE) AS q,
+                   (SELECT MIN(value) FROM s WHERE rn >= CEIL(q * n)) AS value
+            FROM (VALUES (0.5), (0.9), (0.99)) t(q) ORDER BY q
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count

@@ -107,3 +107,103 @@ def hll_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
         rows.append((et, int(round(_estimate(merged)))))
     out = pd.DataFrame(rows, columns=["event_type", "approx_users"])
     return finish(out, ["event_type"])
+
+
+def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    nbins: int = 4096, collect_cap: int = 65536) -> pd.DataFrame:
+    """EXACT global quantiles of events.value without a global sort —
+    iterative histogram refinement (the classic distributed
+    selection-by-binning algorithm):
+
+    pass 0: per-batch (min, max, count) partials, merged via Ray's
+            bounded aggregate;
+    pass k: per-batch fixed-bin histogram partials over the current
+            [lo, hi) candidate range (bin index = floor((v-lo)/width),
+            IDENTICAL formula in the build and filter passes so binning
+            is exact) -> ≤``nbins`` merged counts on the driver ->
+            cumulative counts locate the bin holding each target rank;
+    final:  once a quantile's candidate bin holds ≤``collect_cap`` rows
+            it is collected, sorted, and indexed exactly.
+
+    Rank definition (matches the SQL oracle): the value at 1-based rank
+    ``ceil(q*n)`` of the ascending sort. Every pass is a pruned
+    single-column scan with mergeable partials — no corpus-sized
+    state anywhere; the number of refine passes is
+    O(log_nbins(n/collect_cap)) ≈ 2 even at 10^12 rows."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = read(sf_dir, "events", ["value"])
+    g = ds.aggregate(Min("value"), Max("value"), Count())
+    n = int(g["count()"])
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": pd.Series([np.nan] * len(qs))})
+    gmin, gmax = float(g["min(value)"]), float(g["max(value)"])
+    targets = {q: int(math.ceil(q * n)) for q in qs}
+
+    def _hist(lo: float, hi: float, last: bool) -> np.ndarray:
+        width = (hi - lo) / nbins
+
+        def partial(t: pa.Table) -> pa.Table:
+            v = t["value"].to_numpy(zero_copy_only=False)
+            # values == hi belong to the bin beyond the candidate range
+            # unless hi is the global max (match _collect exactly)
+            v = v[(v >= lo) & ((v <= hi) if last else (v < hi))]
+            if not len(v):
+                return pa.table({"bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            b = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
+            counts = np.bincount(b, minlength=nbins)
+            nz = np.flatnonzero(counts)
+            return pa.table({"bin": pa.array(nz, pa.int64()),
+                             "cnt": pa.array(counts[nz], pa.int64())})
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
+                .to_pandas())
+        dense = np.zeros(nbins, dtype=np.int64)
+        if len(rows):
+            dense[rows["bin"].to_numpy()] = rows["cnt"].to_numpy()
+        return dense
+
+    def _collect(lo: float, hi: float, last: bool) -> np.ndarray:
+        def keep(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(t["value"], pa.scalar(lo)),
+                        pc.less_equal(t["value"], pa.scalar(hi)) if last
+                        else pc.less(t["value"], pa.scalar(hi)))
+            return t.filter(m)
+
+        vals = ds.map_batches(keep, batch_format="pyarrow",
+                              batch_size=65536).to_pandas()["value"]
+        return np.sort(vals.to_numpy())
+
+    out_rows = []
+    for q, rank in targets.items():
+        lo, hi, r = gmin, gmax, rank
+        # refine until the candidate range is collectable (or degenerate)
+        for _ in range(8):
+            if hi <= lo:
+                break
+            hist = _hist(lo, hi, last=(hi >= gmax))
+            cum = np.cumsum(hist)
+            b = int(np.searchsorted(cum, r))
+            in_bin = int(hist[b])
+            width = (hi - lo) / nbins
+            r -= int(cum[b - 1]) if b else 0
+            new_lo = lo + b * width
+            new_hi = hi if b == nbins - 1 else lo + (b + 1) * width
+            lo, hi = new_lo, new_hi
+            if in_bin <= collect_cap:
+                break
+        if hi <= lo:
+            val = lo
+        else:
+            vals = _collect(lo, hi, last=(hi >= gmax))
+            val = float(vals[r - 1])
+        out_rows.append((float(q), val))
+    out = pd.DataFrame(out_rows, columns=["q", "value"])
+    return finish(out, ["q"])

@@ -950,3 +950,126 @@ def keyword_search_bm25(sf_dir: str, k: int = 20) -> pd.DataFrame:
                             kind="mergesort").head(k).reset_index(drop=True)
     top["score"] = r4(top["score"])
     return top
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 512, bucket_size: int = 256,
+                   out_root: str | None = None) -> pd.DataFrame:
+    """Sequence packing — the step between curation and the trainer:
+    concatenate tokenized documents and slice the stream into
+    fixed-``seq_len`` training sequences (list<int32> token ids),
+    materialized as parquet shards.
+
+    Determinism at any parallelism: docs pack inside
+    ``(lang, doc_id // bucket_size)`` buckets, token streams
+    concatenated in doc_id order — bucket boundaries derive from the
+    KEY, not from block layout, so the packed output is byte-identical
+    whatever the cluster shape, and a bucket (≤``bucket_size`` docs)
+    always fits worker memory. Each bucket's tail (< seq_len tokens)
+    stays a short final sequence; buckets never blend, so a re-run of
+    one failed bucket reproduces exactly its shard rows (resumable).
+
+    Pipeline: map_batches tokenizes (``\\W+`` split, same RE2 pattern
+    as the DuckDB oracle) and hashes tokens to int32 ids via a
+    dictionary-encode-then-hash (only UNIQUE tokens per batch pay the
+    hash); ``grouped_apply`` runs the per-bucket packer (one sort
+    all-to-all on the short (lang, bucket) key — token lists ride it
+    once); sequences are written to parquet and the returned per-lang
+    stats are computed from the MATERIALIZED output (so the oracle
+    checks what a trainer would actually read)."""
+    import os
+    import shutil
+    import zlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .common import grouped_apply
+
+    out_root = out_root or f"/tmp/doonop_out/pack_{os.getpid()}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        lists = pc.split_pattern_regex(low, r"\W+")
+        flat = pc.list_flatten(lists).combine_chunks()
+        # id per token: crc32 of the utf8 bytes, hashed once per UNIQUE
+        # token (dictionary encoding) — the hot loop is dict-sized
+        dic = flat.dictionary_encode()
+        uniq = dic.dictionary.to_pylist()
+        ids = np.fromiter((zlib.crc32(u.encode()) & 0x7FFFFFFF
+                           for u in uniq),
+                          dtype=np.int32, count=len(uniq))
+        tok_ids = ids[dic.indices.to_numpy(zero_copy_only=False)] \
+            if len(flat) else np.array([], dtype=np.int32)
+        # re-list the flat ids with the original offsets, dropping the
+        # empty-string artifacts of \W+ splitting
+        keep = np.array([len(u) > 0 for u in uniq], dtype=bool)
+        tok_keep = keep[dic.indices.to_numpy(zero_copy_only=False)] \
+            if len(flat) else np.array([], dtype=bool)
+        offsets = lists.combine_chunks().offsets.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # per-row kept-token count = prefix-sum sampled at row offsets
+        # (exact for zero-length rows, unlike reduceat index games)
+        csum = np.concatenate(([0], np.cumsum(tok_keep, dtype=np.int64)))
+        kept_per_row = csum[offsets[1:]] - csum[offsets[:-1]]
+        new_offsets = np.concatenate(([0], np.cumsum(kept_per_row)))
+        id_list = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()),
+            pa.array(tok_ids[tok_keep], pa.int32()))
+        return pa.table({
+            "lang": t["lang"],
+            "bucket": pc.cast(
+                pc.floor(pc.divide(pc.cast(t["doc_id"], pa.float64()),
+                                   float(bucket_size))), pa.int64()),
+            "doc_id": t["doc_id"],
+            "ids": id_list,
+            "n": pa.array(kept_per_row, pa.int64()),
+        })
+
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        tokenize, batch_format="pyarrow")
+
+    empty = pa.table({
+        "lang": pa.array([], pa.string()),
+        "bucket": pa.array([], pa.int64()),
+        "seq_idx": pa.array([], pa.int64()),
+        "tokens": pa.array([], pa.list_(pa.int32())),
+        "n_tokens": pa.array([], pa.int64()),
+    })
+
+    def pack_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by("doc_id")
+        stream = pc.list_flatten(g["ids"]).to_numpy(zero_copy_only=False)
+        total = len(stream)
+        if total == 0:
+            return empty
+        n_seq = -(-total // seq_len)
+        offsets = np.minimum(np.arange(n_seq + 1) * seq_len, total)
+        toks = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(stream.astype(np.int32), pa.int32()))
+        return pa.table({
+            "lang": pa.array([g["lang"][0].as_py()] * n_seq, pa.string()),
+            "bucket": pa.array([g["bucket"][0].as_py()] * n_seq, pa.int64()),
+            "seq_idx": pa.array(np.arange(n_seq), pa.int64()),
+            "tokens": toks,
+            "n_tokens": pa.array(np.diff(offsets).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    packed = grouped_apply(ds, ["lang", "bucket"], pack_bucket, empty)
+    packed.write_parquet(out_root)
+
+    out = (rd.read_parquet(out_root, columns=["lang", "n_tokens"])
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_sequences"),
+                      Sum("n_tokens", alias_name="total_tokens"))
+           .to_pandas())
+    if not len(out.columns):
+        out = pd.DataFrame({"lang": pd.Series([], dtype="str"),
+                            "n_sequences": pd.Series([], dtype="int64"),
+                            "total_tokens": pd.Series([], dtype="int64")})
+    out["n_sequences"] = out["n_sequences"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    return finish(out, ["lang"])[["lang", "n_sequences", "total_tokens"]]

@@ -48,7 +48,7 @@ SQL_QUERIES = [
     "pii_redact", "repetition_scores", "keyword_search_bm25",
     "winnowing_neardup_pairs",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
-    "q14_promo_revenue",
+    "q14_promo_revenue", "exact_quantiles", "pack_sequences",
 ]
 
 
@@ -390,3 +390,54 @@ def test_kmeans_embeddings_matches_numpy_reference(ray_session):
     })
     exp = exp[exp["n_vectors"] > 0].reset_index(drop=True)
     assert exp.equals(got)
+
+
+def test_pack_sequences_content_matches_reference(tmp_path, ray_session):
+    """The MATERIALIZED packed sequences (token ids, order, chunking)
+    equal a brute-force single-threaded packer — not just the counts
+    the SQL oracle checks."""
+    import re
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from doonop_ray.ops.text import pack_sequences
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for doc_id in range(40):
+        lang = ["en", "de"][doc_id % 2]
+        n = int(rng.integers(0, 30))
+        text = " ".join(rng.choice(words, n)) if n else ""
+        rows.append((doc_id, lang, text))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out_root = str(tmp_path / "packed")
+    stats = pack_sequences(str(tmp_path), seq_len=16, bucket_size=8,
+                           out_root=out_root)
+
+    # brute-force reference packer
+    exp: dict[tuple, list] = {}
+    for doc_id, lang, text in rows:
+        toks = [w for w in re.split(r"\W+", text.lower()) if w]
+        ids = [zlib.crc32(w.encode()) & 0x7FFFFFFF for w in toks]
+        exp.setdefault((lang, doc_id // 8), []).extend(ids)
+    exp_seqs = {}
+    for key, stream in exp.items():
+        for i in range(0, len(stream), 16):
+            exp_seqs[key + (i // 16,)] = stream[i:i + 16]
+
+    got = pq.read_table(out_root).to_pandas()
+    got_seqs = {(r["lang"], r["bucket"], r["seq_idx"]): list(r["tokens"])
+                for _, r in got.iterrows()}
+    assert got_seqs == exp_seqs
+    # stats frame consistent with the materialized output
+    assert int(stats["total_tokens"].sum()) == sum(
+        len(v) for v in exp_seqs.values())
