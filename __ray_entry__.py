@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": text.curate_documents,
         "top_tokens_heavy_hitters": text.top_tokens_heavy_hitters,
         "pack_sequences": text.pack_sequences,
+        "lm_perplexity_scores": text.lm_perplexity_scores,
+        "mixture_weights": text.mixture_weights,
         "contamination_check": text.contamination_check,
         "sample_per_lang": text.sample_per_lang,
         "train_val_test_split": text.train_val_test_split,
@@ -179,6 +181,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "mixture_weights": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(((SELECT COUNT(*) FROM documents) * 1.0
+                          / (SELECT COUNT(DISTINCT source) FROM documents))
+                         / COUNT(*), 4) AS weight,
+                   ROUND(LEAST(((SELECT COUNT(*) FROM documents) * 1.0
+                          / (SELECT COUNT(DISTINCT source) FROM documents))
+                         / COUNT(*), 1.0), 4) AS sampling_rate
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "pack_sequences": f"""
             WITH tok AS (

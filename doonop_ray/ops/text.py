@@ -1073,3 +1073,166 @@ def pack_sequences(sf_dir: str, seq_len: int = 512, bucket_size: int = 256,
     out["n_sequences"] = out["n_sequences"].astype("int64")
     out["total_tokens"] = out["total_tokens"].astype("int64")
     return finish(out, ["lang"])[["lang", "n_sequences", "total_tokens"]]
+
+
+LM_BUCKETS_UNI = 1 << 16
+LM_BUCKETS_BI = 1 << 20
+LM_ALPHA = 0.1
+
+
+def _lm_hash(arr: np.ndarray, mod: int) -> np.ndarray:
+    """Deterministic 64-bit multiplicative hash of int64 keys -> [0, mod)."""
+    h = (arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    h ^= h >> np.uint64(29)
+    return (h % np.uint64(mod)).astype(np.int64)
+
+
+def _doc_token_hashes(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc token streams as crc32 ids: (flat ids, row offsets)."""
+    import zlib
+
+    low = pc.utf8_lower(t["text"])
+    lists = pc.split_pattern_regex(low, r"\W+")
+    flat = pc.list_flatten(lists).combine_chunks()
+    dic = flat.dictionary_encode()
+    uniq = dic.dictionary.to_pylist()
+    ids = np.fromiter((zlib.crc32(u.encode()) for u in uniq),
+                      dtype=np.int64, count=len(uniq))
+    keep = np.array([len(u) > 0 for u in uniq], dtype=bool)
+    idx = dic.indices.to_numpy(zero_copy_only=False) if len(flat) \
+        else np.array([], dtype=np.int64)
+    tok = ids[idx] if len(idx) else np.array([], dtype=np.int64)
+    tok_keep = keep[idx] if len(idx) else np.array([], dtype=bool)
+    offsets = lists.combine_chunks().offsets.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(tok_keep, dtype=np.int64)))
+    new_offsets = csum[offsets]
+    return tok[tok_keep], new_offsets
+
+
+def _lm_count_partial(t: pa.Table) -> pa.Table:
+    """Sparse hashed unigram+bigram count partial for one batch.
+    Bigram buckets are offset by LM_BUCKETS_UNI so one (bucket, cnt)
+    stream carries both tables."""
+    tok, offs = _doc_token_hashes(t)
+    if not len(tok):
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    uni = _lm_hash(tok, LM_BUCKETS_UNI)
+    # bigrams never straddle documents: drop each row's first token
+    first = np.zeros(len(tok), dtype=bool)
+    first[offs[:-1][offs[:-1] < len(tok)]] = True
+    prev = np.roll(tok, 1)
+    big = _lm_hash(prev * np.int64(1000003) + tok, LM_BUCKETS_BI)[~first]
+    counts = np.bincount(uni, minlength=LM_BUCKETS_UNI)
+    bcounts = np.bincount(big, minlength=LM_BUCKETS_BI)
+    nz_u, nz_b = np.flatnonzero(counts), np.flatnonzero(bcounts)
+    return pa.table({
+        "bucket": pa.array(np.concatenate(
+            (nz_u, nz_b + LM_BUCKETS_UNI)), pa.int64()),
+        "cnt": pa.array(np.concatenate(
+            (counts[nz_u], bcounts[nz_b])), pa.int64()),
+    })
+
+
+def lm_perplexity_scores(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality scoring: train a hashed add-alpha bigram
+    model ON the corpus itself (one distributed counting pass), then
+    score every document's perplexity under it — low-perplexity ≈
+    fluent/common text, high ≈ noise. The curation signal Wenzek et al.
+    (CCNet, 2020) gate on, minus the external KenLM dependency (the
+    model here is the corpus's own hashed bigram table, so the operator
+    is self-contained and deterministic).
+
+    Scale shape: counting emits SPARSE (bucket, cnt) partials per batch
+    into a bounded key space (2^16 unigram + 2^20 bigram buckets), so
+    the count shuffle is corpus-size-independent; the merged model
+    (~8 MB dense) ships once via ``ray.put`` and is cached per worker
+    (``bcast_get``); scoring is one vectorized pass — no per-row
+    Python, no second shuffle. Hash collisions fold rare grams together
+    (standard hashed-LM trade-off; documented, deterministic).
+
+    perplexity = exp(-mean_i log P(w_i | w_{i-1})),
+    P = (c_bigram + a) / (c_prev_unigram + a * V), a=0.1, V=2^16.
+    Pinned against a brute-force reference in tests (rows-only for the
+    driver: the model is not SQL-expressible)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(_lm_count_partial, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    uni = np.zeros(LM_BUCKETS_UNI, dtype=np.int64)
+    big = np.zeros(LM_BUCKETS_BI, dtype=np.int64)
+    b = counts["bucket"].to_numpy()
+    c = counts["cnt"].to_numpy()
+    is_uni = b < LM_BUCKETS_UNI
+    uni[b[is_uni]] = c[is_uni]
+    big[b[~is_uni] - LM_BUCKETS_UNI] = c[~is_uni]
+    model_ref = ray.put((uni, big))
+
+    from .common import bcast_get
+
+    def score(t: pa.Table) -> pa.Table:
+        m_uni, m_big = bcast_get(model_ref)
+        tok, offs = _doc_token_hashes(t)
+        n_rows = len(t)
+        ppl = np.full(n_rows, np.nan)
+        if len(tok):
+            uni_h = _lm_hash(tok, LM_BUCKETS_UNI)
+            prev = np.roll(tok, 1)
+            big_h = _lm_hash(prev * np.int64(1000003) + tok, LM_BUCKETS_BI)
+            logp = np.log(
+                (m_big[big_h] + LM_ALPHA)
+                / (m_uni[_lm_hash(prev, LM_BUCKETS_UNI)]
+                   + LM_ALPHA * LM_BUCKETS_UNI))
+            first = np.zeros(len(tok), dtype=bool)
+            first[offs[:-1][offs[:-1] < len(tok)]] = True
+            logp[first] = 0.0
+            csum = np.concatenate(([0.0], np.cumsum(logp)))
+            per_doc = csum[offs[1:]] - csum[offs[:-1]]
+            n_big = np.maximum(offs[1:] - offs[:-1] - 1, 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ppl = np.where(n_big > 0,
+                               np.exp(-per_doc / np.maximum(n_big, 1)),
+                               np.nan)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "perplexity": pa.array(r4(ppl), pa.float64()),
+        })
+
+    out = (read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(score, batch_format="pyarrow")
+           .to_pandas())
+    return finish(out, ["doc_id"])
+
+
+def mixture_weights(sf_dir: str) -> pd.DataFrame:
+    """Source mixture balancing — the sampling-weight table a trainer
+    uses to hit a TARGET mixture (uniform across sources here) from an
+    unbalanced corpus: weight_s = target_share / actual_share, and the
+    per-doc sampling rate capped at 1 (never upsample by dropping
+    others; rates renormalize downstream). One bounded groupby —
+    per-batch count partials, k source rows out."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source", use_threads=False).aggregate(
+            [("source", "count")])
+        return pa.table({"source": g["source"],
+                         "n": pc.cast(g["source_count"], pa.int64())})
+
+    out = (read(sf_dir, "documents", ["source"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("n", alias_name="n_docs"))
+           .to_pandas())
+    total = int(out["n_docs"].sum())
+    k = len(out)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["weight"] = r4((total / k) / out["n_docs"].to_numpy())
+    out["sampling_rate"] = r4(np.minimum(
+        (total / k) / out["n_docs"].to_numpy(), 1.0))
+    return finish(out, ["source"])

@@ -49,6 +49,7 @@ SQL_QUERIES = [
     "winnowing_neardup_pairs",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "q14_promo_revenue", "exact_quantiles", "pack_sequences",
+    "mixture_weights",
 ]
 
 
@@ -441,3 +442,59 @@ def test_pack_sequences_content_matches_reference(tmp_path, ray_session):
     # stats frame consistent with the materialized output
     assert int(stats["total_tokens"].sum()) == sum(
         len(v) for v in exp_seqs.values())
+
+
+def test_lm_perplexity_matches_brute_force(tmp_path, ray_session):
+    """Hashed-bigram perplexity equals an independent single-threaded
+    reference (same hashing, same add-alpha smoothing)."""
+    import re
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from doonop_ray.ops.text import (LM_ALPHA, LM_BUCKETS_BI,
+                                     LM_BUCKETS_UNI, lm_perplexity_scores)
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the mat",
+        "cat cat cat cat",
+        "xylo qwerty zorp",
+        "the dog sat on the rug",
+        "one",
+        "",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = lm_perplexity_scores(str(tmp_path)).set_index("doc_id")
+
+    def h(arr, mod):
+        a = np.asarray(arr, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        a ^= a >> np.uint64(29)
+        return (a % np.uint64(mod)).astype(np.int64)
+
+    docs = [[zlib.crc32(w.encode()) for w in re.split(r"\W+", x.lower()) if w]
+            for x in texts]
+    uni = np.zeros(LM_BUCKETS_UNI, dtype=np.int64)
+    big = np.zeros(LM_BUCKETS_BI, dtype=np.int64)
+    for d in docs:
+        for w in d:
+            uni[h([w], LM_BUCKETS_UNI)[0]] += 1
+        for a, b in zip(d, d[1:]):
+            big[h([a * 1000003 + b], LM_BUCKETS_BI)[0]] += 1
+    for i, d in enumerate(docs):
+        if len(d) < 2:
+            assert np.isnan(got.loc[i, "perplexity"])
+            continue
+        lp = [np.log((big[h([a * 1000003 + b], LM_BUCKETS_BI)[0]] + LM_ALPHA)
+                     / (uni[h([a], LM_BUCKETS_UNI)[0]]
+                        + LM_ALPHA * LM_BUCKETS_UNI))
+              for a, b in zip(d, d[1:])]
+        exp = float(np.exp(-np.mean(lp)))
+        assert got.loc[i, "perplexity"] == pytest.approx(exp, abs=1e-3), i
+    # repeated fluent text scores lower than gibberish
+    assert got.loc[0, "perplexity"] < got.loc[3, "perplexity"]
