@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_profit_by_nation": relational.q9_profit_by_nation,
         "revenue_by_order_priority": relational.revenue_by_order_priority,
         "q4_order_priority": relational.q4_order_priority,
+        "customer_acct_outer": relational.customer_acct_outer,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
@@ -181,6 +182,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "customer_acct_outer": """
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+                   ROUND(COALESCE(c.c_acctbal, -1.0), 4) AS acctbal,
+                   COALESCE(o.n, 0) AS n_orders
+            FROM (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_acctbal < 1000.0) c
+            FULL OUTER JOIN (
+                SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+                GROUP BY 1) o
+            ON c.c_custkey = o.o_custkey
+            ORDER BY 1
         """,
         "mixture_weights": """
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -25,10 +25,10 @@ as any sort-merge join; pre-aggregate per key before joining (as the
 Q3/Q5/Q7/Q9 rewrites do) so group sizes stay O(1).
 
 Assumptions (documented per the brief's "document the partitioning
-assumption" rule): join keys are non-null; for how='inner'/'left' the
-RIGHT side has at most one row per key (the orders/customer primary-key
-shape — ``pc.index_in`` takes the first match); 'semi'/'anti' accept
-duplicate right keys.
+assumption" rule): join keys are non-null; for how='inner'/'left'/
+'outer' the RIGHT side has at most one row per key (the orders/customer
+primary-key shape — ``pc.index_in`` takes the first match);
+'semi'/'anti' accept duplicate right keys.
 """
 
 from __future__ import annotations
@@ -66,6 +66,8 @@ def shuffle_join(left, right, key: str, left_cols: list[str],
     how='left' : unmatched left rows keep null right columns.
     how='semi' : left rows whose key appears on the right (no right cols).
     how='anti' : left rows whose key does NOT appear on the right.
+    how='outer': 'left' plus unmatched RIGHT rows with null left columns
+                 (full outer; both sides' unmatched keys survive).
 
     ``left_types``/``right_types`` ({col: pa.DataType}) type the null
     padding without a ``Dataset.schema()`` call — schema inference on a
@@ -83,7 +85,7 @@ def shuffle_join(left, right, key: str, left_cols: list[str],
     ``batch_size=None`` is a COMPLETE per-key aggregate — no second
     all-to-all needed.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "outer"):
         raise ValueError(f"unsupported how={how!r}")
     if how in ("semi", "anti") and right_cols:
         raise ValueError("semi/anti joins carry no right columns")
@@ -111,7 +113,8 @@ def shuffle_join(left, right, key: str, left_cols: list[str],
     if num_blocks is not None:
         tagged = tagged.repartition(num_blocks)
 
-    out_cols = [key] + left_cols + (right_cols if how in ("inner", "left") else [])
+    out_cols = [key] + left_cols + (
+        right_cols if how in ("inner", "left", "outer") else [])
 
     def join_block(t: pa.Table) -> pa.Table:
         side = t["__side"].combine_chunks()
@@ -133,6 +136,17 @@ def shuffle_join(left, right, key: str, left_cols: list[str],
         out = pa.table({c: cols[c] for c in out_cols})
         if how == "inner":
             out = out.filter(pc.is_valid(idx))
+        elif how == "outer":
+            # append right rows whose key has no left match (null left cols)
+            um = pc.invert(pc.is_in(rt[key], value_set=lt[key].combine_chunks()))
+            ru = rt.filter(um)
+            rcols = {key: ru[key]}
+            for c in left_cols:
+                rcols[c] = pa.nulls(len(ru), out.schema.field(c).type)
+            for c in right_cols:
+                rcols[c] = ru[c]
+            out = pa.concat_tables(
+                [out, pa.table({c: rcols[c] for c in out_cols})])
         return out
 
     def interior(t: pa.Table) -> pa.Table:

@@ -1201,3 +1201,43 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
     out["promo_pct"] = r4(100.0 * out["promo_rev"] / out["rev"])
     out["revenue"] = r4(out["rev"])
     return finish(out, ["o_month"])[["o_month", "promo_pct", "revenue"]]
+
+
+def customer_acct_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join shape at fact×fact scale: low-balance customers
+    against per-customer recent-order counts — unmatched keys from BOTH
+    sides survive (customers with no recent orders keep n_orders=0;
+    recent-order customers outside the balance filter carry a null
+    balance, surfaced as -1). Orders pre-reduce to one row per custkey
+    via ``grouped_aggregate`` before the one-all-to-all outer
+    ``shuffle_join`` — no broadcast of either corpus-growing side."""
+    from .common import grouped_aggregate
+    from .join import shuffle_join
+
+    counts = grouped_aggregate(
+        read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            lambda t: pa.table({"key": t.filter(pc.greater_equal(
+                t["o_orderdate"], pa.scalar(datetime(2000, 1, 1))))["o_custkey"]}),
+            batch_format="pyarrow"),
+        "key", [("key", "count")],
+    ).map_batches(
+        lambda t: pa.table({"key": t["key"],
+                            "n": pc.cast(t["key_count"], pa.int64())}),
+        batch_format="pyarrow")
+    cust = read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: (lambda f: pa.table({"key": f["c_custkey"],
+                                       "acctbal": f["c_acctbal"]}))(
+            t.filter(pc.less(t["c_acctbal"], pa.scalar(1000.0)))),
+        batch_format="pyarrow")
+    j = shuffle_join(cust, counts, "key", ["acctbal"], ["n"], "outer",
+                     left_types={"acctbal": pa.float64()},
+                     right_types={"n": pa.int64()}, num_blocks=32)
+    out = j.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["key"],
+            "acctbal": pc.round(pc.fill_null(t["acctbal"], -1.0), 4),
+            "n_orders": pc.fill_null(t["n"], 0)}),
+        batch_format="pyarrow").to_pandas()
+    out = _ensure_cols(out, {"c_custkey": "int64", "acctbal": "float64",
+                             "n_orders": "int64"})
+    return finish(out, ["c_custkey"])

@@ -49,7 +49,7 @@ SQL_QUERIES = [
     "winnowing_neardup_pairs",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "q14_promo_revenue", "exact_quantiles", "pack_sequences",
-    "mixture_weights",
+    "mixture_weights", "customer_acct_outer",
 ]
 
 

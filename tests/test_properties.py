@@ -336,3 +336,29 @@ def test_shuffle_join_string_keys_match_pandas(ray_session, data):
     assert len(got) == len(exp)
     for c in ("key", "lv", "rv"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+@given(join_inputs())
+@settings(max_examples=10, deadline=None)
+def test_shuffle_join_outer_matches_pandas(ray_session, data):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.join import shuffle_join
+
+    lkeys, lvals, rkeys, rvals, blocks = data
+    left = rd.from_arrow(pa.table({"key": lkeys, "lv": lvals})).repartition(blocks)
+    right = rd.from_arrow(pa.table({"key": rkeys, "rv": rvals})).repartition(
+        max(1, blocks - 1))
+    got = shuffle_join(left, right, "key", ["lv"], ["rv"], "outer").to_pandas()
+    got = got.sort_values(["key", "lv"], kind="mergesort").reset_index(drop=True)
+    exp = pd.DataFrame({"key": lkeys, "lv": lvals}).merge(
+        pd.DataFrame({"key": rkeys, "rv": rvals}), on="key", how="outer")
+    exp = exp.sort_values(["key", "lv"], kind="mergesort").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["key"].to_numpy() == exp["key"].to_numpy()).all()
+    for c in ("lv", "rv"):
+        g = got[c].to_numpy(dtype=float)
+        x = exp[c].to_numpy(dtype=float)
+        assert ((g == x) | (np.isnan(g) & np.isnan(x))).all(), c
