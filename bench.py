@@ -54,6 +54,10 @@ OPS_BENCH = [
     "user_sessions",
     "curate_documents",
     "top_tokens_heavy_hitters",
+    "q10_returned_items",
+    "exact_quantiles",
+    "pack_sequences",
+    "lm_perplexity_scores",
     # warm-up pays the one-time bucketing shuffles; the timed run is the
     # amortized bucket-aligned join every repeat query gets
     "order_revenue_by_segment_bucketed",
