@@ -72,6 +72,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        "q8_market_share": relational.q8_market_share,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q18_large_volume": relational.q18_large_volume,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
         # text analysis
@@ -283,6 +288,74 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                             ELSE 0 END) / SUM(volume), 4) AS mkt_share
+            FROM (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n2.n_name AS nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'ASIA'
+                  AND o_orderdate >= TIMESTAMP '1998-01-01'
+                  AND o_orderdate < TIMESTAMP '2000-01-01'
+                  AND p_type = 'PROMO'
+            ) GROUP BY o_year ORDER BY o_year
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey,
+                       CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) GROUP BY c_count ORDER BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-07-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, ROUND(total_rev, 4) AS total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "q18_large_volume": """
+            SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+                   o_orderkey, o_orderdate, o_totalprice,
+                   ROUND(qty, 4) AS sum_qty
+            FROM (
+                SELECT l_orderkey, SUM(l_quantity) AS qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(l_quantity) > 300
+            ) big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT ROUND(COALESCE(SUM(l_extendedprice * (1 - l_discount)), 0.0),
+                         4) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "region_customer_rollup": """
             SELECT r_name,

@@ -1241,3 +1241,313 @@ def customer_acct_outer(sf_dir: str) -> pd.DataFrame:
     out = _ensure_cols(out, {"c_custkey": "int64", "acctbal": "float64",
                              "n_orders": "int64"})
     return finish(out, ["c_custkey"])
+
+
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers (the LEFT-join semantics). One
+    all-to-all instead of a groupby + a join: customers enter the
+    exchange as (custkey, 0) markers and orders as per-batch partial
+    (custkey, count) rows, and a single ``grouped_aggregate`` sum
+    yields every customer's complete order count (orders.o_custkey is
+    a FK into customer, so the union introduces no spurious keys).
+    The count→custdist rollup is a bounded second groupby."""
+    from ray.data.aggregate import Sum
+
+    from .common import grouped_aggregate
+
+    cust = read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table({"key": pc.cast(t["c_custkey"], pa.int64()),
+                            "n": pa.array([0] * len(t), pa.int64())}),
+        batch_format="pyarrow")
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"key": t["o_custkey"]}).group_by(
+            "key", use_threads=False).aggregate([("key", "count")])
+        return pa.table({"key": pc.cast(g["key"], pa.int64()),
+                         "n": pc.cast(g["key_count"], pa.int64())})
+
+    orders = read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        ord_partial, batch_format="pyarrow", batch_size=65536)
+
+    per_cust = grouped_aggregate(cust.union(orders), "key",
+                                 [("n", "sum")])
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"c_count": t["n_sum"]}).group_by(
+            "c_count", use_threads=False).aggregate([("c_count", "count")])
+        return pa.table({"c_count": g["c_count"],
+                         "custdist": pc.cast(g["c_count_count"], pa.int64())})
+
+    out = (per_cust.map_batches(dist_partial, batch_format="pyarrow")
+           .groupby("c_count").aggregate(Sum("custdist", alias_name="custdist"))
+           .to_pandas())
+    out = _ensure_cols(out, {"c_count": "int64", "custdist": "int64"})
+    out = out.astype({"c_count": "int64", "custdist": "int64"})
+    return finish(out, ["c_count"])
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum lineitem revenue in
+    a ship-date window. Per-batch partial sums keyed by l_suppkey →
+    one bounded groupby (supplier is a bounded dimension); the argmax
+    and the name join run driver-side on the k-row supplier frame."""
+    from ray.data.aggregate import Sum
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(datetime(1998, 1, 1))),
+            pc.less(t["l_shipdate"], pa.scalar(datetime(1998, 7, 1)))))
+        rev = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        g = pa.table({"s_suppkey": f["l_suppkey"], "rev": rev}).group_by(
+            "s_suppkey", use_threads=False).aggregate([("rev", "sum")])
+        return pa.table({"s_suppkey": g["s_suppkey"], "rev": g["rev_sum"]})
+
+    per_supp = (read(sf_dir, "lineitem",
+                     ["l_suppkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+                .map_batches(li_partial, batch_format="pyarrow",
+                             batch_size=65536)
+                .groupby("s_suppkey").aggregate(Sum("rev", alias_name="rev"))
+                .to_pandas())
+    if per_supp.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int32"),
+                             "s_name": pd.Series([], dtype="str"),
+                             "total_revenue": pd.Series([], dtype="float64")})
+    top = per_supp[per_supp["rev"] == per_supp["rev"].max()].copy()
+    names = read_arrow(sf_dir, "supplier",
+                       ["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(names, on="s_suppkey", how="inner")
+    out["total_revenue"] = r4(out["rev"])
+    return finish(out[["s_suppkey", "s_name", "total_revenue"]],
+                  ["s_suppkey"])
+
+
+def q18_large_volume(sf_dir: str, min_qty: float = 300.0) -> pd.DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    ``min_qty``, with customer names — three corpus-growing tables.
+    Per-order quantity via ``grouped_aggregate`` (one all-to-all on the
+    short orderkey), HAVING filter inside map_batches, then two
+    ``shuffle_join``s (orders, customer); only the few surviving rows
+    reach the driver for the final sort/limit."""
+    from .common import grouped_aggregate
+    from .join import shuffle_join
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"key": t["l_orderkey"], "qty": t["l_quantity"]}
+                     ).group_by("key", use_threads=False).aggregate(
+            [("qty", "sum")])
+        return pa.table({"key": g["key"], "qty": g["qty_sum"]})
+
+    big = grouped_aggregate(
+        read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            li_partial, batch_format="pyarrow", batch_size=65536),
+        "key", [("qty", "sum")],
+    ).map_batches(
+        lambda t: (lambda f: pa.table({"key": f["key"],
+                                       "sum_qty": f["qty_sum"]}))(
+            t.filter(pc.greater(t["qty_sum"], pa.scalar(min_qty)))),
+        batch_format="pyarrow")
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+                  ).map_batches(
+        lambda t: pa.table({"key": t["o_orderkey"], "o_custkey": t["o_custkey"],
+                            "o_orderdate": t["o_orderdate"],
+                            "o_totalprice": t["o_totalprice"]}),
+        batch_format="pyarrow")
+    j1 = shuffle_join(big, orders, "key", ["sum_qty"],
+                      ["o_custkey", "o_orderdate", "o_totalprice"], "inner",
+                      left_types={"sum_qty": pa.float64()},
+                      right_types={"o_custkey": pa.int64(),
+                                   "o_orderdate": pa.timestamp("us"),
+                                   "o_totalprice": pa.float64()},
+                      num_blocks=32)
+    rekeyed = j1.map_batches(
+        lambda t: pa.table({"key": t["o_custkey"], "o_orderkey": t["key"],
+                            "o_orderdate": t["o_orderdate"],
+                            "o_totalprice": t["o_totalprice"],
+                            "sum_qty": t["sum_qty"]}),
+        batch_format="pyarrow")
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: pa.table({"key": pc.cast(t["c_custkey"], pa.int64()),
+                            "c_name": t["c_name"]}),
+        batch_format="pyarrow")
+    j2 = shuffle_join(rekeyed, cust, "key",
+                      ["o_orderkey", "o_orderdate", "o_totalprice",
+                       "sum_qty"], ["c_name"], "inner",
+                      left_types={"o_orderkey": pa.int64(),
+                                  "o_orderdate": pa.timestamp("us"),
+                                  "o_totalprice": pa.float64(),
+                                  "sum_qty": pa.float64()},
+                      right_types={"c_name": pa.string()}, num_blocks=32)
+    out = j2.to_pandas()
+    out = _ensure_cols(out, {"key": "int64", "o_orderkey": "int64",
+                             "o_orderdate": "datetime64[us]",
+                             "o_totalprice": "float64",
+                             "sum_qty": "float64", "c_name": "str"})
+    out = out.rename(columns={"key": "c_custkey"})
+    out["sum_qty"] = r4(out["sum_qty"])
+    out = out.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(100)
+    return finish(out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                       "o_totalprice", "sum_qty"]])
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue under a 3-way DISJUNCTIVE predicate
+    coupling part attributes (brand, size — broadcast dimension lookup)
+    with lineitem quantity ranges. One scan, per-batch masked partial
+    sums, scalar result — no shuffle at all."""
+    import ray
+
+    part = read_arrow(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    dims_ref = ray.put(tuple(part[c].combine_chunks() for c in
+                             ("p_partkey", "p_brand", "p_size")))
+
+    ARMS = (("Brand#11", 1, 15, 1.0, 11.0),
+            ("Brand#22", 1, 25, 10.0, 20.0),
+            ("Brand#13", 1, 35, 20.0, 30.0))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        p_key, p_brand, p_size = bcast_get(dims_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=p_key)
+        brand = pc.take(p_brand, idx)
+        size = pc.take(p_size, idx)
+        qty = t["l_quantity"]
+        mask = None
+        for b, s_lo, s_hi, q_lo, q_hi in ARMS:
+            arm = pc.and_(
+                pc.and_(pc.equal(brand, b),
+                        pc.and_(pc.greater_equal(size, s_lo),
+                                pc.less_equal(size, s_hi))),
+                pc.and_(pc.greater_equal(qty, q_lo),
+                        pc.less_equal(qty, q_hi)))
+            mask = arm if mask is None else pc.or_(mask, arm)
+        f = t.filter(pc.fill_null(mask, False))
+        rev = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        s = pc.sum(rev)
+        return pa.table({"rev": pa.array(
+            [s.as_py() if s.is_valid else 0.0], pa.float64())})
+
+    total = (read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice",
+                   "l_discount"])
+             .map_batches(li_partial, batch_format="pyarrow",
+                          batch_size=65536)
+             .sum("rev"))
+    return pd.DataFrame({"revenue": [float(r4(total or 0.0))]})
+
+
+def q8_market_share(sf_dir: str, target_nation: str = "NATION_3",
+                    region: str = "ASIA") -> pd.DataFrame:
+    """TPC-H Q8 shape (adapted — PROMO parts stand in for the type
+    filter): the target nation's share of supply revenue into one
+    region's customers, per order year. Part/supplier/nation/region are
+    bounded-dimension broadcasts resolved inside the lineitem scan;
+    orders (year + custkey) attaches via ``shuffle_join`` on
+    pre-reduced per-orderkey partials, and the region membership filter
+    is a SEMI ``shuffle_join`` against the filtered customer side —
+    no corpus-growing table is ever broadcast."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .join import shuffle_join
+
+    part = read_arrow(sf_dir, "part", ["p_partkey", "p_type"])
+    keep = pc.filter(part["p_partkey"],
+                     pc.equal(part["p_type"], "PROMO")).combine_chunks()
+    nation = read_arrow(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"])
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    reg = read_arrow(sf_dir, "region", ["r_regionkey", "r_name"])
+    region_nkeys = pc.filter(
+        nation["n_nationkey"],
+        pc.is_in(nation["n_regionkey"], value_set=pc.filter(
+            reg["r_regionkey"], pc.equal(reg["r_name"], region)).combine_chunks()),
+    ).combine_chunks()
+    dims_ref = ray.put((
+        keep,
+        supp["s_suppkey"].combine_chunks(),
+        supp["s_nationkey"].combine_chunks(),
+        nation["n_nationkey"].combine_chunks(),
+        nation["n_name"].combine_chunks(),
+        region_nkeys,
+    ))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keep, s_key, s_nat, n_key, n_name, _ = bcast_get(dims_ref)
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=keep))
+        sn = pc.take(s_nat, pc.index_in(t["l_suppkey"], value_set=s_key))
+        nname = pc.take(n_name, pc.index_in(sn, value_set=n_key))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev_t = pc.if_else(pc.equal(nname, target_nation), rev,
+                           pa.scalar(0.0))
+        g = pa.table({"key": t["l_orderkey"], "rev": rev,
+                      "rev_t": rev_t}).group_by(
+            "key", use_threads=False).aggregate(
+            [("rev", "sum"), ("rev_t", "sum")])
+        return pa.table({"key": g["key"], "rev": g["rev_sum"],
+                         "rev_t": g["rev_t_sum"]})
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+               "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(datetime(1998, 1, 1))),
+            pc.less(t["o_orderdate"], pa.scalar(datetime(2000, 1, 1)))))
+        return pa.table({"key": f["o_orderkey"], "o_custkey": f["o_custkey"],
+                         "o_year": pc.cast(pc.year(f["o_orderdate"]),
+                                           pa.int64())})
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ord_proj, batch_format="pyarrow")
+    j1 = shuffle_join(li, orders, "key", ["rev", "rev_t"],
+                      ["o_custkey", "o_year"], "inner",
+                      left_types={"rev": pa.float64(),
+                                  "rev_t": pa.float64()},
+                      right_types={"o_custkey": pa.int64(),
+                                   "o_year": pa.int64()}, num_blocks=32)
+
+    def rekey(t: pa.Table) -> pa.Table:
+        g = pa.table({"key": t["o_custkey"], "o_year": t["o_year"],
+                      "rev": t["rev"], "rev_t": t["rev_t"]}).group_by(
+            ["key", "o_year"], use_threads=False).aggregate(
+            [("rev", "sum"), ("rev_t", "sum")])
+        return pa.table({"key": g["key"], "o_year": g["o_year"],
+                         "rev": g["rev_sum"], "rev_t": g["rev_t_sum"]})
+
+    def cust_region(t: pa.Table) -> pa.Table:
+        _, _, _, _, _, region_nkeys = bcast_get(dims_ref)
+        f = t.filter(pc.is_in(t["c_nationkey"], value_set=region_nkeys))
+        return pa.table({"key": pc.cast(f["c_custkey"], pa.int64())})
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_region, batch_format="pyarrow")
+    j2 = shuffle_join(
+        j1.map_batches(rekey, batch_format="pyarrow", batch_size=None),
+        cust, "key", ["o_year", "rev", "rev_t"], [], "semi",
+        left_types={"o_year": pa.int64(), "rev": pa.float64(),
+                    "rev_t": pa.float64()}, num_blocks=32)
+
+    out = (j2.map_batches(
+        lambda t: pa.table({"o_year": t["o_year"], "rev": t["rev"],
+                            "rev_t": t["rev_t"]}).group_by(
+            "o_year", use_threads=False).aggregate(
+            [("rev", "sum"), ("rev_t", "sum")]),
+        batch_format="pyarrow", batch_size=65536)
+        .groupby("o_year")
+        .aggregate(Sum("rev_sum", alias_name="rev"),
+                   Sum("rev_t_sum", alias_name="rev_t"))
+        .to_pandas())
+    out = _ensure_cols(out, {"o_year": "int64", "rev": "float64",
+                             "rev_t": "float64"})
+    out["mkt_share"] = r4(out["rev_t"] / out["rev"])
+    return finish(out[["o_year", "mkt_share"]], ["o_year"])

@@ -50,6 +50,8 @@ SQL_QUERIES = [
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "q14_promo_revenue", "exact_quantiles", "pack_sequences",
     "mixture_weights", "customer_acct_outer",
+    "q8_market_share", "q13_customer_distribution", "q15_top_supplier",
+    "q18_large_volume", "q19_disjunctive_revenue",
 ]
 
 
