@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             checks.minhash_precision_violations,
         "ann_ivf_recall_violations": checks.ann_ivf_recall_violations,
         "phash_pair_violations": checks.phash_pair_violations,
+        "lm_perplexity_consistency_violations":
+            checks.lm_perplexity_consistency_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -711,6 +713,9 @@ def oracle_sql() -> dict[str, str]:
         "phash_pair_violations": """
             SELECT CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b
             WHERE FALSE
+        """,
+        "lm_perplexity_consistency_violations": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE
         """,
         "train_val_test_split": """
             SELECT doc_id, lang,

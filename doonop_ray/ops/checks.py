@@ -276,3 +276,28 @@ def hll_accuracy_violations(sf_dir: str,
             bad.append(row["event_type"])
     return finish(pd.DataFrame({"event_type": pd.Series(bad, dtype="str")}),
                   ["event_type"])
+
+
+def lm_perplexity_consistency_violations(sf_dir: str) -> pd.DataFrame:
+    """The hashed-bigram LM score must be a pure function of the CORPUS
+    — independent of batch boundaries in both the counting pass and the
+    scoring pass (the per-doc offsets/cumsum arithmetic must fully
+    isolate docs that share a batch). Two complete runs at coprime
+    batch sizes must agree per doc_id, and every defined score must be
+    positive and finite. Returns the violating doc_ids — expected
+    empty."""
+    import numpy as np
+
+    from .text import lm_perplexity_scores
+
+    a = lm_perplexity_scores(sf_dir, batch_size=1024)
+    b = lm_perplexity_scores(sf_dir, batch_size=333)
+    m = a.merge(b, on="doc_id", suffixes=("_a", "_b"), how="outer")
+    pa_, pb = m["perplexity_a"].to_numpy(), m["perplexity_b"].to_numpy()
+    both_nan = np.isnan(pa_) & np.isnan(pb)
+    disagree = ~both_nan & ~(pa_ == pb)
+    bad_value = ~np.isnan(pa_) & ~((pa_ > 0) & np.isfinite(pa_))
+    bad = m.loc[disagree | bad_value, ["doc_id"]]
+    if bad.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return finish(bad.astype({"doc_id": "int64"}), ["doc_id"])

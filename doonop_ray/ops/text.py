@@ -1135,7 +1135,8 @@ def _lm_count_partial(t: pa.Table) -> pa.Table:
     })
 
 
-def lm_perplexity_scores(sf_dir: str) -> pd.DataFrame:
+def lm_perplexity_scores(sf_dir: str,
+                         batch_size: int | None = None) -> pd.DataFrame:
     """CCNet-style LM quality scoring: train a hashed add-alpha bigram
     model ON the corpus itself (one distributed counting pass), then
     score every document's perplexity under it — low-perplexity ≈
@@ -1161,7 +1162,8 @@ def lm_perplexity_scores(sf_dir: str) -> pd.DataFrame:
 
     counts = (
         read(sf_dir, "documents", ["text"])
-        .map_batches(_lm_count_partial, batch_format="pyarrow")
+        .map_batches(_lm_count_partial, batch_format="pyarrow",
+                     batch_size=batch_size)
         .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
@@ -1205,7 +1207,8 @@ def lm_perplexity_scores(sf_dir: str) -> pd.DataFrame:
         })
 
     out = (read(sf_dir, "documents", ["doc_id", "text"])
-           .map_batches(score, batch_format="pyarrow")
+           .map_batches(score, batch_format="pyarrow",
+                        batch_size=batch_size)
            .to_pandas())
     return finish(out, ["doc_id"])
 
