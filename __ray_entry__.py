@@ -33,9 +33,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from doonop_ray.ops import (ann, bucket, checks, dedup, multimodal,
-                                relational, sketches, streaming, text,
-                                windows)
+    from doonop_ray.ops import (ann, bucket, checks, dedup, graph,
+                                multimodal, relational, sketches, streaming,
+                                text, windows)
     from doonop_ray.pipelines import flagship
 
     return {
@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
+        "pagerank_customer_supplier": graph.pagerank_customer_supplier,
         "neardup_dedup_corpus": dedup.neardup_dedup_corpus,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
@@ -166,6 +167,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "build_training_dataset": flagship.build_training_dataset,
         "training_dataset_stats": flagship.training_dataset_stats,
     }
+
+
+def _pagerank_sql(n_iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank oracle — one CTE per power
+    iteration, same float64 arithmetic as ``ops.graph.pagerank``."""
+    sql = """
+        WITH p0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                                    CAST(l_suppkey AS BIGINT) AS s
+                    FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (SELECT 2 * c AS src, 2 * s + 1 AS dst FROM p0
+                  UNION ALL SELECT 2 * s + 1, 2 * c FROM p0),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr
+               FROM deg)"""
+    for i in range(1, n_iters + 1):
+        sql += f""",
+        r{i} AS (SELECT e.dst AS node,
+                        (1 - {d}) / (SELECT n FROM nn)
+                        + {d} * SUM(r.pr / d2.outdeg) AS pr
+                 FROM edges e
+                 JOIN r{i - 1} r ON e.src = r.node
+                 JOIN deg d2 ON e.src = d2.src
+                 GROUP BY e.dst)"""
+    sql += f"""
+        SELECT node, ROUND(pr * (SELECT n FROM nn), 4) AS rank_rel
+        FROM r{n_iters} ORDER BY node"""
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -359,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
                    AND l_quantity BETWEEN 20 AND 30)
         """,
+        "pagerank_customer_supplier": _pagerank_sql(),
         "region_customer_rollup": """
             SELECT r_name,
                    CAST(COUNT(*) AS BIGINT) AS n_customers,

@@ -52,7 +52,7 @@ SQL_QUERIES = [
     "mixture_weights", "customer_acct_outer",
     "q8_market_share", "q13_customer_distribution", "q15_top_supplier",
     "q18_large_volume", "q19_disjunctive_revenue",
-    "lm_perplexity_consistency_violations",
+    "lm_perplexity_consistency_violations", "pagerank_customer_supplier",
 ]
 
 
