@@ -58,6 +58,8 @@ OPS_BENCH = [
     "exact_quantiles",
     "pack_sequences",
     "lm_perplexity_scores",
+    "q18_large_volume",
+    "pagerank_customer_supplier",
     # warm-up pays the one-time bucketing shuffles; the timed run is the
     # amortized bucket-aligned join every repeat query gets
     "order_revenue_by_segment_bucketed",
