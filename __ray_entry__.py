@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": text.pack_sequences,
         "lm_perplexity_scores": text.lm_perplexity_scores,
         "mixture_weights": text.mixture_weights,
+        "sample_by_mixture": text.sample_by_mixture,
         "contamination_check": text.contamination_check,
         "sample_per_lang": text.sample_per_lang,
         "train_val_test_split": text.train_val_test_split,
@@ -389,6 +390,27 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 20 AND 30)
         """,
         "pagerank_customer_supplier": _pagerank_sql(),
+        "sample_by_mixture": """
+            WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                         FROM documents GROUP BY lang),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                           CAST(COUNT(*) AS BIGINT) AS k FROM cnt),
+            rates AS (SELECT lang,
+                             (CAST((SELECT total FROM tot) AS DOUBLE)
+                              / (SELECT k FROM tot)) / n AS rate
+                      FROM cnt),
+            thr AS (SELECT lang,
+                           CASE WHEN rate >= 1.0 THEN 'zzzzzzzz'
+                                ELSE lower(lpad(to_hex(CAST(
+                                    floor(rate * 4294967296.0) AS BIGINT)),
+                                    8, '0'))
+                           END AS threshold
+                    FROM rates)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr t ON d.lang = t.lang
+            WHERE substr(md5(d.text), 1, 8) < t.threshold
+            ORDER BY d.doc_id
+        """,
         "region_customer_rollup": """
             SELECT r_name,
                    CAST(COUNT(*) AS BIGINT) AS n_customers,

@@ -1239,3 +1239,52 @@ def mixture_weights(sf_dir: str) -> pd.DataFrame:
     out["sampling_rate"] = r4(np.minimum(
         (total / k) / out["n_docs"].to_numpy(), 1.0))
     return finish(out, ["source"])
+
+
+def sample_by_mixture(sf_dir: str) -> pd.DataFrame:
+    """Materialize a mixture-balanced corpus (the filtering twin of
+    ``mixture_weights``): down-sample each LANGUAGE to a uniform target
+    share (never up-sampling) with a deterministic md5 threshold, so
+    every engine selects the IDENTICAL row set. The per-lang rate table
+    is one bounded groupby; the keep decision is exact integer
+    arithmetic — doc kept iff int(md5(text)[:8], 16) < floor(rate*2^32)
+    — which the SQL oracle reproduces as a lexicographic compare of
+    fixed-width hex strings."""
+    from ray.data.aggregate import Sum
+
+    def cpartial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang", use_threads=False).aggregate(
+            [("lang", "count")])
+        return pa.table({"lang": g["lang"],
+                         "n": pc.cast(g["lang_count"], pa.int64())})
+
+    counts = (read(sf_dir, "documents", ["lang"])
+              .map_batches(cpartial, batch_format="pyarrow")
+              .groupby("lang").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    if counts.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "lang": pd.Series([], dtype="str")})
+    total, k = int(counts["n"].sum()), len(counts)
+    thresholds: dict[str, int] = {}
+    for src, n in zip(counts["lang"], counts["n"]):
+        rate = (total / k) / int(n)
+        thresholds[str(src)] = (1 << 32) if rate >= 1.0 else int(
+            np.floor(rate * 4294967296.0))
+
+    def keep(t: pa.Table) -> pa.Table:
+        srcs = t["lang"].to_pylist()
+        mask = [
+            int(hashlib.md5(x.encode()).hexdigest()[:8], 16)
+            < thresholds[s]
+            for x, s in zip(t["text"].to_pylist(), srcs)
+        ]
+        return t.filter(pa.array(mask)).select(["doc_id", "lang"])
+
+    out = (read(sf_dir, "documents", ["doc_id", "lang", "text"])
+           .map_batches(keep, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "lang": pd.Series([], dtype="str")})
+    return finish(out.astype({"doc_id": "int64"}), ["doc_id"])

@@ -53,6 +53,7 @@ SQL_QUERIES = [
     "q8_market_share", "q13_customer_distribution", "q15_top_supplier",
     "q18_large_volume", "q19_disjunctive_revenue",
     "lm_perplexity_consistency_violations", "pagerank_customer_supplier",
+    "sample_by_mixture",
 ]
 
 
