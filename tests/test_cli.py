@@ -236,3 +236,27 @@ def test_cli_streaming_sigkill_resume(tmp_path):
         # resumed-run stats must still account for every artifact row
         n = int(re.search(r"visited (\d+)", m2.group(0)).group(1))
         assert n <= len(part)
+
+
+def test_ray_job_entry_crawl_smoke(tmp_path):
+    """tools/ray_job_entry.py is the `ray job submit` surface: run it as
+    a plain process (local-session fallback), assert the metrics JSON
+    line and the resumable artifact layout land under --out."""
+    import json
+    import os
+
+    env = dict(os.environ)
+    env.update(ENV)
+    out = str(tmp_path / "job_out")
+    r = subprocess.run(
+        [sys.executable, "tools/ray_job_entry.py", "--pipeline", "crawl",
+         "--out", out, "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.loads(r.stdout.strip().splitlines()[-1])
+    assert metrics["pipeline"] == "crawl"
+    assert metrics["visited"] > 0 and metrics["validated"] > 0
+    assert os.path.isdir(os.path.join(out, "artifacts"))
+    assert os.path.exists(os.path.join(out, "metrics.parquet"))
