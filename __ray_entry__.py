@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
+        "quantile_sketch": sketches.quantile_sketch,
         # text analysis
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -136,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_pair_violations": checks.phash_pair_violations,
         "lm_perplexity_consistency_violations":
             checks.lm_perplexity_consistency_violations,
+        "quantile_sketch_violations": checks.quantile_sketch_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -768,6 +770,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lm_perplexity_consistency_violations": """
             SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE
+        """,
+        "quantile_sketch_violations": """
+            SELECT CAST(NULL AS DOUBLE) AS q, CAST(NULL AS DOUBLE) AS est
+            WHERE FALSE
         """,
         "train_val_test_split": """
             SELECT doc_id, lang,

@@ -301,3 +301,48 @@ def lm_perplexity_consistency_violations(sf_dir: str) -> pd.DataFrame:
     if bad.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
     return finish(bad.astype({"doc_id": "int64"}), ["doc_id"])
+
+
+def quantile_sketch_violations(sf_dir: str,
+                               eps: float = 0.01) -> pd.DataFrame:
+    """Every ``quantile_sketch`` estimate must be a true eps-approximate
+    q-quantile: count(value < est) <= (q+eps)·N and
+    count(value <= est) >= (q-eps)·N — the duplicate-safe rank window.
+    Ranks are recomputed with an independent distributed pass (per-batch
+    vectorized comparisons against the broadcast estimate vector, summed
+    driver-side). Returns the violating quantiles — expected empty."""
+    import numpy as np
+    import pyarrow.compute as pcmp
+
+    from .sketches import quantile_sketch
+
+    est_df = quantile_sketch(sf_dir)
+    empty = pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                          "est": pd.Series([], dtype="float64")})
+    if est_df.empty:
+        return empty
+    ests = est_df["est"].to_numpy()
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lt = np.array([(v < e).sum() for e in ests], dtype=np.int64)
+        le = np.array([(v <= e).sum() for e in ests], dtype=np.int64)
+        return pa.table({"i": np.arange(len(ests), dtype=np.int64),
+                         "lt": lt, "le": le,
+                         "n": np.full(len(ests), len(v), np.int64)})
+
+    parts = (read(sf_dir, "events", ["value"])
+             .map_batches(rank_partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = parts.groupby("i").agg(lt=("lt", "sum"), le=("le", "sum"),
+                                 n=("n", "sum"))
+    total = int(agg["n"].iloc[0])
+    bad_q, bad_e = [], []
+    for (q, e), (_, row) in zip(zip(est_df["q"], est_df["est"]),
+                                agg.iterrows()):
+        if row["lt"] > (q + eps) * total or row["le"] < (q - eps) * total:
+            bad_q.append(float(q))
+            bad_e.append(float(e))
+    if not bad_q:
+        return empty
+    return finish(pd.DataFrame({"q": bad_q, "est": bad_e}), ["q"])

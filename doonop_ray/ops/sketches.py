@@ -207,3 +207,87 @@ def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
         out_rows.append((float(q), val))
     out = pd.DataFrame(out_rows, columns=["q", "value"])
     return finish(out, ["q"])
+
+
+def _stratified_compact(v: np.ndarray, w: np.ndarray, m: int):
+    """Weighted rank-stratified compaction: collapse a sorted-by-value
+    (v, w) summary to ``m`` entries, placing one representative at each
+    weighted rank (i+0.5)*W/m and assigning it that stratum's weight.
+    Deterministic; total weight is preserved exactly (last stratum
+    absorbs rounding)."""
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    if len(v) <= m:
+        return v, w
+    cw = np.cumsum(w)
+    total = cw[-1]
+    targets = (np.arange(m) + 0.5) * (total / m)
+    idx = np.searchsorted(cw, targets, side="left")
+    idx = np.minimum(idx, len(v) - 1)
+    out_w = np.full(m, total / m)
+    out_w[-1] = total - (m - 1) * (total / m)
+    return v[idx], out_w
+
+
+def quantile_sketch(sf_dir: str,
+                    qs: tuple[float, ...] = (0.01, 0.1, 0.25, 0.5,
+                                             0.75, 0.9, 0.99),
+                    m: int = 2048, fanin: int = 8) -> pd.DataFrame:
+    """MERGEABLE approximate quantiles of events.value in ONE streaming
+    pass (the sketch counterpart of ``exact_quantiles``' multi-pass
+    exact selection — use this when the data can only be seen once or
+    pass count is precious):
+
+    1. per-batch: sort the batch, keep ``m`` rank-stratified
+       representatives each weighing n/m rows (rank error ≤ n/(2m)
+       per batch, additive across batches);
+    2. intermediate combine: repartition the (value, weight) summaries
+       to ``fanin`` blocks and compact each block back to ``m`` weighted
+       entries — the tree-merge level that keeps the driver read
+       bounded at fanin × m rows no matter the corpus size;
+    3. driver: final compact + weighted-rank lookup per quantile.
+
+    Deterministic (no randomness), mergeable (weighted summaries concat
+    then re-compact), bounded memory (m floats per task). Accuracy is
+    enforced by the one-sided ``quantile_sketch_violations`` check:
+    every estimate's true rank must sit within eps·N of its target."""
+    import ray.data  # noqa: F401  (Dataset ops on the read)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.sort(t["value"].to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        n = len(v)
+        if n == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        if n <= m:
+            return pa.table({"v": v, "w": np.ones(n)})
+        idx = np.floor((np.arange(m) + 0.5) * (n / m)).astype(np.int64)
+        w = np.full(m, n / m)
+        w[-1] = n - (m - 1) * (n / m)
+        return pa.table({"v": v[idx], "w": w})
+
+    def combine(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cv, cw = _stratified_compact(v, w, m)
+        return pa.table({"v": cv, "w": cw})
+
+    summary = (read(sf_dir, "events", ["value"])
+               .map_batches(partial, batch_format="pyarrow")
+               .repartition(fanin)
+               .map_batches(combine, batch_format="pyarrow",
+                            batch_size=None)
+               .to_pandas())
+    if summary.empty:
+        return pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                             "est": pd.Series([], dtype="float64")})
+    v = summary["v"].to_numpy()
+    w = summary["w"].to_numpy()
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    ests = [float(v[np.searchsorted(cw, q * total, side="left")
+                    .clip(0, len(v) - 1)]) for q in qs]
+    return pd.DataFrame({"q": list(qs), "est": ests})

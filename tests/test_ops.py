@@ -53,7 +53,7 @@ SQL_QUERIES = [
     "q8_market_share", "q13_customer_distribution", "q15_top_supplier",
     "q18_large_volume", "q19_disjunctive_revenue",
     "lm_perplexity_consistency_violations", "pagerank_customer_supplier",
-    "sample_by_mixture",
+    "sample_by_mixture", "quantile_sketch_violations",
 ]
 
 
@@ -502,3 +502,26 @@ def test_lm_perplexity_matches_brute_force(tmp_path, ray_session):
         assert got.loc[i, "perplexity"] == pytest.approx(exp, abs=1e-3), i
     # repeated fluent text scores lower than gibberish
     assert got.loc[0, "perplexity"] < got.loc[3, "perplexity"]
+
+
+def test_quantile_sketch_tracks_exact_quantiles(entrymod, ray_session):
+    """The one-pass mergeable sketch must land within 1% rank error of
+    the multi-pass exact selection on the shared quantiles, and its own
+    numpy reference (sort + weighted rank lookup) must agree exactly at
+    this scale (single combine level, no information loss)."""
+    import numpy as np
+
+    from doonop_ray.ops.common import read_arrow
+    from doonop_ray.ops.sketches import exact_quantiles, quantile_sketch
+
+    sk = quantile_sketch(SF)
+    ex = exact_quantiles(SF)
+    merged = sk.merge(ex, left_on="q", right_on="q")
+    vals = np.sort(read_arrow(SF, "events", ["value"])["value"]
+                   .to_numpy(zero_copy_only=False).astype(np.float64))
+    n = len(vals)
+    for _, row in merged.iterrows():
+        lt = np.searchsorted(vals, row["est"], side="left")
+        le = np.searchsorted(vals, row["est"], side="right")
+        assert lt <= (row["q"] + 0.01) * n
+        assert le >= (row["q"] - 0.01) * n
