@@ -364,7 +364,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_suppkey)
             SELECT s_suppkey, s_name, ROUND(total_rev, 4) AS total_revenue
             FROM supplier JOIN revenue ON s_suppkey = supplier_no
-            WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+            WHERE ROUND(total_rev, 4) =
+                  (SELECT MAX(ROUND(total_rev, 4)) FROM revenue)
             ORDER BY s_suppkey
         """,
         "q18_large_volume": """

@@ -154,6 +154,12 @@ def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85):
                           batch_format="pyarrow"),
         "key", [("key", "count")]).materialize()
     n = nodes.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64())}))
     init = 1.0 / n
     base = (1.0 - damping) / n
 

@@ -1315,7 +1315,11 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int32"),
                              "s_name": pd.Series([], dtype="str"),
                              "total_revenue": pd.Series([], dtype="float64")})
-    top = per_supp[per_supp["rev"] == per_supp["rev"].max()].copy()
+    # tie-set selection on ROUNDED revenue: exact float equality on
+    # order-dependent sums could keep a different tie set than the
+    # oracle's MAX when two suppliers are mathematically equal
+    rr = r4(per_supp["rev"].to_numpy())
+    top = per_supp[rr == rr.max()].copy()
     names = read_arrow(sf_dir, "supplier",
                        ["s_suppkey", "s_name"]).to_pandas()
     out = top.merge(names, on="s_suppkey", how="inner")

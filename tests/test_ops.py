@@ -517,6 +517,7 @@ def test_quantile_sketch_tracks_exact_quantiles(entrymod, ray_session):
     sk = quantile_sketch(SF)
     ex = exact_quantiles(SF)
     merged = sk.merge(ex, left_on="q", right_on="q")
+    assert len(merged) == len(ex)  # shared quantiles must actually join
     vals = np.sort(read_arrow(SF, "events", ["value"])["value"]
                    .to_numpy(zero_copy_only=False).astype(np.float64))
     n = len(vals)
@@ -525,3 +526,18 @@ def test_quantile_sketch_tracks_exact_quantiles(entrymod, ray_session):
         le = np.searchsorted(vals, row["est"], side="right")
         assert lt <= (row["q"] + 0.01) * n
         assert le >= (row["q"] - 0.01) * n
+
+
+def test_pagerank_empty_edges_returns_typed_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.graph import pagerank
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    # must not raise (ZeroDivisionError guard); an empty Ray dataset
+    # loses its schema in to_pandas, which callers normalize via their
+    # typed-empty fallbacks (pagerank_customer_supplier does)
+    out = pagerank(empty).to_pandas()
+    assert len(out) == 0

@@ -3,20 +3,26 @@
 On a real fixed-size multi-node cluster:
 
     ray job submit --working-dir /root/repo -- \
-        python tools/ray_job_entry.py --sf-dir s3://bucket/world \
-            --out s3://bucket/artifacts --pipeline crawl
+        python tools/ray_job_entry.py --sf-dir /mnt/shared/world \
+            --out /mnt/shared/artifacts --pipeline crawl
 
-The script NEVER starts its own cluster when submitted: inside a Ray
-job, ``RAY_ADDRESS`` is set by the job supervisor and ``ray.init
-(address="auto")`` attaches to the running cluster. Outside a job
-(local smoke run, this sandbox) it falls back to a local session so
-the same file is testable end-to-end.
+The script NEVER starts its own cluster when attached: inside a Ray
+job (``RAY_JOB_ID`` set by the supervisor) or when ``RAY_ADDRESS``
+points at a live cluster, ``ray.init(address="auto")`` attaches.
+Otherwise (local smoke run, this sandbox, where RAY_ADDRESS=local) it
+falls back to a fresh local session so the same file is testable
+end-to-end. Paths are plain-filesystem (node-local or shared NFS);
+object-store URIs would need an fsspec-backed storage layer this
+sandbox cannot exercise.
 
 Pipelines:
   crawl   — flagship bulk-frontier crawl; writes the per-shard
-            validated-artifact parquet under --out (resumable layout:
-            deterministic part names, finished parts skipped on rerun)
-            plus a one-row metrics parquet (visited/validated/sec).
+            validated-artifact parquet under --out (deterministic
+            chunk-level part names, so a mid-run task retry overwrites
+            rather than duplicates; a full RERUN with the same --out
+            starts clean — use the CLI's --checkpoint/--resume surface
+            for kill-resume) plus a one-row metrics parquet
+            (visited/validated/sec).
   query   — any ``__ray_entry__.queries()`` entry by --name; result
             parquet under --out.
 
@@ -50,8 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        if os.environ.get("RAY_JOB_ID"):
-            # submitted via `ray job submit`: attach to the cluster
+        addr = os.environ.get("RAY_ADDRESS", "")
+        if os.environ.get("RAY_JOB_ID") or (addr and addr != "local"):
+            # submitted via `ray job submit`, or RAY_ADDRESS points at a
+            # live cluster: attach, never boot a private one
             ray.init(address="auto")
         else:
             ray.init(address="local", num_cpus=args.num_cpus,
@@ -81,14 +89,8 @@ def main(argv: list[str] | None = None) -> int:
         res = e.queries()[args.name](args.sf_dir)
         sec = time.monotonic() - t0
         import pandas as pd
-        import pyarrow as pa
 
-        if isinstance(res, pd.DataFrame):
-            out_df = res
-        elif isinstance(res, pa.Table):
-            out_df = res.to_pandas()
-        else:
-            out_df = res.to_pandas()
+        out_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         out_df.to_parquet(os.path.join(args.out, f"{args.name}.parquet"))
         metrics = {"pipeline": "query", "name": args.name,
                    "rows": int(len(out_df)), "sec": round(sec, 3)}
