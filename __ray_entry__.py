@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_components": dedup.neardup_components,
         "pagerank_customer_supplier": graph.pagerank_customer_supplier,
         "neardup_dedup_corpus": dedup.neardup_dedup_corpus,
+        "dedup_incremental": dedup.dedup_incremental,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
@@ -664,6 +665,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1
+        """,
+        "dedup_incremental": f"""
+            WITH fp AS (SELECT doc_id,
+                               array_to_string(
+                                   list_slice({_TOKENS}, 1, 3), ' ') AS fp
+                        FROM documents)
+            SELECT n.doc_id, MIN(c.doc_id) AS dup_of
+            FROM fp n JOIN fp c ON n.fp = c.fp AND c.doc_id % 10 <> 0
+            WHERE n.doc_id % 10 = 0
+            GROUP BY n.doc_id ORDER BY n.doc_id
         """,
         "dedup_keep_best": f"""
             SELECT doc_id, n_chars FROM (

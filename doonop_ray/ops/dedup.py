@@ -685,3 +685,77 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.35,
                              "b": pd.Series([], dtype="int64")})
     out = out.drop_duplicates().astype("int64")
     return finish(out, ["a", "b"])
+
+
+def dedup_incremental(sf_dir: str, n_tokens: int = 3,
+                      n_buckets: int = 16) -> pd.DataFrame:
+    """Incremental dedup — the CONTINUOUS-INGESTION shape a crawl
+    pipeline needs: check an INCOMING batch of documents against a
+    PERSISTED corpus fingerprint index without rescanning the corpus.
+
+    Split convention (mirrors ``contamination_check``): doc_id % 10 != 0
+    is the standing corpus, % 10 == 0 the incoming batch. The index is
+    the corpus's first-``n_tokens`` prefix keys (``dedup_prefix``'s
+    family key) reduced to min doc_id per key and persisted as
+    hash-bucketed ``bucket=K/`` parquet — built ONCE per corpus
+    (data-fingerprinted cache + race-safe publish, same protocol as
+    ``bucket_table``/the ANN indexes). Each incoming batch then pays
+    only: fingerprint → bucket-aligned ``bucketed_join`` against the
+    index (reads ONLY matching buckets, no shuffle, no corpus scan).
+
+    Returns (doc_id, dup_of) for incoming docs whose key already exists
+    in the corpus, dup_of = min corpus doc_id with that key."""
+    import os
+    import shutil
+
+    from .ann import _publish_dir, _stage_dir
+    from .bucket import (_BUCKET_ROOT, _bucket_ids, bucket_dataset,
+                         bucketed_join)
+    from .common import grouped_aggregate
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.blake2b(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_tokens}:{n_buckets}:"
+        f"fpidx-v1".encode(), digest_size=8).hexdigest()
+    idx_dir = f"{_BUCKET_ROOT}/fpidx_{tag}"
+
+    def key_rows(t: pa.Table, incoming: bool) -> pa.Table:
+        ids = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+        m = pa.array(ids % 10 == 0)
+        f = t.filter(m if incoming else pc.invert(m))
+        low = pc.utf8_lower(f["text"])
+        toks = pc.split_pattern_regex(low, r"\W+")
+        keys = [" ".join([w for w in l if w][:n_tokens])
+                for l in toks.to_pylist()]
+        return pa.table({"fp": pa.array(keys, pa.string()),
+                         "doc_id": pc.cast(f["doc_id"], pa.int64())})
+
+    if not os.path.isdir(idx_dir):
+        corpus = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda t: key_rows(t, False), batch_format="pyarrow")
+        uniq = grouped_aggregate(corpus, "fp", [("doc_id", "min")]).map_batches(
+            lambda t: pa.table({
+                "fp": t["fp"],
+                "dup_of": t["doc_id_min"],
+                "bucket": pa.array(_bucket_ids(t["fp"], n_buckets),
+                                   pa.int32()),
+            }),
+            batch_format="pyarrow")
+        stage = _stage_dir(idx_dir)
+        uniq.write_parquet(stage, partition_cols=["bucket"])
+        _publish_dir(stage, idx_dir)
+
+    incoming = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: key_rows(t, True), batch_format="pyarrow")
+    inc_dir = bucket_dataset(incoming, "fp", n_buckets)
+    try:
+        out = bucketed_join(inc_dir, idx_dir, "fp", ["doc_id"],
+                            ["dup_of"], "inner",
+                            n_buckets=n_buckets).to_pandas()
+    finally:
+        shutil.rmtree(inc_dir, ignore_errors=True)
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "dup_of": pd.Series([], dtype="int64")})
+    return finish(out[["doc_id", "dup_of"]].astype("int64"), ["doc_id"])

@@ -54,6 +54,7 @@ SQL_QUERIES = [
     "q18_large_volume", "q19_disjunctive_revenue",
     "lm_perplexity_consistency_violations", "pagerank_customer_supplier",
     "sample_by_mixture", "quantile_sketch_violations",
+    "dedup_incremental",
 ]
 
 
