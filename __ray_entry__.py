@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
+        "ann_topk_pq": ann.ann_topk_pq,
         # one-sided oracles: sketch/LSH invariants recomputed with
         # independent arithmetic; the returned VIOLATION set must equal
         # the empty oracle (driver-recorded subset/accuracy assertions)
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity_consistency_violations":
             checks.lm_perplexity_consistency_violations,
         "quantile_sketch_violations": checks.quantile_sketch_violations,
+        "ann_pq_recall_violations": checks.ann_pq_recall_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -785,6 +787,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quantile_sketch_violations": """
             SELECT CAST(NULL AS DOUBLE) AS q, CAST(NULL AS DOUBLE) AS est
+            WHERE FALSE
+        """,
+        "ann_pq_recall_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS metric,
+                   CAST(NULL AS DOUBLE) AS value
             WHERE FALSE
         """,
         "train_val_test_split": """

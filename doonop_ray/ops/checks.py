@@ -346,3 +346,23 @@ def quantile_sketch_violations(sf_dir: str,
     if not bad_q:
         return empty
     return finish(pd.DataFrame({"q": bad_q, "est": bad_e}), ["q"])
+
+
+def ann_pq_recall_violations(sf_dir: str, k: int = 10, n_queries: int = 5,
+                             floor: float = 0.3) -> pd.DataFrame:
+    """PQ recall gate (same contract as ``ann_ivf_recall_violations``):
+    recall@k of ``ann_topk_pq`` against the exact brute-force baseline
+    must be >= ``floor``. Returns a single (metric, value) row when
+    violated — expected empty."""
+    from .ann import ann_topk_cosine, ann_topk_pq
+
+    exact = ann_topk_cosine(sf_dir, k=k, n_queries=n_queries)
+    approx = ann_topk_pq(sf_dir, k=k, n_queries=n_queries)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = (len(e & a) / len(e)) if e else 1.0
+    if recall >= floor:
+        return pd.DataFrame({"metric": pd.Series([], dtype="str"),
+                             "value": pd.Series([], dtype="float64")})
+    return pd.DataFrame({"metric": ["pq_recall_at_k"],
+                         "value": [round(recall, 4)]})

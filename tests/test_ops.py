@@ -54,7 +54,7 @@ SQL_QUERIES = [
     "q18_large_volume", "q19_disjunctive_revenue",
     "lm_perplexity_consistency_violations", "pagerank_customer_supplier",
     "sample_by_mixture", "quantile_sketch_violations",
-    "dedup_incremental",
+    "dedup_incremental", "ann_pq_recall_violations",
 ]
 
 
@@ -542,3 +542,14 @@ def test_pagerank_empty_edges_returns_typed_empty(ray_session):
     # typed-empty fallbacks (pagerank_customer_supplier does)
     out = pagerank(empty).to_pandas()
     assert len(out) == 0
+
+
+def test_ann_pq_recall_vs_exact(entrymod, ray_session):
+    from doonop_ray.ops.ann import ann_topk_cosine, ann_topk_pq
+
+    exact = ann_topk_cosine(SF, k=10, n_queries=5)
+    approx = ann_topk_pq(SF, k=10, n_queries=5)
+    e = {(q, n) for q, n in zip(exact["query_id"], exact["neighbor_id"])}
+    a = {(q, n) for q, n in zip(approx["query_id"], approx["neighbor_id"])}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # 16x32 codebooks on random 64-d vectors
