@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": relational.q15_top_supplier,
         "q18_large_volume": relational.q18_large_volume,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q12_priority_by_linestatus": relational.q12_priority_by_linestatus,
+        "q22_sales_opportunity": relational.q22_sales_opportunity,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
         "quantile_sketch": sketches.quantile_sketch,
@@ -396,6 +398,32 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 20 AND 30)
         """,
         "pagerank_customer_supplier": _pagerank_sql(),
+        "q12_priority_by_linestatus": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                            ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+              AND l_shipdate < TIMESTAMP '2000-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q22_sales_opportunity": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   ROUND(SUM(c_acctbal), 4) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '2000-01-01')
+            GROUP BY 1 ORDER BY 1
+        """,
         "sample_by_mixture": """
             WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
                          FROM documents GROUP BY lang),

@@ -1555,3 +1555,130 @@ def q8_market_share(sf_dir: str, target_nation: str = "NATION_3",
                              "rev_t": "float64"})
     out["mkt_share"] = r4(out["rev_t"] / out["rev"])
     return finish(out[["o_year", "mkt_share"]], ["o_year"])
+
+
+def q12_priority_by_linestatus(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (l_linestatus stands in for shipmode — the only
+    line-level categorical in this schema): per linestatus, how many
+    shipped lines belong to high- vs low-priority orders. Lineitem is
+    pre-reduced to (orderkey, linestatus, n) counts per batch BEFORE
+    the ``shuffle_join`` with orders, so the exchange ships counting
+    partials, not raw lines."""
+    from ray.data.aggregate import Sum
+
+    from .join import shuffle_join
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(datetime(1999, 1, 1))),
+            pc.less(t["l_shipdate"], pa.scalar(datetime(2000, 1, 1)))))
+        g = pa.table({"key": f["l_orderkey"],
+                      "l_linestatus": f["l_linestatus"]}).group_by(
+            ["key", "l_linestatus"], use_threads=False).aggregate(
+            [("key", "count")])
+        return pa.table({"key": g["key"], "l_linestatus": g["l_linestatus"],
+                         "n": pc.cast(g["key_count"], pa.int64())})
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linestatus", "l_shipdate"]).map_batches(
+        li_partial, batch_format="pyarrow", batch_size=65536)
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({"key": t["o_orderkey"],
+                            "prio": t["o_orderpriority"]}),
+        batch_format="pyarrow")
+    j = shuffle_join(li, orders, "key", ["l_linestatus", "n"], ["prio"],
+                     "inner",
+                     left_types={"l_linestatus": pa.string(),
+                                 "n": pa.int64()},
+                     right_types={"prio": pa.string()}, num_blocks=32)
+
+    def classify(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t["prio"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        n = t["n"]
+        zero = pa.scalar(0, pa.int64())
+        g = pa.table({
+            "l_linestatus": t["l_linestatus"],
+            "hi": pc.if_else(hi, n, zero),
+            "lo": pc.if_else(hi, zero, n),
+        }).group_by("l_linestatus", use_threads=False).aggregate(
+            [("hi", "sum"), ("lo", "sum")])
+        return pa.table({"l_linestatus": g["l_linestatus"],
+                         "hi": g["hi_sum"], "lo": g["lo_sum"]})
+
+    out = (j.map_batches(classify, batch_format="pyarrow",
+                         batch_size=65536)
+           .groupby("l_linestatus")
+           .aggregate(Sum("hi", alias_name="high_line_count"),
+                      Sum("lo", alias_name="low_line_count"))
+           .to_pandas())
+    out = _ensure_cols(out, {"l_linestatus": "str",
+                             "high_line_count": "int64",
+                             "low_line_count": "int64"})
+    out = out.astype({"high_line_count": "int64",
+                      "low_line_count": "int64"})
+    return finish(out, ["l_linestatus"])
+
+
+def q22_sales_opportunity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape: high-balance customers with NO recent orders,
+    rolled up by market segment. The global threshold (avg of positive
+    acctbals) is a distributed scalar (per-batch sum/count partials —
+    one bounded reduce, broadcast back as a constant); the no-orders
+    predicate is an ANTI ``shuffle_join`` against the date-filtered
+    orders custkeys — no fact broadcast, no correlated rescan."""
+    from .join import shuffle_join
+
+    stats = (read(sf_dir, "customer", ["c_acctbal"]).map_batches(
+        lambda t: (lambda f: pa.table({
+            "s": pa.array([pc.sum(f["c_acctbal"]).as_py() or 0.0],
+                          pa.float64()),
+            "n": pa.array([len(f)], pa.int64())}))(
+            t.filter(pc.greater(t["c_acctbal"], 0.0))),
+        batch_format="pyarrow").to_pandas())
+    n_pos = int(stats["n"].sum())
+    if n_pos == 0:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="str"),
+                             "numcust": pd.Series([], dtype="int64"),
+                             "totacctbal": pd.Series([], dtype="float64")})
+    threshold = float(stats["s"].sum()) / n_pos
+
+    cust = read(sf_dir, "customer",
+                ["c_custkey", "c_mktsegment", "c_acctbal"]).map_batches(
+        lambda t: (lambda f: pa.table({
+            "key": pc.cast(f["c_custkey"], pa.int64()),
+            "c_mktsegment": f["c_mktsegment"],
+            "c_acctbal": f["c_acctbal"]}))(
+            t.filter(pc.greater(t["c_acctbal"], threshold))),
+        batch_format="pyarrow")
+    recent = read(sf_dir, "orders",
+                  ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"key": t.filter(pc.greater_equal(
+            t["o_orderdate"],
+            pa.scalar(datetime(2000, 1, 1))))["o_custkey"]}),
+        batch_format="pyarrow")
+    j = shuffle_join(cust, recent, "key",
+                     ["c_mktsegment", "c_acctbal"], [], "anti",
+                     left_types={"c_mktsegment": pa.string(),
+                                 "c_acctbal": pa.float64()}, num_blocks=32)
+    out = (j.map_batches(
+        lambda t: (lambda g: pa.table({
+            "c_mktsegment": g["c_mktsegment"],
+            "numcust": pc.cast(g["c_mktsegment_count"], pa.int64()),
+            "bal": g["c_acctbal_sum"]}))(
+            pa.table({"c_mktsegment": t["c_mktsegment"],
+                      "c_acctbal": t["c_acctbal"]}).group_by(
+                "c_mktsegment", use_threads=False).aggregate(
+                [("c_mktsegment", "count"), ("c_acctbal", "sum")])),
+        batch_format="pyarrow").to_pandas())
+    if out.empty:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="str"),
+                             "numcust": pd.Series([], dtype="int64"),
+                             "totacctbal": pd.Series([], dtype="float64")})
+    agg = out.groupby("c_mktsegment", as_index=False).agg(
+        numcust=("numcust", "sum"), bal=("bal", "sum"))
+    agg["numcust"] = agg["numcust"].astype("int64")
+    agg["totacctbal"] = r4(agg["bal"])
+    return finish(agg[["c_mktsegment", "numcust", "totacctbal"]],
+                  ["c_mktsegment"])

@@ -55,6 +55,7 @@ SQL_QUERIES = [
     "lm_perplexity_consistency_violations", "pagerank_customer_supplier",
     "sample_by_mixture", "quantile_sketch_violations",
     "dedup_incremental", "ann_pq_recall_violations",
+    "q12_priority_by_linestatus", "q22_sales_opportunity",
 ]
 
 
