@@ -114,7 +114,8 @@ def connected_components(nodes_ds, edges_ds, max_iters: int = 50):
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
-def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85):
+def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85,
+             fast_threshold: int = 200_000):
     """Distributed PageRank over a SYMMETRIZED (src:int64, dst:int64)
     edge Dataset — the canonical iterative-algorithm shape on Ray Data.
 
@@ -126,6 +127,15 @@ def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85):
     then one ``grouped_aggregate`` sum per destination yields
     rank' = (1-d)/n + d * Σ contrib. Because the caller symmetrizes,
     every node has in- and out-edges: no dangling-mass term.
+
+    Size routing (the repo's established twin pattern): when the NODE
+    set fits comfortably in memory (n <= ``fast_threshold``), the rank
+    vector is broadcast per iteration and each round is ONE streaming
+    map over the static edge table with per-batch bincount partials —
+    zero sorts per iteration instead of two. Above the threshold, the
+    all-shuffle cogroup path runs (nothing node-sized ever leaves the
+    cluster). Both paths compute the same fixed point (float sum order
+    differs at the last ulp — callers round).
 
     Fixed ``n_iters`` (not convergence-tested) so an unrolled SQL
     oracle computes the identical fixed-point prefix. Returns a
@@ -160,6 +170,8 @@ def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85):
         return rd.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "rank": pa.array([], pa.float64())}))
+    if n <= fast_threshold:
+        return _pagerank_broadcast(edges, nodes, n, n_iters, damping)
     init = 1.0 / n
     base = (1.0 - damping) / n
 
@@ -204,7 +216,8 @@ def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85):
 
 
 def pagerank_customer_supplier(sf_dir: str, n_iters: int = 5,
-                               damping: float = 0.85):
+                               damping: float = 0.85,
+                               fast_threshold: int = 200_000):
     """PageRank over the customer–supplier trading graph: one node per
     customer (2*c_custkey) and per supplier (2*s_suppkey+1), an
     undirected edge per DISTINCT (customer, supplier) trading pair
@@ -243,7 +256,8 @@ def pagerank_customer_supplier(sf_dir: str, n_iters: int = 5,
                          "dst": pa.concat_arrays([s, c])})
 
     edges = dedup.map_batches(sym, batch_format="pyarrow")
-    out = pagerank(edges, n_iters=n_iters, damping=damping).to_pandas()
+    out = pagerank(edges, n_iters=n_iters, damping=damping,
+                   fast_threshold=fast_threshold).to_pandas()
     if out.empty:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "rank_rel": pd.Series([], dtype="float64")})
@@ -251,3 +265,51 @@ def pagerank_customer_supplier(sf_dir: str, n_iters: int = 5,
     out["rank_rel"] = r4(out["rank"].to_numpy() * n)
     out["node"] = out["node"].astype("int64")
     return finish(out[["node", "rank_rel"]], ["node"])
+
+
+def _pagerank_broadcast(edges, nodes, n: int, n_iters: int,
+                        damping: float):
+    """Bounded-node fast path: the rank vector (n floats) broadcasts
+    per iteration; each round is one streaming ``map_batches`` over the
+    STATIC edge table — per batch: searchsorted src→rank/outdeg lookup,
+    bincount partial sums over the batch's destinations (emitting only
+    the touched node ids, so partial rows ≤ batch rows) — merged
+    driver-side into the next vector. Zero sorts per iteration; the
+    edge table never moves after its one materialize."""
+    import ray
+
+    from .common import bcast_get
+
+    nd = nodes.to_pandas()  # gated: n <= fast_threshold
+    node_ids = np.sort(nd["key"].to_numpy().astype(np.int64))
+    outdeg_by_id = nd.set_index("key")["key_count"].astype(np.int64)
+    outdeg = outdeg_by_id.reindex(node_ids).to_numpy().astype(np.float64)
+    base = (1.0 - damping) / n
+    ranks = np.full(n, 1.0 / n)
+
+    for _ in range(n_iters):
+        ref = ray.put((node_ids, ranks / outdeg))
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            ids, contrib = bcast_get(ref)
+            src = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = contrib[np.searchsorted(ids, src)]
+            di = np.searchsorted(ids, dst)
+            sums = np.bincount(di, weights=c, minlength=len(ids))
+            nz = np.flatnonzero(sums)
+            return pa.table({"i": pa.array(nz, pa.int64()),
+                             "s": pa.array(sums[nz], pa.float64())})
+
+        parts = edges.map_batches(
+            contrib_partial, batch_format="pyarrow",
+            batch_size=None).to_pandas()
+        agg = np.zeros(n)
+        np.add.at(agg, parts["i"].to_numpy(), parts["s"].to_numpy())
+        ranks = base + damping * agg
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "node": pa.array(node_ids, pa.int64()),
+        "rank": pa.array(ranks, pa.float64())}))

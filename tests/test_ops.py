@@ -554,3 +554,13 @@ def test_ann_pq_recall_vs_exact(entrymod, ray_session):
     a = {(q, n) for q, n in zip(approx["query_id"], approx["neighbor_id"])}
     recall = len(e & a) / len(e)
     assert recall >= 0.3, recall  # 16x32 codebooks on random 64-d vectors
+
+
+def test_pagerank_paths_agree(entrymod, ray_session):
+    """The broadcast fast path and the all-shuffle cogroup path must
+    compute the same fixed point (to rounding)."""
+    from doonop_ray.ops.graph import pagerank_customer_supplier
+
+    fast = pagerank_customer_supplier(SF)
+    slow = pagerank_customer_supplier(SF, fast_threshold=0)
+    assert fast.equals(slow)
