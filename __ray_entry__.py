@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "q12_priority_by_linestatus": relational.q12_priority_by_linestatus,
         "q22_sales_opportunity": relational.q22_sales_opportunity,
+        "revenue_rollup": relational.revenue_rollup,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
         "quantile_sketch": sketches.quantile_sketch,
@@ -410,6 +411,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1999-01-01'
               AND l_shipdate < TIMESTAMP '2000-01-01'
             GROUP BY 1 ORDER BY 1
+        """,
+        "revenue_rollup": """
+            SELECT r_name, n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   ROUND(SUM(c_acctbal), 4) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+            ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
         """,
         "q22_sales_opportunity": """
             SELECT c_mktsegment,

@@ -1682,3 +1682,62 @@ def q22_sales_opportunity(sf_dir: str) -> pd.DataFrame:
     agg["totacctbal"] = r4(agg["bal"])
     return finish(agg[["c_mktsegment", "numcust", "totacctbal"]],
                   ["c_mktsegment"])
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(region, nation) over customer balances —
+    hierarchical aggregation: nation detail + region subtotals + grand
+    total in one result. The distributed work is ONE pass (customer
+    scan, broadcast nation/region dimension lookup, per-batch partial
+    sums into the bounded nation key space); the two rollup levels
+    derive from the 25-row nation frame driver-side — post-aggregation
+    of a bounded result, never of raw rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = read_arrow(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"])
+    region = read_arrow(sf_dir, "region", ["r_regionkey", "r_name"])
+    rname = pc.take(
+        region["r_name"].combine_chunks(),
+        pc.index_in(nation["n_regionkey"],
+                    value_set=region["r_regionkey"].combine_chunks()))
+    dims_ref = ray.put((nation["n_nationkey"].combine_chunks(),
+                        nation["n_name"].combine_chunks(),
+                        rname.combine_chunks()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_key, n_name, r_name = bcast_get(dims_ref)
+        idx = pc.index_in(t["c_nationkey"], value_set=n_key)
+        g = pa.table({
+            "r_name": pc.take(r_name, idx),
+            "n_name": pc.take(n_name, idx),
+            "c_acctbal": t["c_acctbal"],
+        }).group_by(["r_name", "n_name"], use_threads=False).aggregate(
+            [("c_acctbal", "count"), ("c_acctbal", "sum")])
+        return pa.table({
+            "r_name": g["r_name"], "n_name": g["n_name"],
+            "cnt": pc.cast(g["c_acctbal_count"], pa.int64()),
+            "bal": g["c_acctbal_sum"]})
+
+    nat = (read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby(["r_name", "n_name"])
+           .aggregate(Sum("cnt", alias_name="cnt"),
+                      Sum("bal", alias_name="bal"))
+           .to_pandas())
+    nat = _ensure_cols(nat, {"r_name": "str", "n_name": "str",
+                             "cnt": "int64", "bal": "float64"})
+    reg = nat.groupby("r_name", as_index=False).agg(
+        cnt=("cnt", "sum"), bal=("bal", "sum"))
+    reg["n_name"] = None
+    tot = pd.DataFrame({"r_name": [None], "n_name": [None],
+                        "cnt": [nat["cnt"].sum()],
+                        "bal": [nat["bal"].sum()]})
+    out = pd.concat([nat, reg, tot], ignore_index=True)
+    out["n_customers"] = out["cnt"].astype("int64")
+    out["sum_acctbal"] = r4(out["bal"])
+    out = out[["r_name", "n_name", "n_customers", "sum_acctbal"]]
+    return out.sort_values(
+        ["r_name", "n_name"], na_position="first",
+        kind="mergesort").reset_index(drop=True)

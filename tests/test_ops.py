@@ -56,6 +56,7 @@ SQL_QUERIES = [
     "sample_by_mixture", "quantile_sketch_violations",
     "dedup_incremental", "ann_pq_recall_violations",
     "q12_priority_by_linestatus", "q22_sales_opportunity",
+    "revenue_rollup",
 ]
 
 
