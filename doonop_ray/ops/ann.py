@@ -530,25 +530,11 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
 
 def _pq_train_sample(sf_dir: str, n_train: int) -> np.ndarray:
     """Deterministic bounded training sample: the ``n_train``
-    smallest-vec_id L2-normalized vectors via the same distributed
-    partial-min merge as ``_queries`` — no full-table driver read.
+    smallest-vec_id L2-normalized vectors — exactly ``_queries``'
+    distributed partial-min merge (review: this was a duplicate of it).
     Sample-trained codebooks are the standard PQ practice (Jégou et
     al., TPAMI 2011; FAISS trains on samples)."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        order = np.argsort(ids)[:n_train]
-        return t.take(pa.array(order))
-
-    parts = (read(sf_dir, "embeddings", ["vec_id", "embedding"])
-             .map_batches(partial, batch_format="pyarrow")
-             .to_pandas()
-             .sort_values("vec_id", kind="mergesort")
-             .head(n_train))
-    v = np.asarray(parts["embedding"].tolist(), dtype=np.float64)
-    n = np.linalg.norm(v, axis=1)
-    n[n == 0] = 1.0
-    return v / n[:, None]
+    return _queries(sf_dir, n_train)[1]
 
 
 def _pq_codebooks(train: np.ndarray, m: int, ks: int,
@@ -631,7 +617,11 @@ def ann_topk_pq(sf_dir: str, k: int = 10, n_queries: int = 5,
             top = min(k, len(cand_ids))
             if top == 0:
                 continue
-            idx = np.argpartition(-cand_s, top - 1)[:top]
+            # lexsort tie-break (review: PQ codes tie EXACTLY often —
+            # argpartition on sims alone made the kept set depend on
+            # block layout; order by (-sim, neighbor_id) like the
+            # documented contract)
+            idx = np.lexsort((cand_ids, -cand_s))[:top]
             out_q.extend([int(qids[qi])] * top)
             out_id.extend(cand_ids[idx].tolist())
             out_s.extend(cand_s[idx].tolist())

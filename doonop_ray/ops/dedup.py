@@ -54,17 +54,25 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
     return finish(out, ["doc_id"])
 
 
+def _prefix_keys(text_col, n_tokens: int) -> list:
+    """First-``n_tokens`` lowercase \\W+-token prefix key — the ONE
+    definition of the family key, RE2 semantics via pyarrow so it stays
+    in lockstep with the DuckDB oracle's ``regexp_split_to_array``
+    (both RE2; Python ``re``'s unicode \\W would diverge on non-ASCII).
+    Used by ``dedup_prefix`` and ``dedup_incremental``."""
+    low = pc.utf8_lower(text_col)
+    toks = pc.split_pattern_regex(low, r"\W+")
+    return [" ".join([w for w in l if w][:n_tokens])
+            for l in toks.to_pylist()]
+
+
 def dedup_prefix(sf_dir: str, n_tokens: int = 3) -> pd.DataFrame:
     """Near-dup-ish: dedup on the first-N-token prefix key (creates real
     duplicate groups on this corpus). Keeps min doc_id per key."""
     from .common import grouped_aggregate
 
     def key(t: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(t["text"])
-        toks = pc.split_pattern_regex(low, r"\W+")
-        keys = [
-            " ".join([w for w in l if w][:n_tokens]) for l in toks.to_pylist()
-        ]
+        keys = _prefix_keys(t["text"], n_tokens)
         return pa.table({"doc_id": t["doc_id"], "k": pa.array(keys, pa.string())})
 
     keyed = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -724,10 +732,7 @@ def dedup_incremental(sf_dir: str, n_tokens: int = 3,
         ids = np.asarray(pc.cast(t["doc_id"], pa.int64()))
         m = pa.array(ids % 10 == 0)
         f = t.filter(m if incoming else pc.invert(m))
-        low = pc.utf8_lower(f["text"])
-        toks = pc.split_pattern_regex(low, r"\W+")
-        keys = [" ".join([w for w in l if w][:n_tokens])
-                for l in toks.to_pylist()]
+        keys = _prefix_keys(f["text"], n_tokens)
         return pa.table({"fp": pa.array(keys, pa.string()),
                          "doc_id": pc.cast(f["doc_id"], pa.int64())})
 

@@ -286,12 +286,26 @@ def _pagerank_broadcast(edges, nodes, n: int, n_iters: int,
     outdeg = outdeg_by_id.reindex(node_ids).to_numpy().astype(np.float64)
     base = (1.0 - damping) / n
     ranks = np.full(n, 1.0 / n)
+    # the static id array broadcasts ONCE; only the per-iteration
+    # contribution vector re-ships (review: re-putting node_ids each
+    # round serialized n*8 B x iters and churned the per-worker cache)
+    ids_ref = ray.put(node_ids)
+    fanin = 8
+
+    def combine(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        sums = np.bincount(i, weights=s, minlength=n)
+        nz = np.flatnonzero(sums)
+        return pa.table({"i": pa.array(nz, pa.int64()),
+                         "s": pa.array(sums[nz], pa.float64())})
 
     for _ in range(n_iters):
-        ref = ray.put((node_ids, ranks / outdeg))
+        ref = ray.put(ranks / outdeg)
 
         def contrib_partial(t: pa.Table) -> pa.Table:
-            ids, contrib = bcast_get(ref)
+            ids = bcast_get(ids_ref)
+            contrib = bcast_get(ref)
             src = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
             c = contrib[np.searchsorted(ids, src)]
@@ -301,9 +315,18 @@ def _pagerank_broadcast(edges, nodes, n: int, n_iters: int,
             return pa.table({"i": pa.array(nz, pa.int64()),
                              "s": pa.array(sums[nz], pa.float64())})
 
-        parts = edges.map_batches(
-            contrib_partial, batch_format="pyarrow",
-            batch_size=None).to_pandas()
+        # intermediate tree-combine (review: the raw partial merge
+        # scaled with EDGE count — blocks x <=n rows straight onto the
+        # driver; repartition to `fanin` blocks and bincount-combine
+        # each, so the driver reads <= fanin x n rows no matter how
+        # many edges there are)
+        parts = (edges.map_batches(contrib_partial,
+                                   batch_format="pyarrow",
+                                   batch_size=None)
+                 .repartition(fanin)
+                 .map_batches(combine, batch_format="pyarrow",
+                              batch_size=None)
+                 .to_pandas())
         agg = np.zeros(n)
         np.add.at(agg, parts["i"].to_numpy(), parts["s"].to_numpy())
         ranks = base + damping * agg

@@ -1661,7 +1661,8 @@ def q22_sales_opportunity(sf_dir: str) -> pd.DataFrame:
     j = shuffle_join(cust, recent, "key",
                      ["c_mktsegment", "c_acctbal"], [], "anti",
                      left_types={"c_mktsegment": pa.string(),
-                                 "c_acctbal": pa.float64()}, num_blocks=32)
+                                 "c_acctbal": pa.float64()},
+                     right_types={}, num_blocks=32)
     out = (j.map_batches(
         lambda t: (lambda g: pa.table({
             "c_mktsegment": g["c_mktsegment"],
@@ -1733,7 +1734,8 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
     reg["n_name"] = None
     tot = pd.DataFrame({"r_name": [None], "n_name": [None],
                         "cnt": [nat["cnt"].sum()],
-                        "bal": [nat["bal"].sum()]})
+                        # SUM over zero rows is NULL in SQL, not 0.0
+                        "bal": [nat["bal"].sum() if len(nat) else np.nan]})
     out = pd.concat([nat, reg, tot], ignore_index=True)
     out["n_customers"] = out["cnt"].astype("int64")
     out["sum_acctbal"] = r4(out["bal"])
