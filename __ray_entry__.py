@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_by_linestatus": relational.q12_priority_by_linestatus,
         "q22_sales_opportunity": relational.q22_sales_opportunity,
         "revenue_rollup": relational.revenue_rollup,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "customer_order_gaps": relational.customer_order_gaps,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
         "quantile_sketch": sketches.quantile_sketch,
@@ -411,6 +413,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1999-01-01'
               AND l_shipdate < TIMESTAMP '2000-01-01'
             GROUP BY 1 ORDER BY 1
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM lineitem l JOIN part p ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#11'
+              AND l_quantity < (
+                  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "customer_order_gaps": """
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(AVG(gap), 4) AS avg_gap_days
+            FROM (
+                SELECT o_custkey,
+                       EXTRACT(epoch FROM o_orderdate -
+                               LAG(o_orderdate) OVER (
+                                   PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey))
+                           / 86400.0 AS gap
+                FROM orders)
+            GROUP BY o_custkey HAVING COUNT(*) >= 2
+            ORDER BY o_custkey
         """,
         "revenue_rollup": """
             SELECT r_name, n_name,

@@ -1743,3 +1743,97 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["r_name", "n_name"], na_position="first",
         kind="mergesort").reset_index(drop=True)
+
+
+def q17_small_quantity_revenue(sf_dir: str,
+                               brand: str = "Brand#11") -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's OWN average quantity — a correlated per-key
+    aggregate threshold. Because part is a bounded dimension, the
+    correlation resolves in two streaming passes with NO self-join:
+    pass 1 reduces per-part (sum, count) quantity partials into the
+    bounded part key space; the driver derives the 0.2·avg thresholds
+    (exact: integer-valued quantities sum exactly in doubles, so the
+    division is order-independent) and broadcasts them; pass 2 filters
+    each batch against its parts' thresholds and sums revenue."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = read_arrow(sf_dir, "part", ["p_partkey", "p_brand"])
+    keep = pc.filter(part["p_partkey"],
+                     pc.equal(part["p_brand"], brand)).combine_chunks()
+    keep_ref = ray.put(keep)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        kp = bcast_get(keep_ref)
+        f = t.filter(pc.is_in(t["l_partkey"], value_set=kp))
+        g = pa.table({"p": f["l_partkey"], "q": f["l_quantity"]}).group_by(
+            "p", use_threads=False).aggregate(
+            [("q", "sum"), ("q", "count")])
+        return pa.table({"p": g["p"], "s": g["q_sum"],
+                         "n": pc.cast(g["q_count"], pa.int64())})
+
+    per_part = (read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+                .map_batches(qty_partial, batch_format="pyarrow",
+                             batch_size=65536)
+                .groupby("p").aggregate(Sum("s", alias_name="s"),
+                                        Sum("n", alias_name="n"))
+                .to_pandas())
+    if per_part.empty:
+        return pd.DataFrame({"avg_yearly": [float("nan")]})
+    thr_keys = pa.array(per_part["p"].to_numpy(), pa.int64())
+    thr_vals = 0.2 * (per_part["s"].to_numpy() / per_part["n"].to_numpy())
+    thr_ref = ray.put((thr_keys, thr_vals))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        keys, vals = bcast_get(thr_ref)
+        idx = pc.index_in(pc.cast(t["l_partkey"], pa.int64()),
+                          value_set=keys)
+        found = np.asarray(pc.is_valid(idx))
+        thr = np.where(found, vals[np.asarray(idx.fill_null(0))], -1.0)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        mask = found & (qty < thr)
+        s = t["l_extendedprice"].to_numpy(zero_copy_only=False)[mask].sum()
+        return pa.table({"rev": pa.array([float(s)], pa.float64())})
+
+    total = (read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice"])
+             .map_batches(rev_partial, batch_format="pyarrow",
+                          batch_size=65536)
+             .sum("rev"))
+    return pd.DataFrame({"avg_yearly": [float(r4((total or 0.0) / 7.0))]})
+
+
+def customer_order_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-customer order INTER-ARRIVAL statistics — the LAG-window
+    shape over a corpus-growing partition key: for every customer with
+    >= 2 orders, the average days between consecutive orders. One
+    ``grouped_apply`` (sort + block-local per-key groups — no per-group
+    Ray machinery at corpus customer counts); gaps are diffs of the
+    sorted date multiset, so tie order between same-day orders cannot
+    change the result."""
+    from .common import grouped_apply
+
+    empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                      "n_orders": pa.array([], pa.int64()),
+                      "avg_gap_days": pa.array([], pa.float64())})
+
+    def gaps(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["o_orderdate"].to_numpy(zero_copy_only=False)
+                     .astype("datetime64[us]").astype(np.int64))
+        d = np.diff(ts) / 86400e6
+        return pa.table({
+            "o_custkey": g["key"].slice(0, 1),
+            "n_orders": pa.array([len(ts)], pa.int64()),
+            "avg_gap_days": pa.array([float(r4(d.mean()))], pa.float64()),
+        })
+
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({"key": pc.cast(t["o_custkey"], pa.int64()),
+                            "o_orderdate": t["o_orderdate"]}),
+        batch_format="pyarrow")
+    out = grouped_apply(ds, "key", gaps, empty, min_group_size=2).to_pandas()
+    out = _ensure_cols(out, {"o_custkey": "int64", "n_orders": "int64",
+                             "avg_gap_days": "float64"})
+    return finish(out.astype({"o_custkey": "int64",
+                              "n_orders": "int64"}), ["o_custkey"])

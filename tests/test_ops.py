@@ -56,7 +56,8 @@ SQL_QUERIES = [
     "sample_by_mixture", "quantile_sketch_violations",
     "dedup_incremental", "ann_pq_recall_violations",
     "q12_priority_by_linestatus", "q22_sales_opportunity",
-    "revenue_rollup",
+    "revenue_rollup", "q17_small_quantity_revenue",
+    "customer_order_gaps",
 ]
 
 
