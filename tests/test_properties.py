@@ -362,3 +362,45 @@ def test_shuffle_join_outer_matches_pandas(ray_session, data):
         g = got[c].to_numpy(dtype=float)
         x = exp[c].to_numpy(dtype=float)
         assert ((g == x) | (np.isnan(g) & np.isnan(x))).all(), c
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=1, max_size=400),
+       st.integers(min_value=1, max_value=64))
+@settings(max_examples=60, deadline=None)
+def test_stratified_compact_preserves_weight_and_bounds(vals, m):
+    """The quantile-sketch compactor must conserve total weight exactly
+    and emit values drawn from the input (sorted), regardless of m."""
+    from doonop_ray.ops.sketches import _stratified_compact
+
+    v = np.asarray(vals, dtype=np.float64)
+    w = np.ones(len(v))
+    cv, cw = _stratified_compact(v, w, m)
+    assert len(cv) <= max(m, len(v))
+    assert abs(cw.sum() - w.sum()) < 1e-9 * max(1.0, w.sum())
+    assert set(cv).issubset(set(v))
+    assert (np.diff(cv) >= 0).all()
+
+
+@given(st.lists(st.text(alphabet="abc XYZ.,", min_size=0, max_size=40),
+                min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=50, deadline=None)
+def test_prefix_keys_matches_duckdb_token_slice(texts, n):
+    """_prefix_keys (the dedup family key) must agree with the DuckDB
+    expression used by every oracle that partitions on it."""
+    import duckdb
+    import pyarrow as pa
+
+    from doonop_ray.ops.dedup import _prefix_keys
+
+    got = _prefix_keys(pa.array(texts, pa.string()), n)
+    want = duckdb.connect().execute(
+        "SELECT array_to_string(list_slice(list_filter("
+        "regexp_split_to_array(lower(t), '\\W+'), x -> x <> ''), 1, ?),"
+        " ' ') FROM (SELECT unnest(?) AS t)",
+        [n, texts]).fetchall()
+    # known edge: a TOKEN-LESS doc keys as '' in Python but NULL in
+    # DuckDB (array_to_string of an empty list); the oracle corpora
+    # never contain token-less documents, so equivalence is modulo that
+    assert got == [r[0] if r[0] is not None else "" for r in want]
