@@ -82,6 +82,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": relational.revenue_rollup,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "customer_order_gaps": relational.customer_order_gaps,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q11_important_parts": relational.q11_important_parts,
+        "q16_supplier_counts": relational.q16_supplier_counts,
+        "q20_dominant_suppliers": relational.q20_dominant_suppliers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
         "quantile_sketch": sketches.quantile_sketch,
@@ -436,6 +441,103 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders)
             GROUP BY o_custkey HAVING COUNT(*) >= 2
             ORDER BY o_custkey
+        """,
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(l_extendedprice / l_quantity) AS c
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+                GROUP BY 1, 2
+            ), best AS (
+                SELECT l_partkey AS bp, MIN(c) AS mc FROM cost GROUP BY 1
+            )
+            SELECT s_acctbal, s_name, n_name,
+                   CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+                   ROUND(c, 4) AS supply_cost
+            FROM cost
+            JOIN best ON l_partkey = bp AND c = mc
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_size % 5 = 0 AND p_type = 'LARGE'
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q11_important_parts": """
+            SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY 1
+            HAVING SUM(l_extendedprice * (1 - l_discount)) > (
+                SELECT SUM(l_extendedprice * (1 - l_discount)) * 0.001
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3')
+            ORDER BY value DESC, p_partkey
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (5, 15, 25)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 500)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_dominant_suppliers": """
+            WITH win AS (
+                SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'red%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2
+            ), tot AS (
+                SELECT l_partkey AS tp, SUM(qty) AS tq FROM win GROUP BY 1
+            )
+            SELECT DISTINCT s_name
+            FROM win JOIN tot ON l_partkey = tp
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE qty > 0.5 * tq AND n_name = 'NATION_1'
+            ORDER BY s_name
+        """,
+        "q21_waiting_suppliers": """
+            WITH per AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_shipdate >
+                                o_orderdate + INTERVAL 90 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY 1, 2
+            ), ord AS (
+                SELECT l_orderkey AS ok, COUNT(*) AS n_supp,
+                       SUM(late) AS n_late
+                FROM per GROUP BY 1
+            )
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM per
+            JOIN ord ON l_orderkey = ok
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE per.late = 1 AND ord.n_supp >= 2 AND ord.n_late = 1
+              AND n_name = 'NATION_3'
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "revenue_rollup": """
             SELECT r_name, n_name,

@@ -1837,3 +1837,336 @@ def customer_order_gaps(sf_dir: str) -> pd.DataFrame:
                              "avg_gap_days": "float64"})
     return finish(out.astype({"o_custkey": "int64",
                               "n_orders": "int64"}), ["o_custkey"])
+
+def q2_min_cost_supplier(sf_dir: str, region_name: str = "EUROPE") -> pd.DataFrame:
+    """TPC-H Q2 shape (adapted: the testdata has no partsupp table, so
+    "supply cost" := the minimum observed unit price l_extendedprice /
+    l_quantity per (part, supplier)): for each qualifying part (p_size
+    divisible by 5, p_type LARGE), the region's supplier(s) offering the
+    global minimum unit cost. supplier/nation/region/part are bounded
+    dimensions (broadcast); the lineitem scan reduces per-batch into the
+    bounded (part, supplier) key space before one small groupby — the
+    correlated MIN resolves driver-side on the k-row result. Float
+    exactness: both sides take MIN over the identical division results,
+    so the equality join on the per-part minimum is bit-exact."""
+    import ray
+    from ray.data.aggregate import Min
+
+    nation = read_arrow(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"])
+    region = read_arrow(sf_dir, "region", ["r_regionkey", "r_name"])
+    supp = read_arrow(sf_dir, "supplier",
+                      ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    part = read_arrow(sf_dir, "part",
+                      ["p_partkey", "p_name", "p_size", "p_type"])
+
+    reg_keys = pc.filter(region["r_regionkey"],
+                         pc.equal(region["r_name"], region_name))
+    nat_keys = pc.filter(nation["n_nationkey"],
+                         pc.is_in(nation["n_regionkey"],
+                                  value_set=reg_keys.combine_chunks()))
+    supp_reg = supp.filter(pc.is_in(supp["s_nationkey"],
+                                    value_set=nat_keys.combine_chunks()))
+    psize = np.asarray(part["p_size"])
+    pmask = (psize % 5 == 0) & np.asarray(
+        pc.equal(part["p_type"], "LARGE").combine_chunks())
+    kept_parts = part.filter(pa.array(pmask))
+    keep_ref = ray.put((supp_reg["s_suppkey"].combine_chunks(),
+                        kept_parts["p_partkey"].combine_chunks()))
+
+    def unit_cost_partial(t: pa.Table) -> pa.Table:
+        supp_keep, part_keep = bcast_get(keep_ref)
+        f = t.filter(pc.and_(
+            pc.is_in(t["l_suppkey"], value_set=supp_keep),
+            pc.is_in(t["l_partkey"], value_set=part_keep)))
+        cost = pc.divide(f["l_extendedprice"], f["l_quantity"])
+        g = pa.table({"p": f["l_partkey"], "s": f["l_suppkey"],
+                      "c": cost}).group_by(
+            ["p", "s"], use_threads=False).aggregate([("c", "min")])
+        return pa.table({"p": g["p"], "s": g["s"], "c": g["c_min"]})
+
+    pairs = (read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_extendedprice",
+                   "l_quantity"])
+             .map_batches(unit_cost_partial, batch_format="pyarrow",
+                          batch_size=65536)
+             .groupby(["p", "s"]).aggregate(Min("c", alias_name="c"))
+             .to_pandas())
+    pairs = _ensure_cols(pairs, {"p": "int64", "s": "int64", "c": "float64"})
+    if pairs.empty:
+        return pd.DataFrame({
+            "s_acctbal": pd.Series([], dtype="float64"),
+            "s_name": pd.Series([], dtype="str"),
+            "n_name": pd.Series([], dtype="str"),
+            "p_partkey": pd.Series([], dtype="int64"),
+            "p_name": pd.Series([], dtype="str"),
+            "supply_cost": pd.Series([], dtype="float64")})
+    # exact float equality: both sides are MIN over the same value set
+    best = pairs[pairs["c"] == pairs.groupby("p")["c"].transform("min")]
+    sdf = supp_reg.to_pandas().rename(columns={"s_suppkey": "s"})
+    ndf = nation.to_pandas().rename(columns={"n_nationkey": "s_nationkey"})
+    pdf = kept_parts.to_pandas().rename(columns={"p_partkey": "p"})
+    out = (best.merge(sdf, on="s").merge(ndf, on="s_nationkey")
+           .merge(pdf, on="p"))
+    out["p_partkey"] = out["p"].astype("int64")
+    out["supply_cost"] = r4(out["c"])
+    out = out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True], kind="mergesort").head(100)
+    return finish(out[["s_acctbal", "s_name", "n_name", "p_partkey",
+                       "p_name", "supply_cost"]])
+
+
+def q11_important_parts(sf_dir: str, nation_name: str = "NATION_3",
+                        fraction: float = 0.001) -> pd.DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp — "stock value" := lineitem
+    revenue): parts whose revenue from suppliers of one nation exceeds
+    ``fraction`` of that nation's total. One lineitem scan with a
+    broadcast supplier-key filter, per-batch partial sums into the
+    bounded part key space; the global threshold is the sum of the
+    per-part sums (a distributed scalar — no second scan)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat_keys = pc.filter(nation["n_nationkey"],
+                         pc.equal(nation["n_name"], nation_name))
+    keep = pc.filter(supp["s_suppkey"],
+                     pc.is_in(supp["s_nationkey"],
+                              value_set=nat_keys.combine_chunks()))
+    keep_ref = ray.put(keep.combine_chunks())
+
+    def val_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["l_suppkey"], value_set=bcast_get(keep_ref)))
+        val = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        g = pa.table({"p": f["l_partkey"], "v": val}).group_by(
+            "p", use_threads=False).aggregate([("v", "sum")])
+        return pa.table({"p": g["p"], "v": g["v_sum"]})
+
+    per_part = (read(sf_dir, "lineitem",
+                     ["l_partkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+                .map_batches(val_partial, batch_format="pyarrow",
+                             batch_size=65536)
+                .groupby("p").aggregate(Sum("v", alias_name="v"))
+                .to_pandas())
+    per_part = _ensure_cols(per_part, {"p": "int64", "v": "float64"})
+    if per_part.empty:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    threshold = float(per_part["v"].sum()) * fraction
+    out = per_part[per_part["v"] > threshold].copy()
+    out["p_partkey"] = out["p"].astype("int64")
+    out["value"] = r4(out["v"])
+    out = out.sort_values(["value", "p_partkey"],
+                          ascending=[False, True], kind="mergesort")
+    return finish(out[["p_partkey", "value"]])
+
+
+def q16_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape (adapted: the complaints-comment exclusion becomes
+    a low-acctbal exclusion — no s_comment column): distinct supplier
+    counts per (brand, type, size) for qualifying parts. part/supplier
+    attributes ride a broadcast; the COUNT DISTINCT is two chained
+    ``grouped_aggregate``s — dedup on the 4-part composite key, then
+    count per attribute triple — both vectorized sorts, no per-group
+    Python, nothing corpus-sized on the driver."""
+    import ray
+    from .common import grouped_aggregate
+
+    part = read_arrow(sf_dir, "part",
+                      ["p_partkey", "p_brand", "p_type", "p_size"])
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    psize = np.asarray(part["p_size"])
+    pmask = (np.isin(psize, (5, 15, 25))
+             & np.asarray(pc.not_equal(part["p_brand"],
+                                       "Brand#1").combine_chunks())
+             & np.asarray(pc.not_equal(part["p_type"],
+                                       "PROMO").combine_chunks()))
+    kept = part.filter(pa.array(pmask))
+    excl = pc.filter(supp["s_suppkey"],
+                     pc.less(supp["s_acctbal"], 500.0))
+    dims_ref = ray.put((kept["p_partkey"].combine_chunks(),
+                        kept["p_brand"].combine_chunks(),
+                        kept["p_type"].combine_chunks(),
+                        pc.cast(kept["p_size"],
+                                pa.int64()).combine_chunks(),
+                        excl.combine_chunks()))
+
+    def attr_rows(t: pa.Table) -> pa.Table:
+        pk, brand, ptype, size, bad = bcast_get(dims_ref)
+        f = t.filter(pc.invert(pc.is_in(t["l_suppkey"], value_set=bad)))
+        idx = pc.index_in(f["l_partkey"], value_set=pk)
+        ok = pc.is_valid(idx)
+        f, idx = f.filter(ok), idx.filter(ok)
+        # per-batch pre-dedup shrinks the shuffle to distinct combos
+        return pa.table({
+            "p_brand": pc.take(brand, idx),
+            "p_type": pc.take(ptype, idx),
+            "p_size": pc.take(size, idx),
+            "k": f["l_suppkey"],
+        }).group_by(["p_brand", "p_type", "p_size", "k"],
+                    use_threads=False).aggregate([])
+
+    rows = read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        attr_rows, batch_format="pyarrow", batch_size=65536)
+    distinct = grouped_aggregate(
+        rows, ["p_brand", "p_type", "p_size", "k"], [("k", "count")])
+    counts = grouped_aggregate(
+        distinct.map_batches(
+            lambda t: t.select(["p_brand", "p_type", "p_size", "k"]),
+            batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size"], [("k", "count")]).to_pandas()
+    counts = _ensure_cols(counts, {"p_brand": "str", "p_type": "str",
+                                   "p_size": "int64", "k_count": "int64"})
+    out = counts.rename(columns={"k_count": "supplier_cnt"})
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], kind="mergesort")
+    return finish(out[["p_brand", "p_type", "p_size", "supplier_cnt"]])
+
+
+def q20_dominant_suppliers(sf_dir: str, prefix: str = "red",
+                           nation_name: str = "NATION_1") -> pd.DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availqty — a supplier
+    "has excess stock" if they shipped MORE THAN HALF of a part's total
+    1997 quantity): suppliers of one nation dominating any name-prefixed
+    part. One scan reducing into the bounded (part, supplier) key space;
+    the correlated half-of-total threshold resolves on the k-row frame.
+    Quantities are integer-valued, so both sides' sums and the 0.5·total
+    comparison are exact in doubles."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = read_arrow(sf_dir, "part", ["p_partkey", "p_name"])
+    keep = pc.filter(part["p_partkey"],
+                     pc.starts_with(part["p_name"], prefix))
+    keep_ref = ray.put(keep.combine_chunks())
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(
+            pc.is_in(t["l_partkey"], value_set=bcast_get(keep_ref)),
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))))
+        g = pa.table({"p": f["l_partkey"], "k": f["l_suppkey"],
+                      "q": f["l_quantity"]}).group_by(
+            ["p", "k"], use_threads=False).aggregate([("q", "sum")])
+        return pa.table({"p": g["p"], "k": g["k"], "q": g["q_sum"]})
+
+    pairs = (read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+             .map_batches(qty_partial, batch_format="pyarrow",
+                          batch_size=65536)
+             .groupby(["p", "k"]).aggregate(Sum("q", alias_name="q"))
+             .to_pandas())
+    pairs = _ensure_cols(pairs, {"p": "int64", "k": "int64", "q": "float64"})
+    if pairs.empty:
+        return pd.DataFrame({"s_name": pd.Series([], dtype="str")})
+    total = pairs.groupby("p")["q"].transform("sum")
+    dom = pairs[pairs["q"] > 0.5 * total]
+
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = read_arrow(sf_dir, "supplier",
+                      ["s_suppkey", "s_name", "s_nationkey"])
+    nat_keys = pc.filter(nation["n_nationkey"],
+                         pc.equal(nation["n_name"], nation_name))
+    sdf = supp.filter(pc.is_in(
+        supp["s_nationkey"],
+        value_set=nat_keys.combine_chunks())).to_pandas()
+    out = dom.merge(sdf.rename(columns={"s_suppkey": "k"}), on="k")
+    out = out[["s_name"]].drop_duplicates()
+    return finish(out, ["s_name"])
+
+
+def q21_waiting_suppliers(sf_dir: str, nation_name: str = "NATION_3",
+                          late_days: int = 90) -> pd.DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates — "late" :=
+    shipped more than ``late_days`` after the order date): for finalized
+    multi-supplier orders where EXACTLY ONE supplier shipped late, count
+    waiting incidents per late supplier of one nation. lineitem ⋈
+    F-status orders is a fact-fact ``shuffle_join`` (orders unique per
+    key); the per-order exists/not-exists pair resolves in one
+    ``grouped_apply`` over the orderkey (vectorized np.unique per
+    group); only bounded per-supplier counts reach the driver."""
+    from .common import grouped_apply
+    from .join import shuffle_join
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table({"key": t["l_orderkey"],
+                            "s": t["l_suppkey"],
+                            "ship": t["l_shipdate"]}),
+        batch_format="pyarrow")
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderstatus"]
+                  ).map_batches(
+        lambda t: (lambda f: pa.table({"key": f["o_orderkey"],
+                                       "odate": f["o_orderdate"]}))(
+            t.filter(pc.equal(t["o_orderstatus"], "F"))),
+        batch_format="pyarrow")
+    j = shuffle_join(li, orders, "key", ["s", "ship"], ["odate"], "inner",
+                     left_types={"s": pa.int64(),
+                                 "ship": pa.timestamp("us")},
+                     right_types={"odate": pa.timestamp("us")},
+                     num_blocks=32)
+
+    late_us = int(late_days) * 86_400_000_000
+
+    def flag(t: pa.Table) -> pa.Table:
+        ship = t["ship"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        odate = t["odate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "key": t["key"], "s": t["s"],
+            "late": pa.array(ship - odate > late_us)})
+
+    empty = pa.table({"suppkey": pa.array([], pa.int64())})
+
+    def per_order(g: pa.Table) -> pa.Table:
+        s = g["s"].to_numpy(zero_copy_only=False)
+        late = g["late"].to_numpy(zero_copy_only=False)
+        if len(np.unique(s)) < 2:
+            return empty
+        late_supps = np.unique(s[late])
+        if len(late_supps) != 1:
+            return empty
+        return pa.table({"suppkey": pa.array([int(late_supps[0])],
+                                             pa.int64())})
+
+    waits = grouped_apply(
+        j.map_batches(flag, batch_format="pyarrow"),
+        "key", per_order, empty, min_group_size=2)
+    # per-supplier counts: bounded key space — per-batch partials, tiny merge
+    counts = waits.map_batches(
+        lambda t: (lambda g: pa.table({
+            "suppkey": g["suppkey"],
+            "n": pc.cast(g["suppkey_count"], pa.int64())}))(
+            t.group_by("suppkey", use_threads=False).aggregate(
+                [("suppkey", "count")])),
+        batch_format="pyarrow").to_pandas()
+    counts = _ensure_cols(counts, {"suppkey": "int64", "n": "int64"})
+    agg = counts.groupby("suppkey", as_index=False)["n"].sum()
+
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = read_arrow(sf_dir, "supplier",
+                      ["s_suppkey", "s_name", "s_nationkey"])
+    nat_keys = pc.filter(nation["n_nationkey"],
+                         pc.equal(nation["n_name"], nation_name))
+    sdf = supp.filter(pc.is_in(
+        supp["s_nationkey"],
+        value_set=nat_keys.combine_chunks())).to_pandas()
+    out = agg.merge(sdf.rename(columns={"s_suppkey": "suppkey"}),
+                    on="suppkey")
+    if out.empty:
+        return pd.DataFrame({"s_name": pd.Series([], dtype="str"),
+                             "numwait": pd.Series([], dtype="int64")})
+    out["numwait"] = out["n"].astype("int64")
+    out = out.sort_values(["numwait", "s_name"],
+                          ascending=[False, True], kind="mergesort").head(100)
+    return finish(out[["s_name", "numwait"]])

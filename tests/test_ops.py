@@ -57,7 +57,9 @@ SQL_QUERIES = [
     "dedup_incremental", "ann_pq_recall_violations",
     "q12_priority_by_linestatus", "q22_sales_opportunity",
     "revenue_rollup", "q17_small_quantity_revenue",
-    "customer_order_gaps",
+    "customer_order_gaps", "q2_min_cost_supplier",
+    "q11_important_parts", "q16_supplier_counts",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
 ]
 
 
