@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             checks.lm_perplexity_consistency_violations,
         "quantile_sketch_violations": checks.quantile_sketch_violations,
         "ann_pq_recall_violations": checks.ann_pq_recall_violations,
+        "ivf_index_violations": checks.ivf_index_violations,
+        "training_dataset_violations":
+            checks.training_dataset_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -958,6 +961,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_recall_violations": """
             SELECT CAST(NULL AS VARCHAR) AS metric,
                    CAST(NULL AS DOUBLE) AS value
+            WHERE FALSE
+        """,
+        "ivf_index_violations": """
+            SELECT CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "training_dataset_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE
         """,
         "train_val_test_split": """

@@ -366,3 +366,113 @@ def ann_pq_recall_violations(sf_dir: str, k: int = 10, n_queries: int = 5,
                              "value": pd.Series([], dtype="float64")})
     return pd.DataFrame({"metric": ["pq_recall_at_k"],
                          "value": [round(recall, 4)]})
+
+def ivf_index_violations(sf_dir: str, n_cells: int = 16,
+                         kmeans_iters: int = 5,
+                         seed: int = 23) -> pd.DataFrame:
+    """The persisted IVF index (hive-partitioned inverted lists +
+    centroids.npy — ``ann.py``) must be internally consistent:
+
+    - every vector's recorded ``cell`` equals the nearest centroid by a
+      fresh float64 argmax over the STORED centroids (catches stale or
+      corrupted inverted lists that survived a cache-key collision);
+    - the index holds exactly one row per corpus vector (conservation —
+      catches interleaved double-builds, the round-2 ADVICE race).
+
+    Returns (vec_id, kind) violation rows — expected empty. The assign
+    recheck runs distributed over the index partitions; only per-batch
+    violation rows and two scalar counts reach the driver."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from .ann import _build_ivf_index, _index_dir
+    from .common import bcast_get
+
+    idx_dir = _index_dir("ivf", sf_dir, (n_cells, kmeans_iters, seed))
+    if not os.path.isdir(idx_dir):
+        os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
+        _build_ivf_index(sf_dir, n_cells, kmeans_iters, seed, idx_dir)
+    cents = np.load(os.path.join(idx_dir, "centroids.npy"))
+    ref = ray.put(cents)
+
+    def recheck(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = bcast_get(ref)
+        v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        nn = np.linalg.norm(v, axis=1)
+        nn[nn == 0] = 1.0
+        want = np.argmax((v / nn[:, None]) @ cents.T, axis=1)
+        got = pc.cast(t["cell"], pa.int64()).to_numpy(zero_copy_only=False)
+        bad = got != want
+        return pa.table({
+            "vec_id": pa.array(
+                np.asarray(t["vec_id"])[bad], pa.int64()),
+            "kind": pa.array(["assign"] * int(bad.sum()), pa.string())})
+
+    # centroids.npy lives beside the cell=*/ partitions — parquet only
+    idx = rd.read_parquet(idx_dir, columns=["vec_id", "embedding", "cell"],
+                          file_extensions=["parquet"])
+    out = idx.map_batches(recheck, batch_format="pyarrow").to_pandas()
+    out = out if len(out.columns) else pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"),
+         "kind": pd.Series([], dtype="str")})
+    n_index = idx.count()
+    n_corpus = read(sf_dir, "embeddings", ["vec_id"]).count()
+    if n_index != n_corpus:
+        out = pd.concat([out, pd.DataFrame(
+            {"vec_id": [-1], "kind": ["count"]})], ignore_index=True)
+    return finish(out.astype({"vec_id": "int64", "kind": "str"}),
+                  ["vec_id", "kind"])
+
+
+def training_dataset_violations(sf_dir: str) -> pd.DataFrame:
+    """The crawl's end product (``build_training_dataset`` shards through
+    the Lance-seam writer) must be a well-formed training dataset:
+
+    - no image_id appears twice across shards (the pre-shard dedup and
+      the deterministic shard assignment both failing would double-feed
+      a sample to training);
+    - the shards' total row count equals the manifest's sum (a silently
+      dropped or double-written shard file).
+
+    Returns (image_id, kind) violation rows — expected empty. Duplicate
+    detection is a distributed ``grouped_aggregate`` count over the
+    shard reads; only violating ids reach the driver."""
+    import os
+
+    from ..io import ray_read
+    from ..pipelines.flagship import build_training_dataset, tier_of
+    from .common import grouped_aggregate
+
+    empty = pd.DataFrame({"image_id": pd.Series([], dtype="str"),
+                          "kind": pd.Series([], dtype="str")})
+    tier = tier_of(sf_dir)
+    out_root = f"/tmp/doonop_out/training_{tier}_{os.getpid()}"
+    manifest = None
+    if not os.path.isdir(out_root) or not any(
+            f.startswith("shard-") for f in os.listdir(out_root)):
+        manifest = build_training_dataset(sf_dir, out_root=out_root)
+    if not any(f.startswith("shard-") for f in os.listdir(out_root)):
+        return empty
+    if manifest is None:
+        manifest = build_training_dataset(sf_dir, out_root=out_root)
+
+    ids = ray_read(out_root, columns=["image_id"])
+    counts = grouped_aggregate(ids, "image_id", [("image_id", "count")])
+    dups = counts.map_batches(
+        lambda t: (lambda f: pa.table({
+            "image_id": f["image_id"],
+            "kind": pa.array(["dup"] * len(f), pa.string())}))(
+            t.filter(pa.compute.greater(t["image_id_count"], 1))),
+        batch_format="pyarrow").to_pandas()
+    out = dups if len(dups.columns) else empty.copy()
+    n_rows = ids.count()
+    if n_rows != int(manifest["rows"].sum()):
+        out = pd.concat([out, pd.DataFrame(
+            {"image_id": ["<manifest>"], "kind": ["count"]})],
+            ignore_index=True)
+    return finish(out.astype({"image_id": "str", "kind": "str"}),
+                  ["image_id", "kind"])

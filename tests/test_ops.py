@@ -60,6 +60,7 @@ SQL_QUERIES = [
     "customer_order_gaps", "q2_min_cost_supplier",
     "q11_important_parts", "q16_supplier_counts",
     "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "ivf_index_violations", "training_dataset_violations",
 ]
 
 
