@@ -76,6 +76,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": relational.q13_customer_distribution,
         "q15_top_supplier": relational.q15_top_supplier,
         "q18_large_volume": relational.q18_large_volume,
+        "q18_large_volume_allshuffle":
+            relational.q18_large_volume_allshuffle,
+        "q10_returned_items_allshuffle":
+            relational.q10_returned_items_allshuffle,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "q12_priority_by_linestatus": relational.q12_priority_by_linestatus,
         "q22_sales_opportunity": relational.q22_sales_opportunity,
@@ -1280,6 +1284,7 @@ def oracle_sql() -> dict[str, str]:
     # the all-shuffle twins compute the same relation as their
     # bucket-routed canonicals — one oracle each, shared verbatim
     for q in ("q3_shipping_priority", "q5_revenue_by_nation",
-              "q7_volume_shipping"):
+              "q7_volume_shipping", "q18_large_volume",
+              "q10_returned_items"):
         sql[f"{q}_allshuffle"] = sql[q]
     return sql

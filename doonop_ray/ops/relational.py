@@ -145,8 +145,10 @@ def q3_shipping_priority_allshuffle(sf_dir: str) -> pd.DataFrame:
 # serves every query in the Q family — per-query reads prune to the
 # columns that query joins (bucketed_join passes columns= to the read).
 _LI_BUCKET_COLS = ["l_orderkey", "l_partkey", "l_suppkey",
-                   "l_extendedprice", "l_discount", "l_shipdate"]
-_ORD_BUCKET_COLS = ["o_orderkey", "o_custkey", "o_orderdate"]
+                   "l_extendedprice", "l_discount", "l_shipdate",
+                   "l_quantity", "l_returnflag"]
+_ORD_BUCKET_COLS = ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"]
 
 
 def _li_buckets(sf_dir: str, n_buckets: int = 32) -> str:
@@ -174,7 +176,8 @@ def _cust_buckets(sf_dir: str, n_buckets: int = 32) -> str:
 
     return bucket_table(os.path.join(sf_dir, "customer.parquet"),
                         "c_custkey", n_buckets,
-                        columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+                        columns=["c_custkey", "c_nationkey",
+                                 "c_mktsegment", "c_name"])
 
 
 def q5_revenue_by_nation_allshuffle(sf_dir: str) -> pd.DataFrame:
@@ -1074,8 +1077,9 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
     return finish(out, ["o_orderpriority"])
 
 
-def q10_returned_items(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q10 shape: top-20 customers by revenue of RETURNED
+def q10_returned_items_allshuffle(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape, all-shuffle twin (no precomputation): top-20
+    customers by revenue of RETURNED
     lineitems in an order-date window. Three corpus-growing tables
     (lineitem, orders, customer) — both joins are ``shuffle_join``s on
     pre-reduced partials; nation is the only broadcast (bounded
@@ -1328,8 +1332,10 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
                   ["s_suppkey"])
 
 
-def q18_large_volume(sf_dir: str, min_qty: float = 300.0) -> pd.DataFrame:
-    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+def q18_large_volume_allshuffle(sf_dir: str,
+                                min_qty: float = 300.0) -> pd.DataFrame:
+    """TPC-H Q18 shape, all-shuffle twin (no precomputation): orders
+    whose total lineitem quantity exceeds
     ``min_qty``, with customer names — three corpus-growing tables.
     Per-order quantity via ``grouped_aggregate`` (one all-to-all on the
     short orderkey), HAVING filter inside map_batches, then two
@@ -2170,3 +2176,188 @@ def q21_waiting_suppliers(sf_dir: str, nation_name: str = "NATION_3",
     out = out.sort_values(["numwait", "s_name"],
                           ascending=[False, True], kind="mergesort").head(100)
     return finish(out[["s_name", "numwait"]])
+
+def q18_large_volume(sf_dir: str, min_qty: float = 300.0,
+                     n_buckets: int = 32) -> pd.DataFrame:
+    """Q18, bucket-routed (canonical): a lineitem bucket holds ALL rows
+    of each orderkey, so the per-order quantity sum and the HAVING
+    filter complete block-locally with NO exchange; the surviving
+    orders join the o_orderkey-aligned orders bucket in the same task.
+    The only query-time exchange is the narrow (custkey, order attrs)
+    survivors re-keyed through ``bucket_dataset`` onto the persisted
+    customer buckets. The global top-100 is a per-block partial top-100
+    (rows are individual orders — no cross-bucket aggregation) merged
+    on the driver. Zero query-time sorts."""
+    import shutil
+
+    from .bucket import _read_bucket, bucket_dataset, bucketed_join
+
+    li_dir = _li_buckets(sf_dir, n_buckets)
+    ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
+
+    def big_orders(t: pa.Table) -> pa.Table:
+        outs = []
+        for k in np.asarray(t["id"]):
+            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
+                              columns=["l_orderkey", "l_quantity"])
+            if lt is None or len(lt) == 0:
+                continue
+            g = lt.group_by("l_orderkey", use_threads=False).aggregate(
+                [("l_quantity", "sum")])
+            g = g.filter(pc.greater(g["l_quantity_sum"],
+                                    pa.scalar(min_qty)))
+            if len(g) == 0:
+                continue
+            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate", "o_totalprice"])
+            if ot is None:
+                continue
+            idx = pc.index_in(g["l_orderkey"], value_set=ot["o_orderkey"])
+            keep = pc.is_valid(idx)
+            g, idx = g.filter(keep), idx.filter(keep)
+            outs.append(pa.table({
+                "key": ot["o_custkey"].take(idx),
+                "o_orderkey": g["l_orderkey"],
+                "o_orderdate": ot["o_orderdate"].take(idx),
+                "o_totalprice": ot["o_totalprice"].take(idx),
+                "sum_qty": g["l_quantity_sum"]}))
+        if not outs:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_totalprice": pa.array([], pa.float64()),
+                "sum_qty": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    import ray.data as rd
+
+    big = rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
+        big_orders, batch_format="pyarrow")
+    qdir = bucket_dataset(big, "key", n_buckets)
+    try:
+        j = bucketed_join(
+            qdir, _cust_buckets(sf_dir, n_buckets), key="key",
+            right_key="c_custkey",
+            left_cols=["o_orderkey", "o_orderdate", "o_totalprice",
+                       "sum_qty"],
+            right_cols=["c_name"], n_buckets=n_buckets)
+
+        def block_top100(t: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                t, sort_keys=[("o_totalprice", "descending"),
+                              ("o_orderkey", "ascending")])
+            return t.take(idx.slice(0, min(100, len(t))))
+
+        out = j.map_batches(block_top100, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    finally:
+        shutil.rmtree(qdir, ignore_errors=True)
+    out = _ensure_cols(out, {"key": "int64", "o_orderkey": "int64",
+                             "o_orderdate": "datetime64[us]",
+                             "o_totalprice": "float64",
+                             "sum_qty": "float64", "c_name": "str"})
+    out = out.rename(columns={"key": "c_custkey"})
+    out["sum_qty"] = r4(out["sum_qty"])
+    out = out.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(100)
+    return finish(out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                       "o_totalprice", "sum_qty"]])
+
+
+def q10_returned_items(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Q10, bucket-routed (canonical): per-order RETURNED revenue and
+    the date-window orders join complete inside each orderkey-aligned
+    bucket task (both sides persisted on o_orderkey); the narrow
+    (custkey, rev) partials re-key through ``bucket_dataset`` onto the
+    customer buckets, where per-customer totals complete block-locally
+    (a customer bucket holds all of a custkey's partials). nation is
+    the only broadcast. Per-block partial top-20 + tiny driver merge;
+    zero query-time sorts."""
+    import shutil
+
+    import ray
+
+    from .bucket import _read_bucket, bucket_dataset, bucketed_join
+
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    dims_ref = ray.put((nation["n_nationkey"].combine_chunks(),
+                        nation["n_name"].combine_chunks()))
+    li_dir = _li_buckets(sf_dir, n_buckets)
+    ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
+    lo, hi = pa.scalar(datetime(1998, 1, 1)), pa.scalar(datetime(1998, 7, 1))
+
+    def cust_rev_partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for k in np.asarray(t["id"]):
+            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
+                              columns=["l_orderkey", "l_returnflag",
+                                       "l_extendedprice", "l_discount"])
+            if lt is None or len(lt) == 0:
+                continue
+            lt = lt.filter(pc.equal(lt["l_returnflag"], "R"))
+            if len(lt) == 0:
+                continue
+            rev = pc.multiply(lt["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), lt["l_discount"]))
+            g = pa.table({"o": lt["l_orderkey"], "rev": rev}).group_by(
+                "o", use_threads=False).aggregate([("rev", "sum")])
+            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"])
+            if ot is None:
+                continue
+            ot = ot.filter(pc.and_(pc.greater_equal(ot["o_orderdate"], lo),
+                                   pc.less(ot["o_orderdate"], hi)))
+            idx = pc.index_in(g["o"], value_set=ot["o_orderkey"])
+            keep = pc.is_valid(idx)
+            g, idx = g.filter(keep), idx.filter(keep)
+            if len(g) == 0:
+                continue
+            cg = pa.table({"key": ot["o_custkey"].take(idx),
+                           "rev": g["rev_sum"]}).group_by(
+                "key", use_threads=False).aggregate([("rev", "sum")])
+            outs.append(pa.table({"key": cg["key"], "rev": cg["rev_sum"]}))
+        if not outs:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    import ray.data as rd
+
+    partials = rd.range(n_buckets, override_num_blocks=n_buckets
+                        ).map_batches(cust_rev_partial,
+                                      batch_format="pyarrow")
+    qdir = bucket_dataset(partials, "key", n_buckets)
+    try:
+        j = bucketed_join(
+            qdir, _cust_buckets(sf_dir, n_buckets), key="key",
+            right_key="c_custkey", left_cols=["rev"],
+            right_cols=["c_name", "c_nationkey"], n_buckets=n_buckets)
+
+        def block_top20(t: pa.Table) -> pa.Table:
+            g = t.group_by(["key", "c_name", "c_nationkey"],
+                           use_threads=False).aggregate([("rev", "sum")])
+            n_key, n_name = bcast_get(dims_ref)
+            name = pc.take(n_name,
+                           pc.index_in(g["c_nationkey"], value_set=n_key))
+            g = pa.table({
+                "c_custkey": g["key"], "c_name": g["c_name"],
+                "revenue": pa.array(
+                    r4(g["rev_sum"].to_numpy(zero_copy_only=False))),
+                "n_name": name})
+            idx = pc.sort_indices(g, sort_keys=[("revenue", "descending"),
+                                                ("c_custkey", "ascending")])
+            return g.take(idx.slice(0, min(20, len(g))))
+
+        out = j.map_batches(block_top20, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    finally:
+        shutil.rmtree(qdir, ignore_errors=True)
+    out = _ensure_cols(out, {"c_custkey": "int64", "c_name": "str",
+                             "revenue": "float64", "n_name": "str"})
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True],
+                          kind="mergesort").head(20)
+    return out.reset_index(drop=True)[
+        ["c_custkey", "c_name", "revenue", "n_name"]]

@@ -61,6 +61,7 @@ SQL_QUERIES = [
     "q11_important_parts", "q16_supplier_counts",
     "q20_dominant_suppliers", "q21_waiting_suppliers",
     "ivf_index_violations", "training_dataset_violations",
+    "q18_large_volume_allshuffle", "q10_returned_items_allshuffle",
 ]
 
 
