@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_counts": relational.q16_supplier_counts,
         "q20_dominant_suppliers": relational.q20_dominant_suppliers,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q21_waiting_suppliers_allshuffle":
+            relational.q21_waiting_suppliers_allshuffle,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1285,6 +1287,6 @@ def oracle_sql() -> dict[str, str]:
     # bucket-routed canonicals — one oracle each, shared verbatim
     for q in ("q3_shipping_priority", "q5_revenue_by_nation",
               "q7_volume_shipping", "q18_large_volume",
-              "q10_returned_items"):
+              "q10_returned_items", "q21_waiting_suppliers"):
         sql[f"{q}_allshuffle"] = sql[q]
     return sql

@@ -148,7 +148,7 @@ _LI_BUCKET_COLS = ["l_orderkey", "l_partkey", "l_suppkey",
                    "l_extendedprice", "l_discount", "l_shipdate",
                    "l_quantity", "l_returnflag"]
 _ORD_BUCKET_COLS = ["o_orderkey", "o_custkey", "o_orderdate",
-                    "o_totalprice"]
+                    "o_totalprice", "o_orderstatus"]
 
 
 def _li_buckets(sf_dir: str, n_buckets: int = 32) -> str:
@@ -2089,9 +2089,11 @@ def q20_dominant_suppliers(sf_dir: str, prefix: str = "red",
     return finish(out, ["s_name"])
 
 
-def q21_waiting_suppliers(sf_dir: str, nation_name: str = "NATION_3",
-                          late_days: int = 90) -> pd.DataFrame:
-    """TPC-H Q21 shape (adapted: no commit/receipt dates — "late" :=
+def q21_waiting_suppliers_allshuffle(
+        sf_dir: str, nation_name: str = "NATION_3",
+        late_days: int = 90) -> pd.DataFrame:
+    """Q21, all-shuffle twin (no precomputation; see the bucket-routed
+    canonical below). Adapted: no commit/receipt dates — "late" :=
     shipped more than ``late_days`` after the order date): for finalized
     multi-supplier orders where EXACTLY ONE supplier shipped late, count
     waiting incidents per late supplier of one nation. lineitem ⋈
@@ -2361,3 +2363,99 @@ def q10_returned_items(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
                           kind="mergesort").head(20)
     return out.reset_index(drop=True)[
         ["c_custkey", "c_name", "revenue", "n_name"]]
+
+def q21_waiting_suppliers(sf_dir: str, nation_name: str = "NATION_3",
+                          late_days: int = 90,
+                          n_buckets: int = 32) -> pd.DataFrame:
+    """Q21, bucket-routed (canonical): the lineitem ⋈ F-orders join AND
+    the per-order exists/not-exists pair are both orderkey-local, and a
+    bucket holds ALL rows of each orderkey on both persisted sides — so
+    the whole query body runs inside the bucket tasks with ZERO
+    query-time exchanges: join via ``pc.index_in``, per-(order,
+    supplier) dedup + late-flag aggregation via one lexsort + reduceat
+    (no per-group Python), qualifying-supplier counts as per-task
+    partials. Only bounded per-supplier counts reach the driver."""
+    from .bucket import _read_bucket
+
+    import ray.data as rd
+
+    li_dir = _li_buckets(sf_dir, n_buckets)
+    ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
+    late_us = int(late_days) * 86_400_000_000
+
+    def bucket_waits(t: pa.Table) -> pa.Table:
+        all_s, all_n = [], []
+        for k in np.asarray(t["id"]):
+            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
+                              columns=["l_orderkey", "l_suppkey",
+                                       "l_shipdate"])
+            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
+                              columns=["o_orderkey", "o_orderdate",
+                                       "o_orderstatus"])
+            if lt is None or ot is None or len(lt) == 0:
+                continue
+            ot = ot.filter(pc.equal(ot["o_orderstatus"], "F"))
+            idx = pc.index_in(lt["l_orderkey"], value_set=ot["o_orderkey"])
+            keep = pc.is_valid(idx)
+            lt, idx = lt.filter(keep), idx.filter(keep)
+            if len(lt) == 0:
+                continue
+            ship = lt["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]").astype(np.int64)
+            odate = ot["o_orderdate"].take(idx).to_numpy(
+                zero_copy_only=False).astype("datetime64[us]").astype(
+                np.int64)
+            ords = lt["l_orderkey"].to_numpy(zero_copy_only=False)
+            supp = lt["l_suppkey"].to_numpy(zero_copy_only=False)
+            late = (ship - odate > late_us).astype(np.int8)
+            # dedup (order, supplier) with late = MAX, then group by order
+            o = np.lexsort((supp, ords))
+            ords, supp, late = ords[o], supp[o], late[o]
+            newp = np.empty(len(ords), bool)
+            newp[0] = True
+            newp[1:] = (ords[1:] != ords[:-1]) | (supp[1:] != supp[:-1])
+            ps = np.flatnonzero(newp)
+            p_ord, p_supp = ords[ps], supp[ps]
+            p_late = np.maximum.reduceat(late, ps)
+            newo = np.empty(len(ps), bool)
+            newo[0] = True
+            newo[1:] = p_ord[1:] != p_ord[:-1]
+            os_ = np.flatnonzero(newo)
+            n_supp = np.diff(np.append(os_, len(p_ord)))
+            n_late = np.add.reduceat(p_late.astype(np.int64), os_)
+            # exactly one late supplier → its key == the masked group sum
+            late_sum = np.add.reduceat(p_supp * p_late, os_)
+            qual = (n_supp >= 2) & (n_late == 1)
+            sk, cnt = np.unique(late_sum[qual], return_counts=True)
+            all_s.append(sk)
+            all_n.append(cnt)
+        if not all_s:
+            return pa.table({"suppkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "suppkey": pa.array(np.concatenate(all_s), pa.int64()),
+            "n": pa.array(np.concatenate(all_n), pa.int64())})
+
+    counts = rd.range(n_buckets, override_num_blocks=n_buckets
+                      ).map_batches(bucket_waits,
+                                    batch_format="pyarrow").to_pandas()
+    counts = _ensure_cols(counts, {"suppkey": "int64", "n": "int64"})
+    agg = counts.groupby("suppkey", as_index=False)["n"].sum()
+
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = read_arrow(sf_dir, "supplier",
+                      ["s_suppkey", "s_name", "s_nationkey"])
+    nat_keys = pc.filter(nation["n_nationkey"],
+                         pc.equal(nation["n_name"], nation_name))
+    sdf = supp.filter(pc.is_in(
+        supp["s_nationkey"],
+        value_set=nat_keys.combine_chunks())).to_pandas()
+    out = agg.merge(sdf.rename(columns={"s_suppkey": "suppkey"}),
+                    on="suppkey")
+    if out.empty:
+        return pd.DataFrame({"s_name": pd.Series([], dtype="str"),
+                             "numwait": pd.Series([], dtype="int64")})
+    out["numwait"] = out["n"].astype("int64")
+    out = out.sort_values(["numwait", "s_name"],
+                          ascending=[False, True], kind="mergesort").head(100)
+    return finish(out[["s_name", "numwait"]])

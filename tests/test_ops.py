@@ -62,6 +62,7 @@ SQL_QUERIES = [
     "q20_dominant_suppliers", "q21_waiting_suppliers",
     "ivf_index_violations", "training_dataset_violations",
     "q18_large_volume_allshuffle", "q10_returned_items_allshuffle",
+    "q21_waiting_suppliers_allshuffle",
 ]
 
 
