@@ -132,7 +132,8 @@ def bucket_table(src: str, key: str, n_buckets: int = 32,
     return out_dir
 
 
-def bucket_dataset(ds, key: str, n_buckets: int = 32) -> str:
+def bucket_dataset(ds, key: str, n_buckets: int = 32,
+                   schema: pa.Schema | None = None) -> str:
     """Bucket a DERIVED Dataset (a pipeline intermediate) to storage so
     it can bucket-align with a persisted ``bucket_table``.
 
@@ -145,7 +146,16 @@ def bucket_dataset(ds, key: str, n_buckets: int = 32) -> str:
     cheaper than a full sort-cogroup of the wide side.
 
     Not cached (the input is query-derived): returns a process-unique
-    dir under /tmp that the caller removes when done."""
+    dir under /tmp that the caller removes when done.
+
+    ``schema`` (the dataset's row schema, WITHOUT the bucket column) is
+    used when the derived input turns out all-empty: ``write_parquet``
+    of an empty dataset creates no directory at all, which would make a
+    downstream ``bucketed_join`` raise FileNotFoundError instead of
+    returning an empty result — so an explicit empty ``bucket=0``
+    partition is published instead. Callers that know their projection
+    should pass it (falling back to ``ds.schema()`` re-executes the
+    empty pipeline)."""
     import uuid
 
     out_dir = f"{_BUCKET_ROOT}/derived_{os.getpid()}_{uuid.uuid4().hex[:12]}"
@@ -157,6 +167,15 @@ def bucket_dataset(ds, key: str, n_buckets: int = 32) -> str:
 
     (ds.map_batches(add_bucket, batch_format="pyarrow")
        .write_parquet(out_dir, partition_cols=["bucket"]))
+    if not os.path.isdir(out_dir):
+        import pyarrow.parquet as pq
+
+        if schema is None:
+            s = ds.schema()
+            schema = getattr(s, "base_schema", s)
+        os.makedirs(os.path.join(out_dir, "bucket=0"))
+        pq.write_table(schema.empty_table(),
+                       os.path.join(out_dir, "bucket=0", "empty.parquet"))
     return out_dir
 
 
@@ -185,7 +204,7 @@ def _schema_of(bdir: str) -> pa.Schema:
 def bucketed_join(left_dir: str, right_dir: str, key: str,
                   left_cols: list[str], right_cols: list[str],
                   how: str = "inner", n_buckets: int = 32,
-                  right_key: str | None = None):
+                  right_key: str | None = None, finalize=None):
     """Bucket-local equi-join of two tables previously persisted with
     ``bucket_table`` using the SAME key domain and ``n_buckets``
     (bucket ids depend only on key VALUES, so differently-named key
@@ -198,6 +217,16 @@ def bucketed_join(left_dir: str, right_dir: str, key: str,
     vectorized (``pc.index_in`` first-match for inner/left — right side
     unique per key — ``pc.is_in`` for semi/anti).  No shuffle, no sort:
     the exchange happened once at bucketing time.
+
+    ``finalize`` (pa.Table -> pa.Table), when given, is applied to each
+    bucket's COMPLETE joined table INSIDE the bucket task. This is the
+    only place per-bucket (hence per-key) completeness is guaranteed:
+    the join's OUTPUT blocks may be re-split by Ray's dynamic block
+    splitting when they exceed the target block size, so a downstream
+    ``map_batches`` that assumes "one batch == one whole bucket" (e.g.
+    a per-key rollup followed by a partial top-k) is wrong at scale —
+    pass that rollup here instead. ``finalize`` must return the same
+    schema for every bucket (including the empty one).
     """
     import ray.data as rd
 
@@ -216,39 +245,46 @@ def bucketed_join(left_dir: str, right_dir: str, key: str,
     lread = [key] + left_cols
     rread = [rkey] + (right_cols if how in ("inner", "left") else [])
 
+    def one_bucket(k: int) -> pa.Table | None:
+        lt = _read_bucket(left_dir, int(k), drop_key="bucket",
+                          columns=lread)
+        if lt is None or len(lt) == 0:
+            return None
+        rt = _read_bucket(right_dir, int(k), drop_key="bucket",
+                          columns=rread)
+        rkeys = rt[rkey] if rt is not None else pa.array([], out_fields[0].type)
+        if how in ("semi", "anti"):
+            m = pc.is_in(lt[key], value_set=rkeys)
+            if how == "anti":
+                m = pc.invert(m)
+            sel = lt.filter(m)
+            return pa.table(
+                {key: sel[key], **{c: sel[c] for c in left_cols}})
+        idx = pc.index_in(lt[key], value_set=rkeys)
+        if how == "inner":
+            keep = pc.is_valid(idx)
+            lt, idx = lt.filter(keep), idx.filter(keep)
+        cols = {key: lt[key], **{c: lt[c] for c in left_cols}}
+        if rt is None:
+            for c in right_cols:
+                cols[c] = pa.nulls(len(lt), rschema.field(c).type)
+        else:
+            for c in right_cols:
+                cols[c] = rt[c].take(idx)
+        return pa.table(cols)
+
     def join_bucket(t: pa.Table) -> pa.Table:
         outs = []
         for k in np.asarray(t["id"]):
-            lt = _read_bucket(left_dir, int(k), drop_key="bucket",
-                              columns=lread)
-            if lt is None or len(lt) == 0:
+            bt = one_bucket(int(k))
+            if bt is None:
                 continue
-            rt = _read_bucket(right_dir, int(k), drop_key="bucket",
-                              columns=rread)
-            rkeys = rt[rkey] if rt is not None else pa.array([], out_fields[0].type)
-            if how in ("semi", "anti"):
-                m = pc.is_in(lt[key], value_set=rkeys)
-                if how == "anti":
-                    m = pc.invert(m)
-                sel = lt.filter(m)
-                outs.append(pa.table(
-                    {key: sel[key], **{c: sel[c] for c in left_cols}}))
-                continue
-            idx = pc.index_in(lt[key], value_set=rkeys)
-            if how == "inner":
-                keep = pc.is_valid(idx)
-                lt, idx = lt.filter(keep), idx.filter(keep)
-            cols = {key: lt[key], **{c: lt[c] for c in left_cols}}
-            if rt is None:
-                for c in right_cols:
-                    cols[c] = pa.nulls(len(lt), rschema.field(c).type)
-            else:
-                for c in right_cols:
-                    cols[c] = rt[c].take(idx)
-            outs.append(pa.table(cols))
+            bt = bt.cast(out_schema)
+            outs.append(finalize(bt) if finalize is not None else bt)
         if not outs:
-            return out_schema.empty_table()
-        return pa.concat_tables(outs).cast(out_schema)
+            empty = out_schema.empty_table()
+            return finalize(empty) if finalize is not None else empty
+        return pa.concat_tables(outs)
 
     return (rd.range(n_buckets, override_num_blocks=n_buckets)
               .map_batches(join_bucket, batch_format="pyarrow"))

@@ -451,14 +451,17 @@ def training_dataset_violations(sf_dir: str) -> pd.DataFrame:
                           "kind": pd.Series([], dtype="str")})
     tier = tier_of(sf_dir)
     out_root = f"/tmp/doonop_out/training_{tier}_{os.getpid()}"
+    # reuse shards if a prior build (stats consumer / earlier check) left
+    # them in this process's out_root; the manifest only exists when WE
+    # built, so the count invariant is checked on fresh builds and the
+    # duplicate-id invariant always (same reuse contract as
+    # training_dataset_stats)
     manifest = None
     if not os.path.isdir(out_root) or not any(
             f.startswith("shard-") for f in os.listdir(out_root)):
         manifest = build_training_dataset(sf_dir, out_root=out_root)
     if not any(f.startswith("shard-") for f in os.listdir(out_root)):
         return empty
-    if manifest is None:
-        manifest = build_training_dataset(sf_dir, out_root=out_root)
 
     ids = ray_read(out_root, columns=["image_id"])
     counts = grouped_aggregate(ids, "image_id", [("image_id", "count")])
@@ -469,8 +472,7 @@ def training_dataset_violations(sf_dir: str) -> pd.DataFrame:
             t.filter(pa.compute.greater(t["image_id_count"], 1))),
         batch_format="pyarrow").to_pandas()
     out = dups if len(dups.columns) else empty.copy()
-    n_rows = ids.count()
-    if n_rows != int(manifest["rows"].sum()):
+    if manifest is not None and ids.count() != int(manifest["rows"].sum()):
         out = pd.concat([out, pd.DataFrame(
             {"image_id": ["<manifest>"], "kind": ["count"]})],
             ignore_index=True)

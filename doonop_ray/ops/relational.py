@@ -304,7 +304,9 @@ def q5_revenue_by_nation(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     jdir = bucket_dataset(
         j1.map_batches(cust_partial, batch_format="pyarrow",
                        batch_size=None),
-        "key", n_buckets)
+        "key", n_buckets,
+        schema=pa.schema([("key", pa.int64()), ("sn", pa.int32()),
+                          ("rev", pa.float64())]))
     try:
         j2 = bucketed_join(
             jdir, cdir, key="key", right_key="c_custkey",
@@ -772,30 +774,34 @@ def q3_shipping_priority(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
 
     qdir = bucket_dataset(
         j1.map_batches(qualify, batch_format="pyarrow"),
-        "l_orderkey", n_buckets)
+        "l_orderkey", n_buckets,
+        schema=pa.schema([("l_orderkey", pa.int64())]))
+
+    def bucket_top10(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"key": t["l_orderkey"], "rev": rev}).group_by(
+            "key", use_threads=False).aggregate([("rev", "sum")])
+        # round BEFORE the partial top-k (same tie rule as the final
+        # driver sort — see q3_shipping_priority_allshuffle)
+        g = g.set_column(
+            g.schema.get_field_index("rev_sum"), "rev_sum",
+            pa.array(r4(g["rev_sum"].to_numpy(zero_copy_only=False))))
+        idx = pc.sort_indices(g, sort_keys=[("rev_sum", "descending"),
+                                            ("key", "ascending")])
+        return g.take(idx.slice(0, min(10, len(g))))
+
     try:
+        # per-order rollup + partial top-10 run as the join's finalize:
+        # per-bucket completeness only holds INSIDE the bucket task
+        # (output blocks may re-split at the target block size)
         j2 = bucketed_join(
             _li_buckets(sf_dir, n_buckets), qdir, key="l_orderkey",
             left_cols=["l_extendedprice", "l_discount", "l_shipdate"],
-            right_cols=[], how="semi", n_buckets=n_buckets)
-
-        def block_top10(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.greater(t["l_shipdate"], cutoff))
-            rev = pc.multiply(t["l_extendedprice"],
-                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
-            g = pa.table({"key": t["l_orderkey"], "rev": rev}).group_by(
-                "key", use_threads=False).aggregate([("rev", "sum")])
-            # round BEFORE the partial top-k (same tie rule as the final
-            # driver sort — see q3_shipping_priority_allshuffle)
-            g = g.set_column(
-                g.schema.get_field_index("rev_sum"), "rev_sum",
-                pa.array(r4(g["rev_sum"].to_numpy(zero_copy_only=False))))
-            idx = pc.sort_indices(g, sort_keys=[("rev_sum", "descending"),
-                                                ("key", "ascending")])
-            return g.take(idx.slice(0, min(10, len(g))))
-
-        out = j2.map_batches(
-            block_top10, batch_format="pyarrow", batch_size=None).to_pandas()
+            right_cols=[], how="semi", n_buckets=n_buckets,
+            finalize=bucket_top10)
+        out = j2.to_pandas()
     finally:
         shutil.rmtree(qdir, ignore_errors=True)
     out = _ensure_cols(out, {"key": "int64", "rev_sum": "float64"})
@@ -849,7 +855,9 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
     jdir = bucket_dataset(
         j1.map_batches(cust_partial, batch_format="pyarrow",
                        batch_size=None),
-        "key", n_buckets)
+        "key", n_buckets,
+        schema=pa.schema([("key", pa.int64()), ("sn", pa.int32()),
+                          ("l_year", pa.int64()), ("vol", pa.float64())]))
     try:
         j2 = bucketed_join(
             jdir, _cust_buckets(sf_dir, n_buckets), key="key",
@@ -1930,7 +1938,15 @@ def q11_important_parts(sf_dir: str, nation_name: str = "NATION_3",
     ``fraction`` of that nation's total. One lineitem scan with a
     broadcast supplier-key filter, per-batch partial sums into the
     bounded part key space; the global threshold is the sum of the
-    per-part sums (a distributed scalar — no second scan)."""
+    per-part sums (a distributed scalar — no second scan).
+
+    Float caveat (same accepted risk as q22's scalar subquery): the
+    strict ``value > fraction·total`` compare uses Ray-order sums while
+    the oracle uses DuckDB-order sums; a part within ~1 ulp of the
+    threshold could flip membership. Raw compare is kept deliberately —
+    rounding both sides to a 1e-4 grid would WIDEN the flip window
+    (boundary-straddling probability ~1e-2 per part at grid edges vs
+    ~1e-8 for the raw ulp window)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -2036,6 +2052,20 @@ def q16_supplier_counts(sf_dir: str) -> pd.DataFrame:
     return finish(out[["p_brand", "p_type", "p_size", "supplier_cnt"]])
 
 
+def _nation_suppliers(sf_dir: str, nation_name: str) -> pd.DataFrame:
+    """Suppliers of one nation with names — the bounded-dimension lookup
+    tail shared by the Q20/Q21 family (supplier/nation are bounded, so
+    this small frame resolves driver-side)."""
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = read_arrow(sf_dir, "supplier",
+                      ["s_suppkey", "s_name", "s_nationkey"])
+    nat_keys = pc.filter(nation["n_nationkey"],
+                         pc.equal(nation["n_name"], nation_name))
+    return supp.filter(pc.is_in(
+        supp["s_nationkey"],
+        value_set=nat_keys.combine_chunks())).to_pandas()
+
+
 def q20_dominant_suppliers(sf_dir: str, prefix: str = "red",
                            nation_name: str = "NATION_1") -> pd.DataFrame:
     """TPC-H Q20 shape (adapted: no partsupp availqty — a supplier
@@ -2076,14 +2106,7 @@ def q20_dominant_suppliers(sf_dir: str, prefix: str = "red",
     total = pairs.groupby("p")["q"].transform("sum")
     dom = pairs[pairs["q"] > 0.5 * total]
 
-    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
-    supp = read_arrow(sf_dir, "supplier",
-                      ["s_suppkey", "s_name", "s_nationkey"])
-    nat_keys = pc.filter(nation["n_nationkey"],
-                         pc.equal(nation["n_name"], nation_name))
-    sdf = supp.filter(pc.is_in(
-        supp["s_nationkey"],
-        value_set=nat_keys.combine_chunks())).to_pandas()
+    sdf = _nation_suppliers(sf_dir, nation_name)
     out = dom.merge(sdf.rename(columns={"s_suppkey": "k"}), on="k")
     out = out[["s_name"]].drop_duplicates()
     return finish(out, ["s_name"])
@@ -2161,14 +2184,7 @@ def q21_waiting_suppliers_allshuffle(
     counts = _ensure_cols(counts, {"suppkey": "int64", "n": "int64"})
     agg = counts.groupby("suppkey", as_index=False)["n"].sum()
 
-    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
-    supp = read_arrow(sf_dir, "supplier",
-                      ["s_suppkey", "s_name", "s_nationkey"])
-    nat_keys = pc.filter(nation["n_nationkey"],
-                         pc.equal(nation["n_name"], nation_name))
-    sdf = supp.filter(pc.is_in(
-        supp["s_nationkey"],
-        value_set=nat_keys.combine_chunks())).to_pandas()
+    sdf = _nation_suppliers(sf_dir, nation_name)
     out = agg.merge(sdf.rename(columns={"s_suppkey": "suppkey"}),
                     on="suppkey")
     if out.empty:
@@ -2237,23 +2253,28 @@ def q18_large_volume(sf_dir: str, min_qty: float = 300.0,
 
     big = rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
         big_orders, batch_format="pyarrow")
-    qdir = bucket_dataset(big, "key", n_buckets)
+    qdir = bucket_dataset(
+        big, "key", n_buckets,
+        schema=pa.schema([("key", pa.int64()), ("o_orderkey", pa.int64()),
+                          ("o_orderdate", pa.timestamp("us")),
+                          ("o_totalprice", pa.float64()),
+                          ("sum_qty", pa.float64())]))
+
+    def bucket_top100(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("o_totalprice", "descending"),
+                          ("o_orderkey", "ascending")])
+        return t.take(idx.slice(0, min(100, len(t))))
+
     try:
         j = bucketed_join(
             qdir, _cust_buckets(sf_dir, n_buckets), key="key",
             right_key="c_custkey",
             left_cols=["o_orderkey", "o_orderdate", "o_totalprice",
                        "sum_qty"],
-            right_cols=["c_name"], n_buckets=n_buckets)
-
-        def block_top100(t: pa.Table) -> pa.Table:
-            idx = pc.sort_indices(
-                t, sort_keys=[("o_totalprice", "descending"),
-                              ("o_orderkey", "ascending")])
-            return t.take(idx.slice(0, min(100, len(t))))
-
-        out = j.map_batches(block_top100, batch_format="pyarrow",
-                            batch_size=None).to_pandas()
+            right_cols=["c_name"], n_buckets=n_buckets,
+            finalize=bucket_top100)
+        out = j.to_pandas()
     finally:
         shutil.rmtree(qdir, ignore_errors=True)
     out = _ensure_cols(out, {"key": "int64", "o_orderkey": "int64",
@@ -2331,30 +2352,34 @@ def q10_returned_items(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     partials = rd.range(n_buckets, override_num_blocks=n_buckets
                         ).map_batches(cust_rev_partial,
                                       batch_format="pyarrow")
-    qdir = bucket_dataset(partials, "key", n_buckets)
+    qdir = bucket_dataset(
+        partials, "key", n_buckets,
+        schema=pa.schema([("key", pa.int64()), ("rev", pa.float64())]))
+
+    def bucket_top20(t: pa.Table) -> pa.Table:
+        # runs as the join's finalize: per-customer completeness only
+        # holds inside the bucket task (output blocks may re-split)
+        g = t.group_by(["key", "c_name", "c_nationkey"],
+                       use_threads=False).aggregate([("rev", "sum")])
+        n_key, n_name = bcast_get(dims_ref)
+        name = pc.take(n_name,
+                       pc.index_in(g["c_nationkey"], value_set=n_key))
+        g = pa.table({
+            "c_custkey": g["key"], "c_name": g["c_name"],
+            "revenue": pa.array(
+                r4(g["rev_sum"].to_numpy(zero_copy_only=False))),
+            "n_name": name})
+        idx = pc.sort_indices(g, sort_keys=[("revenue", "descending"),
+                                            ("c_custkey", "ascending")])
+        return g.take(idx.slice(0, min(20, len(g))))
+
     try:
         j = bucketed_join(
             qdir, _cust_buckets(sf_dir, n_buckets), key="key",
             right_key="c_custkey", left_cols=["rev"],
-            right_cols=["c_name", "c_nationkey"], n_buckets=n_buckets)
-
-        def block_top20(t: pa.Table) -> pa.Table:
-            g = t.group_by(["key", "c_name", "c_nationkey"],
-                           use_threads=False).aggregate([("rev", "sum")])
-            n_key, n_name = bcast_get(dims_ref)
-            name = pc.take(n_name,
-                           pc.index_in(g["c_nationkey"], value_set=n_key))
-            g = pa.table({
-                "c_custkey": g["key"], "c_name": g["c_name"],
-                "revenue": pa.array(
-                    r4(g["rev_sum"].to_numpy(zero_copy_only=False))),
-                "n_name": name})
-            idx = pc.sort_indices(g, sort_keys=[("revenue", "descending"),
-                                                ("c_custkey", "ascending")])
-            return g.take(idx.slice(0, min(20, len(g))))
-
-        out = j.map_batches(block_top20, batch_format="pyarrow",
-                            batch_size=None).to_pandas()
+            right_cols=["c_name", "c_nationkey"], n_buckets=n_buckets,
+            finalize=bucket_top20)
+        out = j.to_pandas()
     finally:
         shutil.rmtree(qdir, ignore_errors=True)
     out = _ensure_cols(out, {"c_custkey": "int64", "c_name": "str",
@@ -2442,14 +2467,7 @@ def q21_waiting_suppliers(sf_dir: str, nation_name: str = "NATION_3",
     counts = _ensure_cols(counts, {"suppkey": "int64", "n": "int64"})
     agg = counts.groupby("suppkey", as_index=False)["n"].sum()
 
-    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
-    supp = read_arrow(sf_dir, "supplier",
-                      ["s_suppkey", "s_name", "s_nationkey"])
-    nat_keys = pc.filter(nation["n_nationkey"],
-                         pc.equal(nation["n_name"], nation_name))
-    sdf = supp.filter(pc.is_in(
-        supp["s_nationkey"],
-        value_set=nat_keys.combine_chunks())).to_pandas()
+    sdf = _nation_suppliers(sf_dir, nation_name)
     out = agg.merge(sdf.rename(columns={"s_suppkey": "suppkey"}),
                     on="suppkey")
     if out.empty:

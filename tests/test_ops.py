@@ -571,3 +571,16 @@ def test_pagerank_paths_agree(entrymod, ray_session):
     fast = pagerank_customer_supplier(SF)
     slow = pagerank_customer_supplier(SF, fast_threshold=0)
     assert fast.equals(slow)
+
+
+def test_bucket_routed_empty_result_returns_typed_empty(ray_session):
+    """An all-empty derived exchange (no order exceeds min_qty) must
+    yield a typed empty frame, not FileNotFoundError: write_parquet of
+    an empty dataset creates no directory, so bucket_dataset publishes
+    an explicit empty bucket (code-review round-3 finding)."""
+    from doonop_ray.ops.relational import q18_large_volume
+
+    df = q18_large_volume(SF, min_qty=1e12)
+    assert len(df) == 0
+    assert list(df.columns) == ["c_name", "c_custkey", "o_orderkey",
+                                "o_orderdate", "o_totalprice", "sum_qty"]
