@@ -115,7 +115,8 @@ def connected_components(nodes_ds, edges_ds, max_iters: int = 50):
 
 
 def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85,
-             fast_threshold: int = 200_000):
+             fast_threshold: int = 200_000, method: str = "auto",
+             n_buckets: int = 32):
     """Distributed PageRank over a SYMMETRIZED (src:int64, dst:int64)
     edge Dataset — the canonical iterative-algorithm shape on Ray Data.
 
@@ -132,10 +133,16 @@ def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85,
     set fits comfortably in memory (n <= ``fast_threshold``), the rank
     vector is broadcast per iteration and each round is ONE streaming
     map over the static edge table with per-batch bincount partials —
-    zero sorts per iteration instead of two. Above the threshold, the
-    all-shuffle cogroup path runs (nothing node-sized ever leaves the
-    cluster). Both paths compute the same fixed point (float sum order
-    differs at the last ulp — callers round).
+    zero sorts per iteration instead of two. Above the threshold the
+    BUCKETED path runs (``method="auto"``): edges are hash-bucketed to
+    storage ONCE by src; each iteration exchanges only node-sized
+    (node, value) rows through two ``bucket_dataset`` writes — the
+    edge table never moves again and no iteration pays a sort. The
+    original union-cogroup path (two sorts of ranks+edges per
+    iteration) remains as ``method="cogroup"`` — the no-precomputation
+    twin, hash-matched against the same oracle. All paths compute the
+    same fixed point (float sum order differs at the last ulp —
+    callers round).
 
     Fixed ``n_iters`` (not convergence-tested) so an unrolled SQL
     oracle computes the identical fixed-point prefix. Returns a
@@ -170,8 +177,11 @@ def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85,
         return rd.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "rank": pa.array([], pa.float64())}))
-    if n <= fast_threshold:
+    if method == "broadcast" or (method == "auto" and n <= fast_threshold):
         return _pagerank_broadcast(edges, nodes, n, n_iters, damping)
+    if method in ("auto", "bucketed"):
+        return _pagerank_bucketed(edges, nodes, n, n_iters, damping,
+                                  n_buckets)
     init = 1.0 / n
     base = (1.0 - damping) / n
 
@@ -217,7 +227,8 @@ def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85,
 
 def pagerank_customer_supplier(sf_dir: str, n_iters: int = 5,
                                damping: float = 0.85,
-                               fast_threshold: int = 200_000):
+                               fast_threshold: int = 200_000,
+                               method: str = "auto"):
     """PageRank over the customer–supplier trading graph: one node per
     customer (2*c_custkey) and per supplier (2*s_suppkey+1), an
     undirected edge per DISTINCT (customer, supplier) trading pair
@@ -257,7 +268,7 @@ def pagerank_customer_supplier(sf_dir: str, n_iters: int = 5,
 
     edges = dedup.map_batches(sym, batch_format="pyarrow")
     out = pagerank(edges, n_iters=n_iters, damping=damping,
-                   fast_threshold=fast_threshold).to_pandas()
+                   fast_threshold=fast_threshold, method=method).to_pandas()
     if out.empty:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "rank_rel": pd.Series([], dtype="float64")})
@@ -336,3 +347,121 @@ def _pagerank_broadcast(edges, nodes, n: int, n_iters: int,
     return rd.from_arrow(pa.table({
         "node": pa.array(node_ids, pa.int64()),
         "rank": pa.array(ranks, pa.float64())}))
+
+def _pagerank_bucketed(edges, nodes, n: int, n_iters: int,
+                       damping: float, n_buckets: int):
+    """Edge-pinned scale path: the symmetrized edge table is hash-
+    bucketed to storage ONCE by src (the classic edge-partitioned
+    PageRank layout); rank rows (node, rank, outdeg) live in a
+    node-bucketed dir ALIGNED with the edge buckets (same key domain,
+    same hash). Each iteration is two streaming pipelines and zero
+    sorts:
+
+    1. contrib: per bucket task — join rank→edges via ``pc.index_in``
+       (every src's rank row is in the same bucket by construction),
+       emit per-task (dst, Σ rank/outdeg) partials, exchange them by
+       dst through one narrow ``bucket_dataset`` write (node-sized
+       rows, never edges);
+    2. reduce: per bucket task — sum the bucket's complete contribution
+       set per node, attach the static outdeg from the current rank
+       bucket, write the next rank dir (rows are already in their home
+       bucket, so this "exchange" is a local partitioned write).
+
+    Scale properties: the only edge-sized I/O after the one-time
+    bucketing is the per-iteration LOCAL bucket read; everything
+    exchanged is O(nodes). Skew caveat (as ``bucket.py``): a node with
+    a corpus-sized neighborhood lands its edges in one bucket."""
+    import shutil
+
+    import ray.data as rd
+
+    from .bucket import _read_bucket, bucket_dataset
+
+    init = 1.0 / n
+    base = (1.0 - damping) / n
+    rank_schema = pa.schema([("node", pa.int64()), ("rank", pa.float64()),
+                             ("outdeg", pa.float64())])
+    contrib_schema = pa.schema([("node", pa.int64()), ("c", pa.float64())])
+
+    edir = bucket_dataset(
+        edges.map_batches(
+            lambda t: pa.table({"src": t["key"], "dst": t["dst"]}),
+            batch_format="pyarrow"),
+        "src", n_buckets,
+        schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
+    rdir = bucket_dataset(
+        nodes.map_batches(
+            lambda t: pa.table({
+                "node": t["key"],
+                "rank": pa.array([init] * len(t), pa.float64()),
+                "outdeg": pc.cast(t["key_count"], pa.float64())}),
+            batch_format="pyarrow"),
+        "node", n_buckets, schema=rank_schema)
+    stale = [edir, rdir]
+    try:
+        for _ in range(n_iters):
+            def contrib(t: pa.Table, rdir=rdir) -> pa.Table:
+                outs = []
+                for k in np.asarray(t["id"]):
+                    et = _read_bucket(edir, int(k), drop_key="bucket",
+                                      columns=["src", "dst"])
+                    rt = _read_bucket(rdir, int(k), drop_key="bucket",
+                                      columns=["node", "rank", "outdeg"])
+                    if et is None or rt is None or len(et) == 0:
+                        continue
+                    rate = (rt["rank"].to_numpy(zero_copy_only=False)
+                            / rt["outdeg"].to_numpy(zero_copy_only=False))
+                    idx = pc.index_in(et["src"],
+                                      value_set=rt["node"].combine_chunks())
+                    c = rate[idx.to_numpy(zero_copy_only=False)]
+                    g = pa.table({"node": et["dst"],
+                                  "c": pa.array(c, pa.float64())}).group_by(
+                        "node", use_threads=False).aggregate([("c", "sum")])
+                    outs.append(pa.table({"node": g["node"],
+                                          "c": g["c_sum"]}))
+                if not outs:
+                    return contrib_schema.empty_table()
+                return pa.concat_tables(outs)
+
+            cdir = bucket_dataset(
+                rd.range(n_buckets, override_num_blocks=n_buckets
+                         ).map_batches(contrib, batch_format="pyarrow"),
+                "node", n_buckets, schema=contrib_schema)
+            stale.append(cdir)
+
+            def reduce_(t: pa.Table, cdir=cdir, rdir=rdir) -> pa.Table:
+                outs = []
+                for k in np.asarray(t["id"]):
+                    ct = _read_bucket(cdir, int(k), drop_key="bucket",
+                                      columns=["node", "c"])
+                    rt = _read_bucket(rdir, int(k), drop_key="bucket",
+                                      columns=["node", "outdeg"])
+                    if ct is None or rt is None or len(ct) == 0:
+                        continue
+                    g = ct.group_by("node", use_threads=False).aggregate(
+                        [("c", "sum")])
+                    idx = pc.index_in(g["node"],
+                                      value_set=rt["node"].combine_chunks())
+                    rank = pc.add(pa.scalar(base),
+                                  pc.multiply(pa.scalar(damping),
+                                              g["c_sum"]))
+                    outs.append(pa.table({
+                        "node": g["node"], "rank": rank,
+                        "outdeg": rt["outdeg"].take(idx)}))
+                if not outs:
+                    return rank_schema.empty_table()
+                return pa.concat_tables(outs)
+
+            rdir = bucket_dataset(
+                rd.range(n_buckets, override_num_blocks=n_buckets
+                         ).map_batches(reduce_, batch_format="pyarrow"),
+                "node", n_buckets, schema=rank_schema)
+            stale.append(rdir)
+
+        out = rd.read_parquet(
+            rdir, columns=["node", "rank"],
+            file_extensions=["parquet"]).materialize()
+    finally:
+        for d in stale:
+            shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -564,13 +564,17 @@ def test_ann_pq_recall_vs_exact(entrymod, ray_session):
 
 
 def test_pagerank_paths_agree(entrymod, ray_session):
-    """The broadcast fast path and the all-shuffle cogroup path must
-    compute the same fixed point (to rounding)."""
+    """All three paths — broadcast fast path, edge-pinned bucketed
+    scale path (auto above the threshold), and the no-precomputation
+    cogroup twin — must compute the same fixed point (to rounding)."""
     from doonop_ray.ops.graph import pagerank_customer_supplier
 
     fast = pagerank_customer_supplier(SF)
-    slow = pagerank_customer_supplier(SF, fast_threshold=0)
-    assert fast.equals(slow)
+    bucketed = pagerank_customer_supplier(SF, fast_threshold=0)
+    cogroup = pagerank_customer_supplier(SF, fast_threshold=0,
+                                         method="cogroup")
+    assert fast.equals(bucketed)
+    assert fast.equals(cogroup)
 
 
 def test_bucket_routed_empty_result_returns_typed_empty(ray_session):
