@@ -134,3 +134,53 @@ def test_order_revenue_by_segment_bucketed_matches_duckdb(ray_session):
     assert list(got["segment"]) == list(exp["segment"])
     assert (got["total_revenue"].to_numpy() == exp["total_revenue"].to_numpy()).all()
     assert (got["n_orders"].to_numpy() == exp["n_orders"].to_numpy()).all()
+
+
+def test_bucketed_join_finalize_matches_posthoc(ray_session, tmp_path):
+    """finalize applied inside the bucket task must equal applying the
+    same per-key rollup to the plain join output grouped per bucket —
+    and the empty join yields finalize(empty) with a stable schema."""
+    tmp_path = str(tmp_path)
+    lkeys, lv, rkeys, rv = _sides(7, 400, 50, 70)
+    lp = _write(tmp_path, "l", pa.table({"key": lkeys, "lv": lv}))
+    rp = _write(tmp_path, "r", pa.table({"key": rkeys, "rv": rv}))
+    ld, rd_ = bucket_table(lp, "key", 8), bucket_table(rp, "key", 8)
+
+    def per_key_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by("key", use_threads=False).aggregate([("lv", "sum")])
+        return pa.table({"key": g["key"], "s": g["lv_sum"]})
+
+    got = bucketed_join(ld, rd_, "key", ["lv"], ["rv"], "inner", 8,
+                        finalize=per_key_sum).to_pandas()
+    plain = bucketed_join(ld, rd_, "key", ["lv"], ["rv"], "inner",
+                          8).to_pandas()
+    exp = plain.groupby("key", as_index=False)["lv"].sum().rename(
+        columns={"lv": "s"})
+    got = got.sort_values("key").reset_index(drop=True)
+    exp = exp.sort_values("key").reset_index(drop=True)
+    assert (got["key"].to_numpy() == exp["key"].to_numpy()).all()
+    assert (got["s"].to_numpy() == exp["s"].to_numpy()).all()
+
+
+def test_bucket_dataset_empty_input_publishes_schema(ray_session, tmp_path):
+    """write_parquet of an all-empty derived dataset creates no dir;
+    bucket_dataset must still publish a joinable (schema-carrying)
+    bucket layout (code-review round-3 finding)."""
+    import shutil
+
+    import ray.data as rdata
+
+    from doonop_ray.ops.bucket import _schema_of, bucket_dataset
+
+    ds = rdata.from_arrow(pa.table({"key": pa.array([1], pa.int64()),
+                                    "v": pa.array([2.0], pa.float64())}))
+    empty = ds.filter(lambda row: False)
+    d = bucket_dataset(empty, "key", 4,
+                       schema=pa.schema([("key", pa.int64()),
+                                         ("v", pa.float64())]))
+    try:
+        sch = _schema_of(d)
+        assert sch.field("key").type == pa.int64()
+        assert sch.field("v").type == pa.float64()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
