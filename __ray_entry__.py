@@ -93,6 +93,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "q21_waiting_suppliers_allshuffle":
             relational.q21_waiting_suppliers_allshuffle,
+        "q4_order_priority_allshuffle":
+            relational.q4_order_priority_allshuffle,
+        "q12_priority_by_linestatus_allshuffle":
+            relational.q12_priority_by_linestatus_allshuffle,
+        "q13_customer_distribution_allshuffle":
+            relational.q13_customer_distribution_allshuffle,
+        "customer_order_counts_allshuffle":
+            relational.customer_order_counts_allshuffle,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1287,6 +1295,8 @@ def oracle_sql() -> dict[str, str]:
     # bucket-routed canonicals — one oracle each, shared verbatim
     for q in ("q3_shipping_priority", "q5_revenue_by_nation",
               "q7_volume_shipping", "q18_large_volume",
-              "q10_returned_items", "q21_waiting_suppliers"):
+              "q10_returned_items", "q21_waiting_suppliers",
+              "q4_order_priority", "q12_priority_by_linestatus",
+              "q13_customer_distribution", "customer_order_counts"):
         sql[f"{q}_allshuffle"] = sql[q]
     return sql

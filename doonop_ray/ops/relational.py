@@ -146,9 +146,10 @@ def q3_shipping_priority_allshuffle(sf_dir: str) -> pd.DataFrame:
 # columns that query joins (bucketed_join passes columns= to the read).
 _LI_BUCKET_COLS = ["l_orderkey", "l_partkey", "l_suppkey",
                    "l_extendedprice", "l_discount", "l_shipdate",
-                   "l_quantity", "l_returnflag"]
+                   "l_quantity", "l_returnflag", "l_linestatus"]
 _ORD_BUCKET_COLS = ["o_orderkey", "o_custkey", "o_orderdate",
-                    "o_totalprice", "o_orderstatus"]
+                    "o_totalprice", "o_orderstatus",
+                    "o_orderpriority"]
 
 
 def _li_buckets(sf_dir: str, n_buckets: int = 32) -> str:
@@ -962,8 +963,8 @@ def revenue_by_order_priority(sf_dir: str) -> pd.DataFrame:
     return finish(out, ["o_orderpriority"])
 
 
-def customer_order_counts(sf_dir: str) -> pd.DataFrame:
-    """LEFT join shape at fact×fact scale: every customer with their
+def customer_order_counts_allshuffle(sf_dir: str) -> pd.DataFrame:
+    """LEFT join shape, all-shuffle twin at fact×fact scale: every customer with their
     order count, INCLUDING zero-order customers. Orders pre-reduce to
     one (custkey, n) row per key via ``grouped_aggregate``; customers
     LEFT-``shuffle_join`` against it and nulls become zero — no
@@ -1021,8 +1022,8 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"revenue": r4([agg["revenue"] or 0.0])})
 
 
-def q4_order_priority(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q4 shape: correlated EXISTS between two FACT tables —
+def q4_order_priority_allshuffle(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape, all-shuffle twin: correlated EXISTS between two FACT tables —
     orders in a date window counted per priority when at least one of
     their lineitems shipped after the order date. Lineitem pre-reduces
     to a per-orderkey max-shipdate PARTIAL inside each batch (the only
@@ -1255,8 +1256,8 @@ def customer_acct_outer(sf_dir: str) -> pd.DataFrame:
     return finish(out, ["c_custkey"])
 
 
-def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q13 shape: distribution of customers by order count,
+def q13_customer_distribution_allshuffle(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape, all-shuffle twin: distribution of customers by order count,
     INCLUDING zero-order customers (the LEFT-join semantics). One
     all-to-all instead of a groupby + a join: customers enter the
     exchange as (custkey, 0) markers and orders as per-batch partial
@@ -1571,8 +1572,8 @@ def q8_market_share(sf_dir: str, target_nation: str = "NATION_3",
     return finish(out[["o_year", "mkt_share"]], ["o_year"])
 
 
-def q12_priority_by_linestatus(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q12 shape (l_linestatus stands in for shipmode — the only
+def q12_priority_by_linestatus_allshuffle(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape, all-shuffle twin (l_linestatus stands in for shipmode — the only
     line-level categorical in this schema): per linestatus, how many
     shipped lines belong to high- vs low-priority orders. Lineitem is
     pre-reduced to (orderkey, linestatus, n) counts per batch BEFORE
@@ -2477,3 +2478,201 @@ def q21_waiting_suppliers(sf_dir: str, nation_name: str = "NATION_3",
     out = out.sort_values(["numwait", "s_name"],
                           ascending=[False, True], kind="mergesort").head(100)
     return finish(out[["s_name", "numwait"]])
+
+def q4_order_priority(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Q4, bucket-routed (canonical): the correlated EXISTS between two
+    fact tables is orderkey-local — both sides persisted on orderkey —
+    so each bucket task filters its orders window, reduces its
+    lineitems to per-order max shipdate and applies the predicate with
+    ZERO exchanges; only bounded (priority, n) count partials reach the
+    driver. Counts are exact (no float risk)."""
+    import ray.data as rd
+
+    from .bucket import _read_bucket
+
+    li_dir = _li_buckets(sf_dir, n_buckets)
+    ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
+    lo = pa.scalar(datetime(1998, 1, 1))
+    hi = pa.scalar(datetime(1999, 1, 1))
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        outs = []
+        for k in np.asarray(t["id"]):
+            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
+                              columns=["o_orderkey", "o_orderdate",
+                                       "o_orderpriority"])
+            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
+                              columns=["l_orderkey", "l_shipdate"])
+            if ot is None or lt is None:
+                continue
+            ot = ot.filter(pc.and_(pc.greater_equal(ot["o_orderdate"], lo),
+                                   pc.less(ot["o_orderdate"], hi)))
+            if len(ot) == 0:
+                continue
+            g = lt.group_by("l_orderkey", use_threads=False).aggregate(
+                [("l_shipdate", "max")])
+            idx = pc.index_in(ot["o_orderkey"],
+                              value_set=g["l_orderkey"].combine_chunks())
+            ship = g["l_shipdate_max"].take(idx)
+            keep = pc.and_(pc.is_valid(ship),
+                           pc.greater(ship, ot["o_orderdate"]))
+            c = ot.filter(keep).group_by(
+                "o_orderpriority", use_threads=False).aggregate(
+                [("o_orderpriority", "count")])
+            outs.append(pa.table({
+                "o_orderpriority": c["o_orderpriority"],
+                "n": pc.cast(c["o_orderpriority_count"], pa.int64())}))
+        if not outs:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    out = rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
+        bucket_counts, batch_format="pyarrow").to_pandas()
+    out = _ensure_cols(out, {"o_orderpriority": "str", "n": "int64"})
+    agg = out.groupby("o_orderpriority", as_index=False)["n"].sum()
+    agg = agg.rename(columns={"n": "order_count"})
+    agg["order_count"] = agg["order_count"].astype("int64")
+    return finish(agg, ["o_orderpriority"])
+
+
+def q12_priority_by_linestatus(sf_dir: str,
+                               n_buckets: int = 32) -> pd.DataFrame:
+    """Q12, bucket-routed (canonical): shipped-line counts classified by
+    order priority — the lineitem⋈orders join is orderkey-local in the
+    persisted buckets, so each task counts its window's lines per
+    (orderkey, linestatus), looks priorities up via ``pc.index_in``
+    and rolls up hi/lo per linestatus with ZERO exchanges; the driver
+    merges bounded partials. Exact counts."""
+    import ray.data as rd
+
+    from .bucket import _read_bucket
+
+    li_dir = _li_buckets(sf_dir, n_buckets)
+    ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
+    lo = pa.scalar(datetime(1999, 1, 1))
+    hi = pa.scalar(datetime(2000, 1, 1))
+    hi_set = pa.array(["1-URGENT", "2-HIGH"])
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        outs = []
+        for k in np.asarray(t["id"]):
+            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
+                              columns=["l_orderkey", "l_linestatus",
+                                       "l_shipdate"])
+            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
+                              columns=["o_orderkey", "o_orderpriority"])
+            if lt is None or ot is None:
+                continue
+            lt = lt.filter(pc.and_(pc.greater_equal(lt["l_shipdate"], lo),
+                                   pc.less(lt["l_shipdate"], hi)))
+            if len(lt) == 0:
+                continue
+            g = pa.table({"key": lt["l_orderkey"],
+                          "l_linestatus": lt["l_linestatus"]}).group_by(
+                ["key", "l_linestatus"], use_threads=False).aggregate(
+                [("key", "count")])
+            idx = pc.index_in(g["key"],
+                              value_set=ot["o_orderkey"].combine_chunks())
+            prio = ot["o_orderpriority"].take(idx)
+            n = pc.cast(g["key_count"], pa.int64())
+            is_hi = pc.is_in(prio, value_set=hi_set)
+            zero = pa.scalar(0, pa.int64())
+            c = pa.table({
+                "l_linestatus": g["l_linestatus"],
+                "hi": pc.if_else(is_hi, n, zero),
+                "lo": pc.if_else(is_hi, zero, n),
+            }).group_by("l_linestatus", use_threads=False).aggregate(
+                [("hi", "sum"), ("lo", "sum")])
+            outs.append(pa.table({"l_linestatus": c["l_linestatus"],
+                                  "hi": c["hi_sum"], "lo": c["lo_sum"]}))
+        if not outs:
+            return pa.table({"l_linestatus": pa.array([], pa.string()),
+                             "hi": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    out = rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
+        bucket_counts, batch_format="pyarrow").to_pandas()
+    out = _ensure_cols(out, {"l_linestatus": "str", "hi": "int64",
+                             "lo": "int64"})
+    agg = out.groupby("l_linestatus", as_index=False).agg(
+        high_line_count=("hi", "sum"), low_line_count=("lo", "sum"))
+    agg = agg.astype({"high_line_count": "int64", "low_line_count": "int64"})
+    return finish(agg, ["l_linestatus"])
+
+
+def _bucket_cust_order_counts(sf_dir: str, n_buckets: int):
+    """Shared per-bucket LEFT-join count kernel for Q13 /
+    customer_order_counts: orders and customer are both persisted on
+    custkey, so every customer's complete order count (including zero)
+    resolves inside one bucket task with ZERO exchanges."""
+    import ray.data as rd
+
+    from .bucket import _read_bucket
+
+    ord_dir = _ord_buckets(sf_dir, "o_custkey", n_buckets)
+    cust_dir = _cust_buckets(sf_dir, n_buckets)
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        outs = []
+        for k in np.asarray(t["id"]):
+            ct = _read_bucket(cust_dir, int(k), drop_key="bucket",
+                              columns=["c_custkey"])
+            if ct is None or len(ct) == 0:
+                continue
+            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
+                              columns=["o_custkey"])
+            if ot is None:
+                n = pa.array(np.zeros(len(ct), np.int64))
+            else:
+                g = ot.group_by("o_custkey", use_threads=False).aggregate(
+                    [("o_custkey", "count")])
+                idx = pc.index_in(
+                    pc.cast(ct["c_custkey"], pa.int64()),
+                    value_set=pc.cast(g["o_custkey"],
+                                      pa.int64()).combine_chunks())
+                n = pc.fill_null(
+                    pc.cast(g["o_custkey_count"], pa.int64()).take(idx), 0)
+            outs.append(pa.table({
+                "c_custkey": pc.cast(ct["c_custkey"], pa.int64()),
+                "n_orders": n}))
+        if not outs:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    return rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
+        bucket_counts, batch_format="pyarrow")
+
+
+def q13_customer_distribution(sf_dir: str,
+                              n_buckets: int = 32) -> pd.DataFrame:
+    """Q13, bucket-routed (canonical): per-customer order counts
+    (LEFT-join-with-zeros) complete inside each custkey-aligned bucket
+    task; the count→custdist histogram partials are bounded and merge
+    on the driver. Zero exchanges, exact counts."""
+    counts = _bucket_cust_order_counts(sf_dir, n_buckets)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"c_count": t["n_orders"]}).group_by(
+            "c_count", use_threads=False).aggregate([("c_count", "count")])
+        return pa.table({"c_count": g["c_count"],
+                         "custdist": pc.cast(g["c_count_count"],
+                                             pa.int64())})
+
+    out = counts.map_batches(hist_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    out = _ensure_cols(out, {"c_count": "int64", "custdist": "int64"})
+    agg = out.groupby("c_count", as_index=False)["custdist"].sum()
+    agg = agg.astype({"c_count": "int64", "custdist": "int64"})
+    return finish(agg, ["c_count"])
+
+
+def customer_order_counts(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """customer ⟕ order-counts, bucket-routed (canonical): same
+    per-bucket LEFT-join kernel as Q13, returning the per-customer
+    rows themselves."""
+    out = _bucket_cust_order_counts(sf_dir, n_buckets).to_pandas()
+    out = _ensure_cols(out, {"c_custkey": "int64", "n_orders": "int64"})
+    return finish(out, ["c_custkey"])

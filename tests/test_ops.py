@@ -62,7 +62,10 @@ SQL_QUERIES = [
     "q20_dominant_suppliers", "q21_waiting_suppliers",
     "ivf_index_violations", "training_dataset_violations",
     "q18_large_volume_allshuffle", "q10_returned_items_allshuffle",
-    "q21_waiting_suppliers_allshuffle",
+    "q21_waiting_suppliers_allshuffle", "q4_order_priority_allshuffle",
+    "q12_priority_by_linestatus_allshuffle",
+    "q13_customer_distribution_allshuffle",
+    "customer_order_counts_allshuffle",
 ]
 
 
