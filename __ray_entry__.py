@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q13_customer_distribution_allshuffle,
         "customer_order_counts_allshuffle":
             relational.customer_order_counts_allshuffle,
+        "q8_market_share_allshuffle":
+            relational.q8_market_share_allshuffle,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
         "quantile_sketch": sketches.quantile_sketch,
@@ -1297,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
               "q7_volume_shipping", "q18_large_volume",
               "q10_returned_items", "q21_waiting_suppliers",
               "q4_order_priority", "q12_priority_by_linestatus",
-              "q13_customer_distribution", "customer_order_counts"):
+              "q13_customer_distribution", "customer_order_counts",
+              "q8_market_share"):
         sql[f"{q}_allshuffle"] = sql[q]
     return sql

@@ -1460,10 +1460,11 @@ def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"revenue": [float(r4(total or 0.0))]})
 
 
-def q8_market_share(sf_dir: str, target_nation: str = "NATION_3",
-                    region: str = "ASIA") -> pd.DataFrame:
-    """TPC-H Q8 shape (adapted — PROMO parts stand in for the type
-    filter): the target nation's share of supply revenue into one
+def q8_market_share_allshuffle(sf_dir: str,
+                               target_nation: str = "NATION_3",
+                               region: str = "ASIA") -> pd.DataFrame:
+    """TPC-H Q8 shape, all-shuffle twin (adapted — PROMO parts stand in
+    for the type filter): the target nation's share of supply revenue into one
     region's customers, per order year. Part/supplier/nation/region are
     bounded-dimension broadcasts resolved inside the lineitem scan;
     orders (year + custkey) attaches via ``shuffle_join`` on
@@ -2676,3 +2677,147 @@ def customer_order_counts(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     out = _bucket_cust_order_counts(sf_dir, n_buckets).to_pandas()
     out = _ensure_cols(out, {"c_custkey": "int64", "n_orders": "int64"})
     return finish(out, ["c_custkey"])
+
+def q8_market_share(sf_dir: str, target_nation: str = "NATION_3",
+                    region: str = "ASIA",
+                    n_buckets: int = 32) -> pd.DataFrame:
+    """Q8, bucket-routed (canonical): the per-order revenue split and
+    the orders join are orderkey-local in the persisted buckets; only
+    the pre-reduced (custkey, year, rev, rev_t) partials re-key through
+    one narrow ``bucket_dataset`` exchange, and the region-membership
+    SEMI filter resolves inside the custkey-aligned bucket task
+    (c_nationkey is in the customer buckets; the region's nation keys
+    are a bounded broadcast). Bounded per-year partials merge on the
+    driver. One exchange, zero sorts."""
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from .bucket import _read_bucket, bucket_dataset
+
+    part = read_arrow(sf_dir, "part", ["p_partkey", "p_type"])
+    keep = pc.filter(part["p_partkey"],
+                     pc.equal(part["p_type"], "PROMO")).combine_chunks()
+    nation = read_arrow(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"])
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    reg = read_arrow(sf_dir, "region", ["r_regionkey", "r_name"])
+    region_nkeys = pc.filter(
+        nation["n_nationkey"],
+        pc.is_in(nation["n_regionkey"], value_set=pc.filter(
+            reg["r_regionkey"],
+            pc.equal(reg["r_name"], region)).combine_chunks()),
+    ).combine_chunks()
+    target_nkeys = pc.filter(
+        nation["n_nationkey"],
+        pc.equal(nation["n_name"], target_nation)).combine_chunks()
+    target_skeys = pc.filter(
+        supp["s_suppkey"],
+        pc.is_in(supp["s_nationkey"], value_set=target_nkeys)
+    ).combine_chunks()
+    dims_ref = ray.put((keep, target_skeys, region_nkeys))
+
+    li_dir = _li_buckets(sf_dir, n_buckets)
+    ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
+    lo = pa.scalar(datetime(1998, 1, 1))
+    hi = pa.scalar(datetime(2000, 1, 1))
+
+    def cust_year_partial(t: pa.Table) -> pa.Table:
+        keep, target_skeys, _ = bcast_get(dims_ref)
+        outs = []
+        for k in np.asarray(t["id"]):
+            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
+                              columns=["l_orderkey", "l_partkey",
+                                       "l_suppkey", "l_extendedprice",
+                                       "l_discount"])
+            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"])
+            if lt is None or ot is None:
+                continue
+            lt = lt.filter(pc.is_in(lt["l_partkey"], value_set=keep))
+            ot = ot.filter(pc.and_(pc.greater_equal(ot["o_orderdate"], lo),
+                                   pc.less(ot["o_orderdate"], hi)))
+            if len(lt) == 0 or len(ot) == 0:
+                continue
+            idx = pc.index_in(lt["l_orderkey"],
+                              value_set=ot["o_orderkey"].combine_chunks())
+            ok = pc.is_valid(idx)
+            lt, idx = lt.filter(ok), idx.filter(ok)
+            if len(lt) == 0:
+                continue
+            rev = pc.multiply(lt["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), lt["l_discount"]))
+            is_t = pc.is_in(lt["l_suppkey"], value_set=target_skeys)
+            g = pa.table({
+                "key": ot["o_custkey"].take(idx),
+                "o_year": pc.cast(
+                    pc.year(ot["o_orderdate"].take(idx)), pa.int64()),
+                "rev": rev,
+                "rev_t": pc.if_else(is_t, rev, pa.scalar(0.0)),
+            }).group_by(["key", "o_year"], use_threads=False).aggregate(
+                [("rev", "sum"), ("rev_t", "sum")])
+            outs.append(pa.table({"key": g["key"], "o_year": g["o_year"],
+                                  "rev": g["rev_sum"],
+                                  "rev_t": g["rev_t_sum"]}))
+        if not outs:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "o_year": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64()),
+                             "rev_t": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    partials = rd.range(n_buckets, override_num_blocks=n_buckets
+                        ).map_batches(cust_year_partial,
+                                      batch_format="pyarrow")
+    qdir = bucket_dataset(
+        partials, "key", n_buckets,
+        schema=pa.schema([("key", pa.int64()), ("o_year", pa.int64()),
+                          ("rev", pa.float64()),
+                          ("rev_t", pa.float64())]))
+    cust_dir = _cust_buckets(sf_dir, n_buckets)
+
+    def region_rollup(t: pa.Table) -> pa.Table:
+        _, _, region_nkeys = bcast_get(dims_ref)
+        outs = []
+        for k in np.asarray(t["id"]):
+            pt = _read_bucket(qdir, int(k), drop_key="bucket",
+                              columns=["key", "o_year", "rev", "rev_t"])
+            if pt is None or len(pt) == 0:
+                continue
+            ct = _read_bucket(cust_dir, int(k), drop_key="bucket",
+                              columns=["c_custkey", "c_nationkey"])
+            if ct is None:
+                continue
+            ct = ct.filter(pc.is_in(ct["c_nationkey"],
+                                    value_set=region_nkeys))
+            pt = pt.filter(pc.is_in(
+                pt["key"],
+                value_set=pc.cast(ct["c_custkey"],
+                                  pa.int64()).combine_chunks()))
+            if len(pt) == 0:
+                continue
+            g = pt.group_by("o_year", use_threads=False).aggregate(
+                [("rev", "sum"), ("rev_t", "sum")])
+            outs.append(pa.table({"o_year": g["o_year"],
+                                  "rev": g["rev_sum"],
+                                  "rev_t": g["rev_t_sum"]}))
+        if not outs:
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64()),
+                             "rev_t": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    try:
+        out = rd.range(n_buckets, override_num_blocks=n_buckets
+                       ).map_batches(region_rollup,
+                                     batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(qdir, ignore_errors=True)
+    out = _ensure_cols(out, {"o_year": "int64", "rev": "float64",
+                             "rev_t": "float64"})
+    agg = out.groupby("o_year", as_index=False).agg(
+        rev=("rev", "sum"), rev_t=("rev_t", "sum"))
+    agg["mkt_share"] = r4(agg["rev_t"] / agg["rev"])
+    return finish(agg[["o_year", "mkt_share"]], ["o_year"])

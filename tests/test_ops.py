@@ -65,7 +65,7 @@ SQL_QUERIES = [
     "q21_waiting_suppliers_allshuffle", "q4_order_priority_allshuffle",
     "q12_priority_by_linestatus_allshuffle",
     "q13_customer_distribution_allshuffle",
-    "customer_order_counts_allshuffle",
+    "customer_order_counts_allshuffle", "q8_market_share_allshuffle",
 ]
 
 
