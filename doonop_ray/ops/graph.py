@@ -238,27 +238,44 @@ def pagerank_customer_supplier(sf_dir: str, n_iters: int = 5,
     ~1.0 scale), rounded to 4dp — hash-matched against an UNROLLED
     5-iteration SQL oracle."""
     import pandas as pd
+    import ray.data as rd
 
-    from .common import finish, grouped_aggregate, r4, read
-    from .join import shuffle_join
+    from .common import finish, grouped_aggregate, r4
+    from ..ops.bucket import _read_bucket
+    from .relational import _li_buckets, _ord_buckets
 
-    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        lambda t: pa.table({"key": t["o_orderkey"],
-                            "c": pc.cast(t["o_custkey"], pa.int64())}),
-        batch_format="pyarrow")
-    li = read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
-        lambda t: pa.table({"key": t["l_orderkey"],
-                            "s": pc.cast(t["l_suppkey"], pa.int64())}),
-        batch_format="pyarrow")
-    pairs = shuffle_join(li, orders, "key", ["s"], ["c"], "inner",
-                         left_types={"s": pa.int64()},
-                         right_types={"c": pa.int64()}, num_blocks=32)
-    dedup = grouped_aggregate(
-        pairs.map_batches(
-            lambda t: pa.table({"c": t["c"], "s": t["s"]}).group_by(
-                ["c", "s"], use_threads=False).aggregate([("c", "count")]),
-            batch_format="pyarrow"),
-        ["c", "s"], [("c", "count")])
+    # edge derivation through the persisted orderkey buckets: the
+    # lineitem ⋈ orders join is orderkey-local, so each bucket task
+    # joins via pc.index_in and pre-dedups its (c, s) pairs — the only
+    # exchange left is the global pair dedup on the composite key
+    li_dir = _li_buckets(sf_dir)
+    ord_dir = _ord_buckets(sf_dir, "o_orderkey")
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        outs = []
+        for k in np.asarray(t["id"]):
+            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
+                              columns=["l_orderkey", "l_suppkey"])
+            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
+                              columns=["o_orderkey", "o_custkey"])
+            if lt is None or ot is None or len(lt) == 0:
+                continue
+            idx = pc.index_in(lt["l_orderkey"],
+                              value_set=ot["o_orderkey"].combine_chunks())
+            ok = pc.is_valid(idx)
+            lt, idx = lt.filter(ok), idx.filter(ok)
+            outs.append(pa.table({
+                "c": pc.cast(ot["o_custkey"].take(idx), pa.int64()),
+                "s": pc.cast(lt["l_suppkey"], pa.int64()),
+            }).group_by(["c", "s"], use_threads=False).aggregate([]))
+        if not outs:
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    pairs = rd.range(32, override_num_blocks=32).map_batches(
+        bucket_pairs, batch_format="pyarrow")
+    dedup = grouped_aggregate(pairs, ["c", "s"], [("c", "count")])
 
     def sym(t: pa.Table) -> pa.Table:
         c = pc.multiply(t["c"].combine_chunks(), 2)
