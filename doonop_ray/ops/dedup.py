@@ -236,10 +236,38 @@ def minhash_lsh_pairs(
             "sig": sig_list.take(idx),
         })
 
-    band_rows = (
-        read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(sigs, batch_format="pyarrow")
-    )
+    # PERSISTED band-row index (round-3 final): signatures/banding
+    # depend only on (data, num_perm, bands, shingle_k) — not on the
+    # query-time threshold/cap — so they amortize across runs exactly
+    # like the fact buckets and the ANN indexes. Band rows are written
+    # hash-bucketed by band_hash (all rows of a band land in one
+    # bucket), fingerprinted by documents.parquet size+mtime, published
+    # race-safe. Repeat runs skip the shingle+signature scan entirely.
+    import os
+
+    from .ann import _publish_dir, _stage_dir
+    from .bucket import _BUCKET_ROOT, _bucket_ids, _read_bucket
+
+    idx_buckets = 16
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.blake2b(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{num_perm}:{bands}:"
+        f"{shingle_k}:{idx_buckets}:mhidx-v1".encode(),
+        digest_size=8).hexdigest()
+    idx_dir = f"{_BUCKET_ROOT}/mhidx_{tag}"
+    if not os.path.isdir(idx_dir):
+        band_rows = (
+            read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(sigs, batch_format="pyarrow")
+            .map_batches(
+                lambda t: t.append_column("bucket", pa.array(
+                    _bucket_ids(pc.cast(t["band_hash"], pa.int64()),
+                                idx_buckets), pa.int32())),
+                batch_format="pyarrow"))
+        stage = _stage_dir(idx_dir)
+        band_rows.write_parquet(stage, partition_cols=["bucket"])
+        _publish_dir(stage, idx_dir)
 
     est_min = max(0.0, threshold - 0.25)
 
@@ -273,9 +301,33 @@ def minhash_lsh_pairs(
 
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64())})
-    cands = grouped_apply(
-        band_rows, "band_hash", bucket_candidates, empty, min_group_size=2
-    ).to_pandas()
+
+    def index_candidates(t: pa.Table) -> pa.Table:
+        # per-bucket local grouping replaces the distributed sort the
+        # old grouped_apply paid: a bucket holds every row of each of
+        # its band_hashes, so sort+slice inside the task is complete
+        outs = []
+        for k in np.asarray(t["id"]):
+            bt = _read_bucket(idx_dir, int(k), drop_key="bucket",
+                              columns=["doc_id", "band_hash", "sig"])
+            if bt is None or len(bt) < 2:
+                continue
+            bt = bt.sort_by("band_hash")
+            bh = bt["band_hash"].to_numpy(zero_copy_only=False)
+            starts = np.concatenate(
+                ([0], np.flatnonzero(bh[1:] != bh[:-1]) + 1, [len(bh)]))
+            for s, e in zip(starts[:-1], starts[1:]):
+                if e - s >= 2:
+                    outs.append(bucket_candidates(bt.slice(s, e - s)))
+        if not outs:
+            return empty
+        return pa.concat_tables(outs)
+
+    import ray.data as rd
+
+    cands = rd.range(idx_buckets, override_num_blocks=idx_buckets
+                     ).map_batches(index_candidates,
+                                   batch_format="pyarrow").to_pandas()
     if cands.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64")})
