@@ -338,3 +338,28 @@ def order_revenue_by_segment_bucketed(sf_dir: str, n_buckets: int = 32):
     df["n_orders"] = df["n_sum"]
     return (df[["segment", "total_revenue", "n_orders"]]
             .sort_values("segment").reset_index(drop=True))
+
+def map_buckets(n_buckets: int, fn, empty: pa.Table):
+    """Run ``fn(bucket_id) -> pa.Table | None`` once per bucket id as a
+    streaming Dataset pipeline — the shared scaffold for zero-exchange
+    bucket-local kernels (the q4/q8/q10/q12/q13/q18/q21 family, the
+    PageRank edge build, the MinHash index probe).
+
+    ``fn`` typically reads one ``bucket=K/`` partition per side with
+    ``_read_bucket`` and returns that bucket's complete result (or None
+    /empty to skip). All-empty blocks return ``empty`` so every output
+    block carries the declared schema."""
+    import ray.data as rd
+
+    def run(t: pa.Table) -> pa.Table:
+        outs = []
+        for k in np.asarray(t["id"]):
+            bt = fn(int(k))
+            if bt is not None and len(bt):
+                outs.append(bt)
+        if not outs:
+            return empty
+        return pa.concat_tables(outs)
+
+    return rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
+        run, batch_format="pyarrow")

@@ -179,7 +179,10 @@ def minhash_lsh_pairs(
        reduceat over the concatenated shingle hashes; per-band bucket
        ids via a vectorized mod-Mersenne polynomial. Each band row
        carries only the FIXED-SIZE 64-perm signature (512 B).
-    2. ``grouped_apply`` over band buckets emits CANDIDATE pairs whose
+    2. per-bucket local grouping over the PERSISTED band-row index
+       (hash-bucketed by band_hash, data+params-fingerprinted — repeat
+       runs skip the shingle/signature scan AND the distributed sort)
+       emits CANDIDATE pairs whose
        signature-estimated Jaccard clears ``threshold - 0.25`` (Chernoff
        at 64 perms: a true >=threshold pair fails that slack with
        p < 4e-4; the estimate is the same in every band, so this is a
@@ -281,6 +284,18 @@ def minhash_lsh_pairs(
                 batch_format="pyarrow"))
         stage = _stage_dir(idx_dir)
         band_rows.write_parquet(stage, partition_cols=["bucket"])
+        if not os.path.isdir(stage):
+            # empty documents table: write_parquet creates nothing —
+            # publish an explicit empty bucket so probes (and the
+            # os.replace below) see a valid index (review round-3)
+            import pyarrow.parquet as pq_
+
+            os.makedirs(os.path.join(stage, "bucket=0"))
+            pq_.write_table(
+                pa.schema([("doc_id", pa.int64()),
+                           ("band_hash", pa.uint64()),
+                           ("sig", sig_type)]).empty_table(),
+                os.path.join(stage, "bucket=0", "empty.parquet"))
         _publish_dir(stage, idx_dir)
 
     est_min = max(0.0, threshold - 0.25)
@@ -316,32 +331,27 @@ def minhash_lsh_pairs(
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64())})
 
-    def index_candidates(t: pa.Table) -> pa.Table:
+    from .bucket import map_buckets
+
+    def index_candidates(k: int) -> pa.Table | None:
         # per-bucket local grouping replaces the distributed sort the
         # old grouped_apply paid: a bucket holds every row of each of
         # its band_hashes, so sort+slice inside the task is complete
-        outs = []
-        for k in np.asarray(t["id"]):
-            bt = _read_bucket(idx_dir, int(k), drop_key="bucket",
-                              columns=["doc_id", "band_hash", "sig"])
-            if bt is None or len(bt) < 2:
-                continue
-            bt = bt.sort_by("band_hash")
-            bh = bt["band_hash"].to_numpy(zero_copy_only=False)
-            starts = np.concatenate(
-                ([0], np.flatnonzero(bh[1:] != bh[:-1]) + 1, [len(bh)]))
-            for s, e in zip(starts[:-1], starts[1:]):
-                if e - s >= 2:
-                    outs.append(bucket_candidates(bt.slice(s, e - s)))
+        bt = _read_bucket(idx_dir, k, drop_key="bucket",
+                          columns=["doc_id", "band_hash", "sig"])
+        if bt is None or len(bt) < 2:
+            return None
+        bt = bt.sort_by("band_hash")
+        bh = bt["band_hash"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(bh[1:] != bh[:-1]) + 1, [len(bh)]))
+        outs = [bucket_candidates(bt.slice(s, e - s))
+                for s, e in zip(starts[:-1], starts[1:]) if e - s >= 2]
         if not outs:
-            return empty
+            return None
         return pa.concat_tables(outs)
 
-    import ray.data as rd
-
-    cands = rd.range(idx_buckets, override_num_blocks=idx_buckets
-                     ).map_batches(index_candidates,
-                                   batch_format="pyarrow").to_pandas()
+    cands = map_buckets(idx_buckets, index_candidates, empty).to_pandas()
     if cands.empty:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64")})
@@ -430,9 +440,7 @@ def simhash_batch(t: pa.Table) -> pa.Table:
     counts, all_h = [], []
     cache: dict[str, int] = {}
     for text in t["text"].to_pylist():
-        toks = [w for w in "".join(
-            c if c.isalnum() else " " for c in text.lower()
-        ).split() if w]
+        toks = text.lower().translate(_NORM).split()
         counts.append(len(toks))
         for w in toks:
             h = cache.get(w)

@@ -149,6 +149,9 @@ def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85,
     (node:int64, rank:float64) Dataset with Σ rank = 1."""
     from .common import grouped_aggregate, grouped_apply
 
+    if method not in ("auto", "broadcast", "bucketed", "cogroup"):
+        raise ValueError(f"method={method!r}")
+
     def coalesce(ds):
         """Sort fan-out scales with input block count; pack the edge
         and rank tables into ~64k-row blocks (same trick as
@@ -228,7 +231,8 @@ def pagerank(edges_ds, n_iters: int = 5, damping: float = 0.85,
 def pagerank_customer_supplier(sf_dir: str, n_iters: int = 5,
                                damping: float = 0.85,
                                fast_threshold: int = 200_000,
-                               method: str = "auto"):
+                               method: str = "auto",
+                               n_buckets: int = 32):
     """PageRank over the customer–supplier trading graph: one node per
     customer (2*c_custkey) and per supplier (2*s_suppkey+1), an
     undirected edge per DISTINCT (customer, supplier) trading pair
@@ -238,43 +242,36 @@ def pagerank_customer_supplier(sf_dir: str, n_iters: int = 5,
     ~1.0 scale), rounded to 4dp — hash-matched against an UNROLLED
     5-iteration SQL oracle."""
     import pandas as pd
-    import ray.data as rd
 
     from .common import finish, grouped_aggregate, r4
-    from ..ops.bucket import _read_bucket
+    from ..ops.bucket import _read_bucket, map_buckets
     from .relational import _li_buckets, _ord_buckets
 
     # edge derivation through the persisted orderkey buckets: the
     # lineitem ⋈ orders join is orderkey-local, so each bucket task
     # joins via pc.index_in and pre-dedups its (c, s) pairs — the only
     # exchange left is the global pair dedup on the composite key
-    li_dir = _li_buckets(sf_dir)
-    ord_dir = _ord_buckets(sf_dir, "o_orderkey")
+    li_dir = _li_buckets(sf_dir, n_buckets)
+    ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
+    pair_schema = pa.schema([("c", pa.int64()), ("s", pa.int64())])
 
-    def bucket_pairs(t: pa.Table) -> pa.Table:
-        outs = []
-        for k in np.asarray(t["id"]):
-            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
-                              columns=["l_orderkey", "l_suppkey"])
-            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
-                              columns=["o_orderkey", "o_custkey"])
-            if lt is None or ot is None or len(lt) == 0:
-                continue
-            idx = pc.index_in(lt["l_orderkey"],
-                              value_set=ot["o_orderkey"].combine_chunks())
-            ok = pc.is_valid(idx)
-            lt, idx = lt.filter(ok), idx.filter(ok)
-            outs.append(pa.table({
-                "c": pc.cast(ot["o_custkey"].take(idx), pa.int64()),
-                "s": pc.cast(lt["l_suppkey"], pa.int64()),
-            }).group_by(["c", "s"], use_threads=False).aggregate([]))
-        if not outs:
-            return pa.table({"c": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.int64())})
-        return pa.concat_tables(outs)
+    def bucket_pairs(k: int) -> pa.Table | None:
+        lt = _read_bucket(li_dir, k, drop_key="bucket",
+                          columns=["l_orderkey", "l_suppkey"])
+        ot = _read_bucket(ord_dir, k, drop_key="bucket",
+                          columns=["o_orderkey", "o_custkey"])
+        if lt is None or ot is None or len(lt) == 0:
+            return None
+        idx = pc.index_in(lt["l_orderkey"],
+                          value_set=ot["o_orderkey"].combine_chunks())
+        ok = pc.is_valid(idx)
+        lt, idx = lt.filter(ok), idx.filter(ok)
+        return pa.table({
+            "c": pc.cast(ot["o_custkey"].take(idx), pa.int64()),
+            "s": pc.cast(lt["l_suppkey"], pa.int64()),
+        }).group_by(["c", "s"], use_threads=False).aggregate([])
 
-    pairs = rd.range(32, override_num_blocks=32).map_batches(
-        bucket_pairs, batch_format="pyarrow")
+    pairs = map_buckets(n_buckets, bucket_pairs, pair_schema.empty_table())
     dedup = grouped_aggregate(pairs, ["c", "s"], [("c", "count")])
 
     def sym(t: pa.Table) -> pa.Table:
@@ -390,9 +387,7 @@ def _pagerank_bucketed(edges, nodes, n: int, n_iters: int,
     a corpus-sized neighborhood lands its edges in one bucket."""
     import shutil
 
-    import ray.data as rd
-
-    from .bucket import _read_bucket, bucket_dataset
+    from .bucket import _read_bucket, bucket_dataset, map_buckets
 
     init = 1.0 / n
     base = (1.0 - damping) / n
@@ -414,66 +409,61 @@ def _pagerank_bucketed(edges, nodes, n: int, n_iters: int,
                 "outdeg": pc.cast(t["key_count"], pa.float64())}),
             batch_format="pyarrow"),
         "node", n_buckets, schema=rank_schema)
+    import ray.data as rd
+
     stale = [edir, rdir]
     try:
         for _ in range(n_iters):
-            def contrib(t: pa.Table, rdir=rdir) -> pa.Table:
-                outs = []
-                for k in np.asarray(t["id"]):
-                    et = _read_bucket(edir, int(k), drop_key="bucket",
-                                      columns=["src", "dst"])
-                    rt = _read_bucket(rdir, int(k), drop_key="bucket",
-                                      columns=["node", "rank", "outdeg"])
-                    if et is None or rt is None or len(et) == 0:
-                        continue
-                    rate = (rt["rank"].to_numpy(zero_copy_only=False)
-                            / rt["outdeg"].to_numpy(zero_copy_only=False))
-                    idx = pc.index_in(et["src"],
-                                      value_set=rt["node"].combine_chunks())
-                    c = rate[idx.to_numpy(zero_copy_only=False)]
-                    g = pa.table({"node": et["dst"],
-                                  "c": pa.array(c, pa.float64())}).group_by(
-                        "node", use_threads=False).aggregate([("c", "sum")])
-                    outs.append(pa.table({"node": g["node"],
-                                          "c": g["c_sum"]}))
-                if not outs:
-                    return contrib_schema.empty_table()
-                return pa.concat_tables(outs)
+            def contrib(k: int, rdir=rdir) -> pa.Table | None:
+                et = _read_bucket(edir, k, drop_key="bucket",
+                                  columns=["src", "dst"])
+                rt = _read_bucket(rdir, k, drop_key="bucket",
+                                  columns=["node", "rank", "outdeg"])
+                if et is None or rt is None or len(et) == 0:
+                    return None
+                rate = (rt["rank"].to_numpy(zero_copy_only=False)
+                        / rt["outdeg"].to_numpy(zero_copy_only=False))
+                idx = pc.index_in(et["src"],
+                                  value_set=rt["node"].combine_chunks())
+                c = rate[idx.to_numpy(zero_copy_only=False)]
+                g = pa.table({"node": et["dst"],
+                              "c": pa.array(c, pa.float64())}).group_by(
+                    "node", use_threads=False).aggregate([("c", "sum")])
+                return pa.table({"node": g["node"], "c": g["c_sum"]})
 
             cdir = bucket_dataset(
-                rd.range(n_buckets, override_num_blocks=n_buckets
-                         ).map_batches(contrib, batch_format="pyarrow"),
+                map_buckets(n_buckets, contrib,
+                            contrib_schema.empty_table()),
                 "node", n_buckets, schema=contrib_schema)
-            stale.append(cdir)
 
-            def reduce_(t: pa.Table, cdir=cdir, rdir=rdir) -> pa.Table:
-                outs = []
-                for k in np.asarray(t["id"]):
-                    ct = _read_bucket(cdir, int(k), drop_key="bucket",
-                                      columns=["node", "c"])
-                    rt = _read_bucket(rdir, int(k), drop_key="bucket",
-                                      columns=["node", "outdeg"])
-                    if ct is None or rt is None or len(ct) == 0:
-                        continue
-                    g = ct.group_by("node", use_threads=False).aggregate(
-                        [("c", "sum")])
-                    idx = pc.index_in(g["node"],
-                                      value_set=rt["node"].combine_chunks())
-                    rank = pc.add(pa.scalar(base),
-                                  pc.multiply(pa.scalar(damping),
-                                              g["c_sum"]))
-                    outs.append(pa.table({
-                        "node": g["node"], "rank": rank,
-                        "outdeg": rt["outdeg"].take(idx)}))
-                if not outs:
-                    return rank_schema.empty_table()
-                return pa.concat_tables(outs)
+            def reduce_(k: int, cdir=cdir, rdir=rdir) -> pa.Table | None:
+                ct = _read_bucket(cdir, k, drop_key="bucket",
+                                  columns=["node", "c"])
+                rt = _read_bucket(rdir, k, drop_key="bucket",
+                                  columns=["node", "outdeg"])
+                if ct is None or rt is None or len(ct) == 0:
+                    return None
+                g = ct.group_by("node", use_threads=False).aggregate(
+                    [("c", "sum")])
+                idx = pc.index_in(g["node"],
+                                  value_set=rt["node"].combine_chunks())
+                rank = pc.add(pa.scalar(base),
+                              pc.multiply(pa.scalar(damping), g["c_sum"]))
+                return pa.table({"node": g["node"], "rank": rank,
+                                 "outdeg": rt["outdeg"].take(idx)})
 
-            rdir = bucket_dataset(
-                rd.range(n_buckets, override_num_blocks=n_buckets
-                         ).map_batches(reduce_, batch_format="pyarrow"),
+            rdir_next = bucket_dataset(
+                map_buckets(n_buckets, reduce_,
+                            rank_schema.empty_table()),
                 "node", n_buckets, schema=rank_schema)
-            stale.append(rdir)
+            # O(1) dirs on disk (review: O(n_iters) node-sized dirs would
+            # accumulate on the path built for node sets too big for
+            # memory): the superseded rank dir and the consumed
+            # contribution dir are gone before the next iteration starts
+            shutil.rmtree(cdir, ignore_errors=True)
+            shutil.rmtree(rdir, ignore_errors=True)
+            stale = [edir, rdir_next]
+            rdir = rdir_next
 
         out = rd.read_parquet(
             rdir, columns=["node", "rank"],

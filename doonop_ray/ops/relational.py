@@ -2210,57 +2210,43 @@ def q18_large_volume(sf_dir: str, min_qty: float = 300.0,
     on the driver. Zero query-time sorts."""
     import shutil
 
-    from .bucket import _read_bucket, bucket_dataset, bucketed_join
+    from .bucket import (_read_bucket, bucket_dataset, bucketed_join,
+                         map_buckets)
 
     li_dir = _li_buckets(sf_dir, n_buckets)
     ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
+    big_schema = pa.schema([("key", pa.int64()), ("o_orderkey", pa.int64()),
+                            ("o_orderdate", pa.timestamp("us")),
+                            ("o_totalprice", pa.float64()),
+                            ("sum_qty", pa.float64())])
 
-    def big_orders(t: pa.Table) -> pa.Table:
-        outs = []
-        for k in np.asarray(t["id"]):
-            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
-                              columns=["l_orderkey", "l_quantity"])
-            if lt is None or len(lt) == 0:
-                continue
-            g = lt.group_by("l_orderkey", use_threads=False).aggregate(
-                [("l_quantity", "sum")])
-            g = g.filter(pc.greater(g["l_quantity_sum"],
-                                    pa.scalar(min_qty)))
-            if len(g) == 0:
-                continue
-            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
-                              columns=["o_orderkey", "o_custkey",
-                                       "o_orderdate", "o_totalprice"])
-            if ot is None:
-                continue
-            idx = pc.index_in(g["l_orderkey"], value_set=ot["o_orderkey"])
-            keep = pc.is_valid(idx)
-            g, idx = g.filter(keep), idx.filter(keep)
-            outs.append(pa.table({
-                "key": ot["o_custkey"].take(idx),
-                "o_orderkey": g["l_orderkey"],
-                "o_orderdate": ot["o_orderdate"].take(idx),
-                "o_totalprice": ot["o_totalprice"].take(idx),
-                "sum_qty": g["l_quantity_sum"]}))
-        if not outs:
-            return pa.table({
-                "key": pa.array([], pa.int64()),
-                "o_orderkey": pa.array([], pa.int64()),
-                "o_orderdate": pa.array([], pa.timestamp("us")),
-                "o_totalprice": pa.array([], pa.float64()),
-                "sum_qty": pa.array([], pa.float64())})
-        return pa.concat_tables(outs)
+    def big_orders(k: int) -> pa.Table | None:
+        lt = _read_bucket(li_dir, k, drop_key="bucket",
+                          columns=["l_orderkey", "l_quantity"])
+        if lt is None or len(lt) == 0:
+            return None
+        g = lt.group_by("l_orderkey", use_threads=False).aggregate(
+            [("l_quantity", "sum")])
+        g = g.filter(pc.greater(g["l_quantity_sum"], pa.scalar(min_qty)))
+        if len(g) == 0:
+            return None
+        ot = _read_bucket(ord_dir, k, drop_key="bucket",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_orderdate", "o_totalprice"])
+        if ot is None:
+            return None
+        idx = pc.index_in(g["l_orderkey"], value_set=ot["o_orderkey"])
+        keep = pc.is_valid(idx)
+        g, idx = g.filter(keep), idx.filter(keep)
+        return pa.table({
+            "key": ot["o_custkey"].take(idx),
+            "o_orderkey": g["l_orderkey"],
+            "o_orderdate": ot["o_orderdate"].take(idx),
+            "o_totalprice": ot["o_totalprice"].take(idx),
+            "sum_qty": g["l_quantity_sum"]})
 
-    import ray.data as rd
-
-    big = rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
-        big_orders, batch_format="pyarrow")
-    qdir = bucket_dataset(
-        big, "key", n_buckets,
-        schema=pa.schema([("key", pa.int64()), ("o_orderkey", pa.int64()),
-                          ("o_orderdate", pa.timestamp("us")),
-                          ("o_totalprice", pa.float64()),
-                          ("sum_qty", pa.float64())]))
+    big = map_buckets(n_buckets, big_orders, big_schema.empty_table())
+    qdir = bucket_dataset(big, "key", n_buckets, schema=big_schema)
 
     def bucket_top100(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
@@ -2304,7 +2290,8 @@ def q10_returned_items(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
 
     import ray
 
-    from .bucket import _read_bucket, bucket_dataset, bucketed_join
+    from .bucket import (_read_bucket, bucket_dataset, bucketed_join,
+                         map_buckets)
 
     nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
     dims_ref = ray.put((nation["n_nationkey"].combine_chunks(),
@@ -2312,51 +2299,41 @@ def q10_returned_items(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     li_dir = _li_buckets(sf_dir, n_buckets)
     ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
     lo, hi = pa.scalar(datetime(1998, 1, 1)), pa.scalar(datetime(1998, 7, 1))
+    part_schema = pa.schema([("key", pa.int64()), ("rev", pa.float64())])
 
-    def cust_rev_partial(t: pa.Table) -> pa.Table:
-        outs = []
-        for k in np.asarray(t["id"]):
-            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
-                              columns=["l_orderkey", "l_returnflag",
-                                       "l_extendedprice", "l_discount"])
-            if lt is None or len(lt) == 0:
-                continue
-            lt = lt.filter(pc.equal(lt["l_returnflag"], "R"))
-            if len(lt) == 0:
-                continue
-            rev = pc.multiply(lt["l_extendedprice"],
-                              pc.subtract(pa.scalar(1.0), lt["l_discount"]))
-            g = pa.table({"o": lt["l_orderkey"], "rev": rev}).group_by(
-                "o", use_threads=False).aggregate([("rev", "sum")])
-            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
-                              columns=["o_orderkey", "o_custkey",
-                                       "o_orderdate"])
-            if ot is None:
-                continue
-            ot = ot.filter(pc.and_(pc.greater_equal(ot["o_orderdate"], lo),
-                                   pc.less(ot["o_orderdate"], hi)))
-            idx = pc.index_in(g["o"], value_set=ot["o_orderkey"])
-            keep = pc.is_valid(idx)
-            g, idx = g.filter(keep), idx.filter(keep)
-            if len(g) == 0:
-                continue
-            cg = pa.table({"key": ot["o_custkey"].take(idx),
-                           "rev": g["rev_sum"]}).group_by(
-                "key", use_threads=False).aggregate([("rev", "sum")])
-            outs.append(pa.table({"key": cg["key"], "rev": cg["rev_sum"]}))
-        if not outs:
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "rev": pa.array([], pa.float64())})
-        return pa.concat_tables(outs)
+    def cust_rev_partial(k: int) -> pa.Table | None:
+        lt = _read_bucket(li_dir, k, drop_key="bucket",
+                          columns=["l_orderkey", "l_returnflag",
+                                   "l_extendedprice", "l_discount"])
+        if lt is None or len(lt) == 0:
+            return None
+        lt = lt.filter(pc.equal(lt["l_returnflag"], "R"))
+        if len(lt) == 0:
+            return None
+        rev = pc.multiply(lt["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), lt["l_discount"]))
+        g = pa.table({"o": lt["l_orderkey"], "rev": rev}).group_by(
+            "o", use_threads=False).aggregate([("rev", "sum")])
+        ot = _read_bucket(ord_dir, k, drop_key="bucket",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_orderdate"])
+        if ot is None:
+            return None
+        ot = ot.filter(pc.and_(pc.greater_equal(ot["o_orderdate"], lo),
+                               pc.less(ot["o_orderdate"], hi)))
+        idx = pc.index_in(g["o"], value_set=ot["o_orderkey"])
+        keep = pc.is_valid(idx)
+        g, idx = g.filter(keep), idx.filter(keep)
+        if len(g) == 0:
+            return None
+        cg = pa.table({"key": ot["o_custkey"].take(idx),
+                       "rev": g["rev_sum"]}).group_by(
+            "key", use_threads=False).aggregate([("rev", "sum")])
+        return pa.table({"key": cg["key"], "rev": cg["rev_sum"]})
 
-    import ray.data as rd
-
-    partials = rd.range(n_buckets, override_num_blocks=n_buckets
-                        ).map_batches(cust_rev_partial,
-                                      batch_format="pyarrow")
-    qdir = bucket_dataset(
-        partials, "key", n_buckets,
-        schema=pa.schema([("key", pa.int64()), ("rev", pa.float64())]))
+    partials = map_buckets(n_buckets, cust_rev_partial,
+                           part_schema.empty_table())
+    qdir = bucket_dataset(partials, "key", n_buckets, schema=part_schema)
 
     def bucket_top20(t: pa.Table) -> pa.Table:
         # runs as the join's finalize: per-customer completeness only
@@ -2402,70 +2379,59 @@ def q21_waiting_suppliers(sf_dir: str, nation_name: str = "NATION_3",
     supplier) dedup + late-flag aggregation via one lexsort + reduceat
     (no per-group Python), qualifying-supplier counts as per-task
     partials. Only bounded per-supplier counts reach the driver."""
-    from .bucket import _read_bucket
-
-    import ray.data as rd
+    from .bucket import _read_bucket, map_buckets
 
     li_dir = _li_buckets(sf_dir, n_buckets)
     ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
     late_us = int(late_days) * 86_400_000_000
+    cnt_schema = pa.schema([("suppkey", pa.int64()), ("n", pa.int64())])
 
-    def bucket_waits(t: pa.Table) -> pa.Table:
-        all_s, all_n = [], []
-        for k in np.asarray(t["id"]):
-            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
-                              columns=["l_orderkey", "l_suppkey",
-                                       "l_shipdate"])
-            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
-                              columns=["o_orderkey", "o_orderdate",
-                                       "o_orderstatus"])
-            if lt is None or ot is None or len(lt) == 0:
-                continue
-            ot = ot.filter(pc.equal(ot["o_orderstatus"], "F"))
-            idx = pc.index_in(lt["l_orderkey"], value_set=ot["o_orderkey"])
-            keep = pc.is_valid(idx)
-            lt, idx = lt.filter(keep), idx.filter(keep)
-            if len(lt) == 0:
-                continue
-            ship = lt["l_shipdate"].to_numpy(zero_copy_only=False).astype(
-                "datetime64[us]").astype(np.int64)
-            odate = ot["o_orderdate"].take(idx).to_numpy(
-                zero_copy_only=False).astype("datetime64[us]").astype(
-                np.int64)
-            ords = lt["l_orderkey"].to_numpy(zero_copy_only=False)
-            supp = lt["l_suppkey"].to_numpy(zero_copy_only=False)
-            late = (ship - odate > late_us).astype(np.int8)
-            # dedup (order, supplier) with late = MAX, then group by order
-            o = np.lexsort((supp, ords))
-            ords, supp, late = ords[o], supp[o], late[o]
-            newp = np.empty(len(ords), bool)
-            newp[0] = True
-            newp[1:] = (ords[1:] != ords[:-1]) | (supp[1:] != supp[:-1])
-            ps = np.flatnonzero(newp)
-            p_ord, p_supp = ords[ps], supp[ps]
-            p_late = np.maximum.reduceat(late, ps)
-            newo = np.empty(len(ps), bool)
-            newo[0] = True
-            newo[1:] = p_ord[1:] != p_ord[:-1]
-            os_ = np.flatnonzero(newo)
-            n_supp = np.diff(np.append(os_, len(p_ord)))
-            n_late = np.add.reduceat(p_late.astype(np.int64), os_)
-            # exactly one late supplier → its key == the masked group sum
-            late_sum = np.add.reduceat(p_supp * p_late, os_)
-            qual = (n_supp >= 2) & (n_late == 1)
-            sk, cnt = np.unique(late_sum[qual], return_counts=True)
-            all_s.append(sk)
-            all_n.append(cnt)
-        if not all_s:
-            return pa.table({"suppkey": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.table({
-            "suppkey": pa.array(np.concatenate(all_s), pa.int64()),
-            "n": pa.array(np.concatenate(all_n), pa.int64())})
+    def bucket_waits(k: int) -> pa.Table | None:
+        lt = _read_bucket(li_dir, k, drop_key="bucket",
+                          columns=["l_orderkey", "l_suppkey",
+                                   "l_shipdate"])
+        ot = _read_bucket(ord_dir, k, drop_key="bucket",
+                          columns=["o_orderkey", "o_orderdate",
+                                   "o_orderstatus"])
+        if lt is None or ot is None or len(lt) == 0:
+            return None
+        ot = ot.filter(pc.equal(ot["o_orderstatus"], "F"))
+        idx = pc.index_in(lt["l_orderkey"], value_set=ot["o_orderkey"])
+        keep = pc.is_valid(idx)
+        lt, idx = lt.filter(keep), idx.filter(keep)
+        if len(lt) == 0:
+            return None
+        ship = lt["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        odate = ot["o_orderdate"].take(idx).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        ords = lt["l_orderkey"].to_numpy(zero_copy_only=False)
+        supp = lt["l_suppkey"].to_numpy(zero_copy_only=False)
+        late = (ship - odate > late_us).astype(np.int8)
+        # dedup (order, supplier) with late = MAX, then group by order
+        o = np.lexsort((supp, ords))
+        ords, supp, late = ords[o], supp[o], late[o]
+        newp = np.empty(len(ords), bool)
+        newp[0] = True
+        newp[1:] = (ords[1:] != ords[:-1]) | (supp[1:] != supp[:-1])
+        ps = np.flatnonzero(newp)
+        p_ord, p_supp = ords[ps], supp[ps]
+        p_late = np.maximum.reduceat(late, ps)
+        newo = np.empty(len(ps), bool)
+        newo[0] = True
+        newo[1:] = p_ord[1:] != p_ord[:-1]
+        os_ = np.flatnonzero(newo)
+        n_supp = np.diff(np.append(os_, len(p_ord)))
+        n_late = np.add.reduceat(p_late.astype(np.int64), os_)
+        # exactly one late supplier → its key == the masked group sum
+        late_sum = np.add.reduceat(p_supp * p_late, os_)
+        qual = (n_supp >= 2) & (n_late == 1)
+        sk, cnt = np.unique(late_sum[qual], return_counts=True)
+        return pa.table({"suppkey": pa.array(sk, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
 
-    counts = rd.range(n_buckets, override_num_blocks=n_buckets
-                      ).map_batches(bucket_waits,
-                                    batch_format="pyarrow").to_pandas()
+    counts = map_buckets(n_buckets, bucket_waits,
+                         cnt_schema.empty_table()).to_pandas()
     counts = _ensure_cols(counts, {"suppkey": "int64", "n": "int64"})
     agg = counts.groupby("suppkey", as_index=False)["n"].sum()
 
@@ -2487,49 +2453,43 @@ def q4_order_priority(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     lineitems to per-order max shipdate and applies the predicate with
     ZERO exchanges; only bounded (priority, n) count partials reach the
     driver. Counts are exact (no float risk)."""
-    import ray.data as rd
-
-    from .bucket import _read_bucket
+    from .bucket import _read_bucket, map_buckets
 
     li_dir = _li_buckets(sf_dir, n_buckets)
     ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
     lo = pa.scalar(datetime(1998, 1, 1))
     hi = pa.scalar(datetime(1999, 1, 1))
+    cnt_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n", pa.int64())])
 
-    def bucket_counts(t: pa.Table) -> pa.Table:
-        outs = []
-        for k in np.asarray(t["id"]):
-            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
-                              columns=["o_orderkey", "o_orderdate",
-                                       "o_orderpriority"])
-            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
-                              columns=["l_orderkey", "l_shipdate"])
-            if ot is None or lt is None:
-                continue
-            ot = ot.filter(pc.and_(pc.greater_equal(ot["o_orderdate"], lo),
-                                   pc.less(ot["o_orderdate"], hi)))
-            if len(ot) == 0:
-                continue
-            g = lt.group_by("l_orderkey", use_threads=False).aggregate(
-                [("l_shipdate", "max")])
-            idx = pc.index_in(ot["o_orderkey"],
-                              value_set=g["l_orderkey"].combine_chunks())
-            ship = g["l_shipdate_max"].take(idx)
-            keep = pc.and_(pc.is_valid(ship),
-                           pc.greater(ship, ot["o_orderdate"]))
-            c = ot.filter(keep).group_by(
-                "o_orderpriority", use_threads=False).aggregate(
-                [("o_orderpriority", "count")])
-            outs.append(pa.table({
-                "o_orderpriority": c["o_orderpriority"],
-                "n": pc.cast(c["o_orderpriority_count"], pa.int64())}))
-        if not outs:
-            return pa.table({"o_orderpriority": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        return pa.concat_tables(outs)
+    def bucket_counts(k: int) -> pa.Table | None:
+        ot = _read_bucket(ord_dir, k, drop_key="bucket",
+                          columns=["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"])
+        lt = _read_bucket(li_dir, k, drop_key="bucket",
+                          columns=["l_orderkey", "l_shipdate"])
+        if ot is None or lt is None:
+            return None
+        ot = ot.filter(pc.and_(pc.greater_equal(ot["o_orderdate"], lo),
+                               pc.less(ot["o_orderdate"], hi)))
+        if len(ot) == 0:
+            return None
+        g = lt.group_by("l_orderkey", use_threads=False).aggregate(
+            [("l_shipdate", "max")])
+        idx = pc.index_in(ot["o_orderkey"],
+                          value_set=g["l_orderkey"].combine_chunks())
+        ship = g["l_shipdate_max"].take(idx)
+        keep = pc.and_(pc.is_valid(ship),
+                       pc.greater(ship, ot["o_orderdate"]))
+        c = ot.filter(keep).group_by(
+            "o_orderpriority", use_threads=False).aggregate(
+            [("o_orderpriority", "count")])
+        return pa.table({
+            "o_orderpriority": c["o_orderpriority"],
+            "n": pc.cast(c["o_orderpriority_count"], pa.int64())})
 
-    out = rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
-        bucket_counts, batch_format="pyarrow").to_pandas()
+    out = map_buckets(n_buckets, bucket_counts,
+                      cnt_schema.empty_table()).to_pandas()
     out = _ensure_cols(out, {"o_orderpriority": "str", "n": "int64"})
     agg = out.groupby("o_orderpriority", as_index=False)["n"].sum()
     agg = agg.rename(columns={"n": "order_count"})
@@ -2545,56 +2505,49 @@ def q12_priority_by_linestatus(sf_dir: str,
     (orderkey, linestatus), looks priorities up via ``pc.index_in``
     and rolls up hi/lo per linestatus with ZERO exchanges; the driver
     merges bounded partials. Exact counts."""
-    import ray.data as rd
-
-    from .bucket import _read_bucket
+    from .bucket import _read_bucket, map_buckets
 
     li_dir = _li_buckets(sf_dir, n_buckets)
     ord_dir = _ord_buckets(sf_dir, "o_orderkey", n_buckets)
     lo = pa.scalar(datetime(1999, 1, 1))
     hi = pa.scalar(datetime(2000, 1, 1))
     hi_set = pa.array(["1-URGENT", "2-HIGH"])
+    cnt_schema = pa.schema([("l_linestatus", pa.string()),
+                            ("hi", pa.int64()), ("lo", pa.int64())])
 
-    def bucket_counts(t: pa.Table) -> pa.Table:
-        outs = []
-        for k in np.asarray(t["id"]):
-            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
-                              columns=["l_orderkey", "l_linestatus",
-                                       "l_shipdate"])
-            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
-                              columns=["o_orderkey", "o_orderpriority"])
-            if lt is None or ot is None:
-                continue
-            lt = lt.filter(pc.and_(pc.greater_equal(lt["l_shipdate"], lo),
-                                   pc.less(lt["l_shipdate"], hi)))
-            if len(lt) == 0:
-                continue
-            g = pa.table({"key": lt["l_orderkey"],
-                          "l_linestatus": lt["l_linestatus"]}).group_by(
-                ["key", "l_linestatus"], use_threads=False).aggregate(
-                [("key", "count")])
-            idx = pc.index_in(g["key"],
-                              value_set=ot["o_orderkey"].combine_chunks())
-            prio = ot["o_orderpriority"].take(idx)
-            n = pc.cast(g["key_count"], pa.int64())
-            is_hi = pc.is_in(prio, value_set=hi_set)
-            zero = pa.scalar(0, pa.int64())
-            c = pa.table({
-                "l_linestatus": g["l_linestatus"],
-                "hi": pc.if_else(is_hi, n, zero),
-                "lo": pc.if_else(is_hi, zero, n),
-            }).group_by("l_linestatus", use_threads=False).aggregate(
-                [("hi", "sum"), ("lo", "sum")])
-            outs.append(pa.table({"l_linestatus": c["l_linestatus"],
-                                  "hi": c["hi_sum"], "lo": c["lo_sum"]}))
-        if not outs:
-            return pa.table({"l_linestatus": pa.array([], pa.string()),
-                             "hi": pa.array([], pa.int64()),
-                             "lo": pa.array([], pa.int64())})
-        return pa.concat_tables(outs)
+    def bucket_counts(k: int) -> pa.Table | None:
+        lt = _read_bucket(li_dir, k, drop_key="bucket",
+                          columns=["l_orderkey", "l_linestatus",
+                                   "l_shipdate"])
+        ot = _read_bucket(ord_dir, k, drop_key="bucket",
+                          columns=["o_orderkey", "o_orderpriority"])
+        if lt is None or ot is None:
+            return None
+        lt = lt.filter(pc.and_(pc.greater_equal(lt["l_shipdate"], lo),
+                               pc.less(lt["l_shipdate"], hi)))
+        if len(lt) == 0:
+            return None
+        g = pa.table({"key": lt["l_orderkey"],
+                      "l_linestatus": lt["l_linestatus"]}).group_by(
+            ["key", "l_linestatus"], use_threads=False).aggregate(
+            [("key", "count")])
+        idx = pc.index_in(g["key"],
+                          value_set=ot["o_orderkey"].combine_chunks())
+        prio = ot["o_orderpriority"].take(idx)
+        n = pc.cast(g["key_count"], pa.int64())
+        is_hi = pc.is_in(prio, value_set=hi_set)
+        zero = pa.scalar(0, pa.int64())
+        c = pa.table({
+            "l_linestatus": g["l_linestatus"],
+            "hi": pc.if_else(is_hi, n, zero),
+            "lo": pc.if_else(is_hi, zero, n),
+        }).group_by("l_linestatus", use_threads=False).aggregate(
+            [("hi", "sum"), ("lo", "sum")])
+        return pa.table({"l_linestatus": c["l_linestatus"],
+                         "hi": c["hi_sum"], "lo": c["lo_sum"]})
 
-    out = rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
-        bucket_counts, batch_format="pyarrow").to_pandas()
+    out = map_buckets(n_buckets, bucket_counts,
+                      cnt_schema.empty_table()).to_pandas()
     out = _ensure_cols(out, {"l_linestatus": "str", "hi": "int64",
                              "lo": "int64"})
     agg = out.groupby("l_linestatus", as_index=False).agg(
@@ -2608,43 +2561,36 @@ def _bucket_cust_order_counts(sf_dir: str, n_buckets: int):
     customer_order_counts: orders and customer are both persisted on
     custkey, so every customer's complete order count (including zero)
     resolves inside one bucket task with ZERO exchanges."""
-    import ray.data as rd
-
-    from .bucket import _read_bucket
+    from .bucket import _read_bucket, map_buckets
 
     ord_dir = _ord_buckets(sf_dir, "o_custkey", n_buckets)
     cust_dir = _cust_buckets(sf_dir, n_buckets)
+    cnt_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("n_orders", pa.int64())])
 
-    def bucket_counts(t: pa.Table) -> pa.Table:
-        outs = []
-        for k in np.asarray(t["id"]):
-            ct = _read_bucket(cust_dir, int(k), drop_key="bucket",
-                              columns=["c_custkey"])
-            if ct is None or len(ct) == 0:
-                continue
-            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
-                              columns=["o_custkey"])
-            if ot is None:
-                n = pa.array(np.zeros(len(ct), np.int64))
-            else:
-                g = ot.group_by("o_custkey", use_threads=False).aggregate(
-                    [("o_custkey", "count")])
-                idx = pc.index_in(
-                    pc.cast(ct["c_custkey"], pa.int64()),
-                    value_set=pc.cast(g["o_custkey"],
-                                      pa.int64()).combine_chunks())
-                n = pc.fill_null(
-                    pc.cast(g["o_custkey_count"], pa.int64()).take(idx), 0)
-            outs.append(pa.table({
-                "c_custkey": pc.cast(ct["c_custkey"], pa.int64()),
-                "n_orders": n}))
-        if not outs:
-            return pa.table({"c_custkey": pa.array([], pa.int64()),
-                             "n_orders": pa.array([], pa.int64())})
-        return pa.concat_tables(outs)
+    def bucket_counts(k: int) -> pa.Table | None:
+        ct = _read_bucket(cust_dir, k, drop_key="bucket",
+                          columns=["c_custkey"])
+        if ct is None or len(ct) == 0:
+            return None
+        ot = _read_bucket(ord_dir, k, drop_key="bucket",
+                          columns=["o_custkey"])
+        if ot is None:
+            n = pa.array(np.zeros(len(ct), np.int64))
+        else:
+            g = ot.group_by("o_custkey", use_threads=False).aggregate(
+                [("o_custkey", "count")])
+            idx = pc.index_in(
+                pc.cast(ct["c_custkey"], pa.int64()),
+                value_set=pc.cast(g["o_custkey"],
+                                  pa.int64()).combine_chunks())
+            n = pc.fill_null(
+                pc.cast(g["o_custkey_count"], pa.int64()).take(idx), 0)
+        return pa.table({
+            "c_custkey": pc.cast(ct["c_custkey"], pa.int64()),
+            "n_orders": n})
 
-    return rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
-        bucket_counts, batch_format="pyarrow")
+    return map_buckets(n_buckets, bucket_counts, cnt_schema.empty_table())
 
 
 def q13_customer_distribution(sf_dir: str,
@@ -2692,9 +2638,8 @@ def q8_market_share(sf_dir: str, target_nation: str = "NATION_3",
     import shutil
 
     import ray
-    import ray.data as rd
 
-    from .bucket import _read_bucket, bucket_dataset
+    from .bucket import _read_bucket, bucket_dataset, map_buckets
 
     part = read_arrow(sf_dir, "part", ["p_partkey", "p_type"])
     keep = pc.filter(part["p_partkey"],
@@ -2723,96 +2668,77 @@ def q8_market_share(sf_dir: str, target_nation: str = "NATION_3",
     lo = pa.scalar(datetime(1998, 1, 1))
     hi = pa.scalar(datetime(2000, 1, 1))
 
-    def cust_year_partial(t: pa.Table) -> pa.Table:
+    part_schema = pa.schema([("key", pa.int64()), ("o_year", pa.int64()),
+                             ("rev", pa.float64()), ("rev_t", pa.float64())])
+
+    def cust_year_partial(k: int) -> pa.Table | None:
         keep, target_skeys, _ = bcast_get(dims_ref)
-        outs = []
-        for k in np.asarray(t["id"]):
-            lt = _read_bucket(li_dir, int(k), drop_key="bucket",
-                              columns=["l_orderkey", "l_partkey",
-                                       "l_suppkey", "l_extendedprice",
-                                       "l_discount"])
-            ot = _read_bucket(ord_dir, int(k), drop_key="bucket",
-                              columns=["o_orderkey", "o_custkey",
-                                       "o_orderdate"])
-            if lt is None or ot is None:
-                continue
-            lt = lt.filter(pc.is_in(lt["l_partkey"], value_set=keep))
-            ot = ot.filter(pc.and_(pc.greater_equal(ot["o_orderdate"], lo),
-                                   pc.less(ot["o_orderdate"], hi)))
-            if len(lt) == 0 or len(ot) == 0:
-                continue
-            idx = pc.index_in(lt["l_orderkey"],
-                              value_set=ot["o_orderkey"].combine_chunks())
-            ok = pc.is_valid(idx)
-            lt, idx = lt.filter(ok), idx.filter(ok)
-            if len(lt) == 0:
-                continue
-            rev = pc.multiply(lt["l_extendedprice"],
-                              pc.subtract(pa.scalar(1.0), lt["l_discount"]))
-            is_t = pc.is_in(lt["l_suppkey"], value_set=target_skeys)
-            g = pa.table({
-                "key": ot["o_custkey"].take(idx),
-                "o_year": pc.cast(
-                    pc.year(ot["o_orderdate"].take(idx)), pa.int64()),
-                "rev": rev,
-                "rev_t": pc.if_else(is_t, rev, pa.scalar(0.0)),
-            }).group_by(["key", "o_year"], use_threads=False).aggregate(
-                [("rev", "sum"), ("rev_t", "sum")])
-            outs.append(pa.table({"key": g["key"], "o_year": g["o_year"],
-                                  "rev": g["rev_sum"],
-                                  "rev_t": g["rev_t_sum"]}))
-        if not outs:
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "o_year": pa.array([], pa.int64()),
-                             "rev": pa.array([], pa.float64()),
-                             "rev_t": pa.array([], pa.float64())})
-        return pa.concat_tables(outs)
+        lt = _read_bucket(li_dir, k, drop_key="bucket",
+                          columns=["l_orderkey", "l_partkey",
+                                   "l_suppkey", "l_extendedprice",
+                                   "l_discount"])
+        ot = _read_bucket(ord_dir, k, drop_key="bucket",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_orderdate"])
+        if lt is None or ot is None:
+            return None
+        lt = lt.filter(pc.is_in(lt["l_partkey"], value_set=keep))
+        ot = ot.filter(pc.and_(pc.greater_equal(ot["o_orderdate"], lo),
+                               pc.less(ot["o_orderdate"], hi)))
+        if len(lt) == 0 or len(ot) == 0:
+            return None
+        idx = pc.index_in(lt["l_orderkey"],
+                          value_set=ot["o_orderkey"].combine_chunks())
+        ok = pc.is_valid(idx)
+        lt, idx = lt.filter(ok), idx.filter(ok)
+        if len(lt) == 0:
+            return None
+        rev = pc.multiply(lt["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), lt["l_discount"]))
+        is_t = pc.is_in(lt["l_suppkey"], value_set=target_skeys)
+        g = pa.table({
+            "key": ot["o_custkey"].take(idx),
+            "o_year": pc.cast(
+                pc.year(ot["o_orderdate"].take(idx)), pa.int64()),
+            "rev": rev,
+            "rev_t": pc.if_else(is_t, rev, pa.scalar(0.0)),
+        }).group_by(["key", "o_year"], use_threads=False).aggregate(
+            [("rev", "sum"), ("rev_t", "sum")])
+        return pa.table({"key": g["key"], "o_year": g["o_year"],
+                         "rev": g["rev_sum"], "rev_t": g["rev_t_sum"]})
 
-    partials = rd.range(n_buckets, override_num_blocks=n_buckets
-                        ).map_batches(cust_year_partial,
-                                      batch_format="pyarrow")
-    qdir = bucket_dataset(
-        partials, "key", n_buckets,
-        schema=pa.schema([("key", pa.int64()), ("o_year", pa.int64()),
-                          ("rev", pa.float64()),
-                          ("rev_t", pa.float64())]))
+    partials = map_buckets(n_buckets, cust_year_partial,
+                           part_schema.empty_table())
+    qdir = bucket_dataset(partials, "key", n_buckets, schema=part_schema)
     cust_dir = _cust_buckets(sf_dir, n_buckets)
+    roll_schema = pa.schema([("o_year", pa.int64()), ("rev", pa.float64()),
+                             ("rev_t", pa.float64())])
 
-    def region_rollup(t: pa.Table) -> pa.Table:
+    def region_rollup(k: int) -> pa.Table | None:
         _, _, region_nkeys = bcast_get(dims_ref)
-        outs = []
-        for k in np.asarray(t["id"]):
-            pt = _read_bucket(qdir, int(k), drop_key="bucket",
-                              columns=["key", "o_year", "rev", "rev_t"])
-            if pt is None or len(pt) == 0:
-                continue
-            ct = _read_bucket(cust_dir, int(k), drop_key="bucket",
-                              columns=["c_custkey", "c_nationkey"])
-            if ct is None:
-                continue
-            ct = ct.filter(pc.is_in(ct["c_nationkey"],
-                                    value_set=region_nkeys))
-            pt = pt.filter(pc.is_in(
-                pt["key"],
-                value_set=pc.cast(ct["c_custkey"],
-                                  pa.int64()).combine_chunks()))
-            if len(pt) == 0:
-                continue
-            g = pt.group_by("o_year", use_threads=False).aggregate(
-                [("rev", "sum"), ("rev_t", "sum")])
-            outs.append(pa.table({"o_year": g["o_year"],
-                                  "rev": g["rev_sum"],
-                                  "rev_t": g["rev_t_sum"]}))
-        if not outs:
-            return pa.table({"o_year": pa.array([], pa.int64()),
-                             "rev": pa.array([], pa.float64()),
-                             "rev_t": pa.array([], pa.float64())})
-        return pa.concat_tables(outs)
+        pt = _read_bucket(qdir, k, drop_key="bucket",
+                          columns=["key", "o_year", "rev", "rev_t"])
+        if pt is None or len(pt) == 0:
+            return None
+        ct = _read_bucket(cust_dir, k, drop_key="bucket",
+                          columns=["c_custkey", "c_nationkey"])
+        if ct is None:
+            return None
+        ct = ct.filter(pc.is_in(ct["c_nationkey"], value_set=region_nkeys))
+        pt = pt.filter(pc.is_in(
+            pt["key"],
+            value_set=pc.cast(ct["c_custkey"],
+                              pa.int64()).combine_chunks()))
+        if len(pt) == 0:
+            return None
+        g = pt.group_by("o_year", use_threads=False).aggregate(
+            [("rev", "sum"), ("rev_t", "sum")])
+        return pa.table({"o_year": g["o_year"], "rev": g["rev_sum"],
+                         "rev_t": g["rev_t_sum"]})
 
     try:
-        out = rd.range(n_buckets, override_num_blocks=n_buckets
-                       ).map_batches(region_rollup,
-                                     batch_format="pyarrow").to_pandas()
+        out = map_buckets(n_buckets, region_rollup,
+                          roll_schema.empty_table()).to_pandas()
     finally:
         shutil.rmtree(qdir, ignore_errors=True)
     out = _ensure_cols(out, {"o_year": "int64", "rev": "float64",

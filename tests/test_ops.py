@@ -591,3 +591,23 @@ def test_bucket_routed_empty_result_returns_typed_empty(ray_session):
     assert len(df) == 0
     assert list(df.columns) == ["c_name", "c_custkey", "o_orderkey",
                                 "o_orderdate", "o_totalprice", "sum_qty"]
+
+
+def test_minhash_empty_documents_returns_typed_empty(ray_session, tmp_path):
+    """An empty documents table must yield an empty (a, b) frame — the
+    persisted band-row index publishes an explicit empty bucket instead
+    of crashing in os.replace (code-review round-3 finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doonop_ray.ops.dedup import minhash_lsh_pairs
+
+    pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64())}),
+                   f"{tmp_path}/documents.parquet")
+    df = minhash_lsh_pairs(str(tmp_path))
+    assert len(df) == 0
+    assert list(df.columns) == ["a", "b"]
