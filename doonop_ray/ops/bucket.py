@@ -228,7 +228,6 @@ def bucketed_join(left_dir: str, right_dir: str, key: str,
     pass that rollup here instead. ``finalize`` must return the same
     schema for every bucket (including the empty one).
     """
-    import ray.data as rd
 
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"how={how!r}")
@@ -273,21 +272,16 @@ def bucketed_join(left_dir: str, right_dir: str, key: str,
                 cols[c] = rt[c].take(idx)
         return pa.table(cols)
 
-    def join_bucket(t: pa.Table) -> pa.Table:
-        outs = []
-        for k in np.asarray(t["id"]):
-            bt = one_bucket(int(k))
-            if bt is None:
-                continue
-            bt = bt.cast(out_schema)
-            outs.append(finalize(bt) if finalize is not None else bt)
-        if not outs:
-            empty = out_schema.empty_table()
-            return finalize(empty) if finalize is not None else empty
-        return pa.concat_tables(outs)
+    def join_bucket(k: int) -> pa.Table | None:
+        bt = one_bucket(k)
+        if bt is None:
+            return None
+        bt = bt.cast(out_schema)
+        return finalize(bt) if finalize is not None else bt
 
-    return (rd.range(n_buckets, override_num_blocks=n_buckets)
-              .map_batches(join_bucket, batch_format="pyarrow"))
+    empty = out_schema.empty_table()
+    return map_buckets(n_buckets, join_bucket,
+                       finalize(empty) if finalize is not None else empty)
 
 
 def order_revenue_by_segment_bucketed(sf_dir: str, n_buckets: int = 32):

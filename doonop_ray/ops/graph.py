@@ -282,7 +282,8 @@ def pagerank_customer_supplier(sf_dir: str, n_iters: int = 5,
 
     edges = dedup.map_batches(sym, batch_format="pyarrow")
     out = pagerank(edges, n_iters=n_iters, damping=damping,
-                   fast_threshold=fast_threshold, method=method).to_pandas()
+                   fast_threshold=fast_threshold, method=method,
+                   n_buckets=n_buckets).to_pandas()
     if out.empty:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "rank_rel": pd.Series([], dtype="float64")})
@@ -435,6 +436,7 @@ def _pagerank_bucketed(edges, nodes, n: int, n_iters: int,
                 map_buckets(n_buckets, contrib,
                             contrib_schema.empty_table()),
                 "node", n_buckets, schema=contrib_schema)
+            stale.append(cdir)
 
             def reduce_(k: int, cdir=cdir, rdir=rdir) -> pa.Table | None:
                 ct = _read_bucket(cdir, k, drop_key="bucket",
@@ -456,6 +458,7 @@ def _pagerank_bucketed(edges, nodes, n: int, n_iters: int,
                 map_buckets(n_buckets, reduce_,
                             rank_schema.empty_table()),
                 "node", n_buckets, schema=rank_schema)
+            stale.append(rdir_next)
             # O(1) dirs on disk (review: O(n_iters) node-sized dirs would
             # accumulate on the path built for node sets too big for
             # memory): the superseded rank dir and the consumed
