@@ -34,10 +34,25 @@ import pyarrow.compute as pc
 from .common import grouped_apply
 
 
-def connected_components(nodes_ds, edges_ds, max_iters: int = 50):
+def connected_components(nodes_ds, edges_ds, max_iters: int = 50,
+                         method: str = "auto",
+                         bucket_threshold: int = 200_000,
+                         n_buckets: int = 32):
     """(node:int64) + (a:int64, b:int64) datasets → (node, component)
     Dataset, component = min node id reachable. Nodes absent from every
-    edge keep themselves as component."""
+    edge keep themselves as component.
+
+    ``method``: "cogroup" (default below ``bucket_threshold`` nodes —
+    the union-sort shape described above), or "bucketed" — the same
+    edge-pinned layout as ``pagerank``: edges/labels hash-bucketed to
+    storage once, each round exchanges only node-sized (node, label)
+    messages and the convergence check is one node-sized column scan.
+    "auto" routes by node count. Both paths pinned equal in tests."""
+    if method not in ("auto", "cogroup", "bucketed"):
+        raise ValueError(f"method={method!r}")
+    if method == "bucketed" or (
+            method == "auto" and nodes_ds.count() > bucket_threshold):
+        return _cc_bucketed(nodes_ds, edges_ds, max_iters, n_buckets)
 
     def init_labels(t: pa.Table) -> pa.Table:
         node = t["node"].combine_chunks()
@@ -471,6 +486,116 @@ def _pagerank_bucketed(edges, nodes, n: int, n_iters: int,
         out = rd.read_parquet(
             rdir, columns=["node", "rank"],
             file_extensions=["parquet"]).materialize()
+    finally:
+        for d in stale:
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+def _cc_bucketed(nodes_ds, edges_ds, max_iters: int, n_buckets: int):
+    """Edge-pinned connected components (the ``pagerank`` bucketed
+    layout applied to min-label propagation): symmetric edges bucket to
+    storage ONCE by src; labels live in an aligned node-bucketed dir.
+    Per round — two streaming pipelines, zero sorts:
+
+    1. msg: per bucket task, join labels→edges via ``pc.index_in`` and
+       emit per-task min label per DESTINATION; exchange the node-sized
+       (node, lbl) messages by dst through one ``bucket_dataset`` write;
+    2. reduce: per bucket task, min(own label, received mins) — nodes
+       with no messages (isolated, or already at the fixed point of
+       their neighborhood) keep their own label — written as the next
+       label dir (rows already in their home bucket: local write).
+
+    Convergence = unchanged label sum, read from the new dir's label
+    column (node-sized scan, no driver graph structure). Consumed dirs
+    are deleted every round (O(1) dirs on disk)."""
+    import shutil
+
+    import ray.data as rd
+
+    from .bucket import _read_bucket, bucket_dataset, map_buckets
+
+    lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    edir = bucket_dataset(
+        edges_ds.map_batches(
+            lambda t: (lambda a, b: pa.table({
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a])}))(
+                t["a"].combine_chunks().cast(pa.int64()),
+                t["b"].combine_chunks().cast(pa.int64())),
+            batch_format="pyarrow"),
+        "src", n_buckets,
+        schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
+    ldir = bucket_dataset(
+        nodes_ds.map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t["node"], pa.int64()),
+                "label": pc.cast(t["node"], pa.int64())}),
+            batch_format="pyarrow"),
+        "node", n_buckets, schema=lbl_schema)
+    stale = [edir, ldir]
+    prev_sum = None
+    try:
+        for _ in range(max_iters):
+            def msg(k: int, ldir=ldir) -> pa.Table | None:
+                et = _read_bucket(edir, k, drop_key="bucket",
+                                  columns=["src", "dst"])
+                lt = _read_bucket(ldir, k, drop_key="bucket",
+                                  columns=["node", "label"])
+                if et is None or lt is None or len(et) == 0:
+                    return None
+                idx = pc.index_in(et["src"],
+                                  value_set=lt["node"].combine_chunks())
+                g = pa.table({"node": et["dst"],
+                              "label": lt["label"].take(idx)}).group_by(
+                    "node", use_threads=False).aggregate([("label", "min")])
+                return pa.table({"node": g["node"], "label": g["label_min"]})
+
+            mdir = bucket_dataset(
+                map_buckets(n_buckets, msg, lbl_schema.empty_table()),
+                "node", n_buckets, schema=lbl_schema)
+            stale.append(mdir)
+
+            def reduce_(k: int, mdir=mdir, ldir=ldir) -> pa.Table | None:
+                lt = _read_bucket(ldir, k, drop_key="bucket",
+                                  columns=["node", "label"])
+                if lt is None or len(lt) == 0:
+                    return None
+                mt = _read_bucket(mdir, k, drop_key="bucket",
+                                  columns=["node", "label"])
+                if mt is None or len(mt) == 0:
+                    return lt
+                g = mt.group_by("node", use_threads=False).aggregate(
+                    [("label", "min")])
+                idx = pc.index_in(lt["node"],
+                                  value_set=g["node"].combine_chunks())
+                heard = g["label_min"].take(idx)
+                new = pc.min_element_wise(
+                    lt["label"], pc.fill_null(heard, np.iinfo(np.int64).max))
+                return pa.table({"node": lt["node"], "label": new})
+
+            ldir_next = bucket_dataset(
+                map_buckets(n_buckets, reduce_, lbl_schema.empty_table()),
+                "node", n_buckets, schema=lbl_schema)
+            stale.append(ldir_next)
+            shutil.rmtree(mdir, ignore_errors=True)
+            shutil.rmtree(ldir, ignore_errors=True)
+            stale = [edir, ldir_next]
+            ldir = ldir_next
+
+            cur_sum = rd.read_parquet(
+                ldir, columns=["label"],
+                file_extensions=["parquet"]).sum("label")
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+
+        out = rd.read_parquet(
+            ldir, columns=["node", "label"],
+            file_extensions=["parquet"]).map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "component": t["label"]}),
+            batch_format="pyarrow").materialize()
     finally:
         for d in stale:
             shutil.rmtree(d, ignore_errors=True)

@@ -611,3 +611,33 @@ def test_minhash_empty_documents_returns_typed_empty(ray_session, tmp_path):
     df = minhash_lsh_pairs(str(tmp_path))
     assert len(df) == 0
     assert list(df.columns) == ["a", "b"]
+
+
+def test_connected_components_bucketed_matches_cogroup(ray_session):
+    """The edge-pinned bucketed CC path (pagerank's layout applied to
+    min-label propagation) must reach the same fixed point as the
+    union-cogroup path, including isolated nodes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.graph import connected_components
+
+    rng = np.random.default_rng(3)
+    nodes = pa.table({"node": pa.array(np.arange(500), pa.int64())})
+    a, b = [], []
+    for base in (0, 170, 340):
+        ids = np.arange(base, base + 150)
+        for _ in range(200):
+            x, y = rng.choice(ids, 2, replace=False)
+            a.append(int(x))
+            b.append(int(y))
+    edges = pa.table({"a": pa.array(a, pa.int64()),
+                      "b": pa.array(b, pa.int64())})
+    cog = connected_components(
+        rd.from_arrow(nodes), rd.from_arrow(edges), method="cogroup"
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    buc = connected_components(
+        rd.from_arrow(nodes), rd.from_arrow(edges), method="bucketed"
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    assert cog.equals(buc)
