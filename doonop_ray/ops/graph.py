@@ -47,9 +47,16 @@ def connected_components(nodes_ds, edges_ds, max_iters: int = 50,
     edge-pinned layout as ``pagerank``: edges/labels hash-bucketed to
     storage once, each round exchanges only node-sized (node, label)
     messages and the convergence check is one node-sized column scan.
-    "auto" routes by node count. Both paths pinned equal in tests."""
+    "auto" routes by node count. Both paths pinned equal in tests,
+    including edge endpoints absent from ``nodes_ds`` (both treat them
+    as implicit nodes) and duplicate node rows (both emit one row per
+    node)."""
     if method not in ("auto", "cogroup", "bucketed"):
         raise ValueError(f"method={method!r}")
+    if method == "auto":
+        # materialize once so the routing count does not re-execute the
+        # caller's upstream pipeline in the chosen path (review round-3)
+        nodes_ds = nodes_ds.materialize()
     if method == "bucketed" or (
             method == "auto" and nodes_ds.count() > bucket_threshold):
         return _cc_bucketed(nodes_ds, edges_ds, max_iters, n_buckets)
@@ -515,24 +522,46 @@ def _cc_bucketed(nodes_ds, edges_ds, max_iters: int, n_buckets: int):
     from .bucket import _read_bucket, bucket_dataset, map_buckets
 
     lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    edges_ds = edges_ds.materialize()  # consumed twice: edges + endpoints
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
 
     edir = bucket_dataset(
-        edges_ds.map_batches(
-            lambda t: (lambda a, b: pa.table({
-                "src": pa.concat_arrays([a, b]),
-                "dst": pa.concat_arrays([b, a])}))(
-                t["a"].combine_chunks().cast(pa.int64()),
-                t["b"].combine_chunks().cast(pa.int64())),
-            batch_format="pyarrow"),
+        edges_ds.map_batches(sym, batch_format="pyarrow"),
         "src", n_buckets,
         schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
+
+    # label universe = nodes ∪ edge endpoints (cogroup parity: endpoints
+    # absent from nodes_ds are implicit nodes), deduped per bucket so
+    # duplicate node rows emit one output row — both review round-3
+    def as_node(col):
+        return lambda t: pa.table({"node": pc.cast(t[col], pa.int64())})
+
+    raw = bucket_dataset(
+        nodes_ds.map_batches(as_node("node"), batch_format="pyarrow")
+        .union(edges_ds.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays([
+                t["a"].combine_chunks().cast(pa.int64()),
+                t["b"].combine_chunks().cast(pa.int64())])}),
+            batch_format="pyarrow")),
+        "node", n_buckets,
+        schema=pa.schema([("node", pa.int64())]))
+
+    def init_bucket(k: int) -> pa.Table | None:
+        nt = _read_bucket(raw, k, drop_key="bucket", columns=["node"])
+        if nt is None or len(nt) == 0:
+            return None
+        u = nt.group_by("node", use_threads=False).aggregate([])
+        return pa.table({"node": u["node"], "label": u["node"]})
+
     ldir = bucket_dataset(
-        nodes_ds.map_batches(
-            lambda t: pa.table({
-                "node": pc.cast(t["node"], pa.int64()),
-                "label": pc.cast(t["node"], pa.int64())}),
-            batch_format="pyarrow"),
+        map_buckets(n_buckets, init_bucket, lbl_schema.empty_table()),
         "node", n_buckets, schema=lbl_schema)
+    shutil.rmtree(raw, ignore_errors=True)
     stale = [edir, ldir]
     prev_sum = None
     try:

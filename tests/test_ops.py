@@ -624,7 +624,10 @@ def test_connected_components_bucketed_matches_cogroup(ray_session):
     from doonop_ray.ops.graph import connected_components
 
     rng = np.random.default_rng(3)
-    nodes = pa.table({"node": pa.array(np.arange(500), pa.int64())})
+    # duplicate node rows (each id twice) — both paths must emit one
+    # output row per distinct node
+    node_ids = np.concatenate([np.arange(500), np.arange(0, 500, 2)])
+    nodes = pa.table({"node": pa.array(node_ids, pa.int64())})
     a, b = [], []
     for base in (0, 170, 340):
         ids = np.arange(base, base + 150)
@@ -632,6 +635,9 @@ def test_connected_components_bucketed_matches_cogroup(ray_session):
             x, y = rng.choice(ids, 2, replace=False)
             a.append(int(x))
             b.append(int(y))
+    # edge endpoints absent from nodes_ds (>=500) — implicit nodes
+    a += [600, 601]
+    b += [601, 17]
     edges = pa.table({"a": pa.array(a, pa.int64()),
                       "b": pa.array(b, pa.int64())})
     cog = connected_components(
@@ -641,3 +647,10 @@ def test_connected_components_bucketed_matches_cogroup(ray_session):
         rd.from_arrow(nodes), rd.from_arrow(edges), method="bucketed"
     ).to_pandas().sort_values("node").reset_index(drop=True)
     assert cog.equals(buc)
+    # one row per distinct node incl. the two implicit edge endpoints
+    assert len(cog) == 502
+    assert cog["node"].is_unique
+    # implicit endpoints joined node 17's component
+    comp17 = cog.loc[cog["node"] == 17, "component"].iloc[0]
+    assert (cog.loc[cog["node"].isin([600, 601]),
+                    "component"] == comp17).all()
