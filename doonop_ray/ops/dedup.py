@@ -107,10 +107,85 @@ _NORM = _NormTable()
 
 
 def _token_shingles(text: str, k: int) -> set[int]:
+    """Per-doc reference shingler: same definition as the vectorized
+    ``_batch_shingles`` (polynomial over per-token hashes), written as
+    an independent loop so the parity test is meaningful. Used by the
+    exact-verify scan and the brute-force test oracle."""
     toks = text.lower().translate(_NORM).split()
+    if not toks:
+        return set()
+    hs = _fold61(np.asarray([hash_bytes(w) for w in toks], dtype=np.uint64))
     if len(toks) < k:
-        return {hash_bytes(" ".join(toks))} if toks else set()
-    return {hash_bytes(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+        windows = [hs]
+    else:
+        windows = [hs[i:i + k] for i in range(len(toks) - k + 1)]
+    out = set()
+    for w in windows:
+        acc = _SH_C + _mulmod61(_SH_R[0:1], w[0:1])
+        for j in range(1, len(w)):
+            acc = _fold61(acc) + _mulmod61(_SH_R[j:j + 1], w[j:j + 1])
+        out.add(int(_fold61(acc)[0]))
+    return out
+
+
+def _ragged_arange(counts: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Concatenate the ranges [starts[i], starts[i]+counts[i])."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    rep_off = np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])),
+                        counts)
+    return (np.arange(total, dtype=np.int64) - rep_off
+            + np.repeat(starts, counts))
+
+
+def _batch_shingles(texts: list[str], k: int):
+    """Vectorized shingle hashes for a batch of texts.
+
+    Shingle hash = fold61(C + Σ_j R_j·tokhash_{i+j} mod 2⁶¹−1) over each
+    k-token window — a universal polynomial over per-token blake2b
+    hashes, replacing blake2b over every joined shingle string (one
+    digest per DISTINCT token in the batch instead of one per shingle;
+    the cold index build was dominated by those digests). Short docs
+    (0 < tokens < k) hash their full token run with the same R prefix,
+    mirroring the old join-all fallback. Returns (per-doc shingle
+    counts int64[n], concatenated shingle hashes uint64[Σcounts]) in
+    doc order; within-doc duplicates are NOT removed (the min/set
+    consumers are unaffected).
+    """
+    cache: dict[str, int] = {}
+    tok_h: list[int] = []
+    tc = np.empty(len(texts), np.int64)
+    for i, text in enumerate(texts):
+        toks = text.lower().translate(_NORM).split()
+        tc[i] = len(toks)
+        for w in toks:
+            h = cache.get(w)
+            if h is None:
+                h = hash_bytes(w)
+                cache[w] = h
+            tok_h.append(h)
+    x = (_fold61(np.asarray(tok_h, dtype=np.uint64)) if tok_h
+         else np.empty(0, np.uint64))
+    off = np.concatenate(([0], np.cumsum(tc)[:-1]))
+    wc = np.where(tc == 0, 0, np.maximum(1, tc - k + 1))
+    out = np.empty(int(wc.sum()), np.uint64)
+    out_off = np.concatenate(([0], np.cumsum(wc)[:-1]))
+    full = tc >= k
+    if full.any():
+        starts = _ragged_arange(wc[full], off[full])
+        # acc stays < 2^62 between folds: fold61(·) < 2^61, mulmod < 2^61
+        acc = _SH_C + _mulmod61(_SH_R[0], x[starts])
+        for j in range(1, k):
+            acc = _fold61(acc) + _mulmod61(_SH_R[j], x[starts + j])
+        out[_ragged_arange(wc[full], out_off[full])] = _fold61(acc)
+    for i in np.flatnonzero((tc > 0) & (tc < k)):
+        xs = x[off[i]:off[i] + tc[i]]
+        acc = _SH_C + _mulmod61(_SH_R[0:1], xs[0:1])
+        for j in range(1, int(tc[i])):
+            acc = _fold61(acc) + _mulmod61(_SH_R[j:j + 1], xs[j:j + 1])
+        out[out_off[i]] = _fold61(acc)[0]
+    return wc, out
 
 
 def hash_bytes(s: str) -> int:
@@ -126,6 +201,11 @@ def _minhash_params(num_perm: int, seed: int = 7):
 
 _M61 = np.uint64(MERSENNE)
 _MASK31 = np.uint64((1 << 31) - 1)
+
+# fixed coefficients of the shingle polynomial (supports shingle_k <= 32)
+_SH_RNG = np.random.default_rng(23)
+_SH_R = _SH_RNG.integers(1, MERSENNE, 32, dtype=np.int64).astype(np.uint64)
+_SH_C = np.uint64(int(_SH_RNG.integers(0, MERSENNE)))
 
 
 def _fold61(v: np.ndarray) -> np.ndarray:
@@ -215,15 +295,10 @@ def minhash_lsh_pairs(
 
     def _batch_minhash(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
-        counts, all_h = [], []
-        for text in t["text"].to_pylist():
-            sh = _token_shingles(text, shingle_k)
-            counts.append(len(sh))
-            all_h.extend(sh)
+        counts, x = _batch_shingles(t["text"].to_pylist(), shingle_k)
         n = len(ids)
-        counts = np.asarray(counts, dtype=np.int64)
-        if all_h:
-            x = _fold61(np.asarray(all_h, dtype=np.uint64))
+        if len(x):
+            # x already < 2^61 (folded inside _batch_shingles)
             vals = _fold61(_mulmod61(a_p[:, None], x[None, :]) + b_p[:, None])
             # sentinel max column: an empty TRAILING doc would otherwise
             # put an offset == len (reduceat IndexError); the sentinel is
@@ -270,7 +345,7 @@ def minhash_lsh_pairs(
     st = os.stat(src)
     tag = hashlib.blake2b(
         f"{src}:{st.st_size}:{st.st_mtime_ns}:{num_perm}:{bands}:"
-        f"{shingle_k}:{idx_buckets}:mhidx-v1".encode(),
+        f"{shingle_k}:{idx_buckets}:mhidx-v2".encode(),
         digest_size=8).hexdigest()
     idx_dir = f"{_BUCKET_ROOT}/mhidx_{tag}"
     if not os.path.isdir(idx_dir):

@@ -228,6 +228,25 @@ def test_grouped_aggregate_boundary_exactness(ray_session):
         assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
 
 
+def test_batch_shingles_equals_per_doc_reference():
+    # the vectorized polynomial shingler must equal the independent
+    # per-doc loop on every edge shape: empty, short (<k), exact-k,
+    # long, repeated tokens, punctuation-only
+    from doonop_ray.ops.dedup import _batch_shingles, _token_shingles
+
+    texts = ["", "one", "one two", "one two three",
+             "the quick brown fox jumps over the lazy dog",
+             "a a a a a", "?!.,", "Mixed CASE tokens, with punct!"]
+    for k in (2, 3, 5):
+        counts, flat = _batch_shingles(texts, k)
+        pos = 0
+        for text, c in zip(texts, counts):
+            got = set(flat[pos:pos + c].tolist())
+            pos += c
+            assert got == _token_shingles(text, k), (text, k)
+        assert pos == len(flat)
+
+
 def test_batched_minhash_equals_per_doc_reference():
     # the reduceat-batched signature path must equal the per-doc
     # reference implementation exactly
