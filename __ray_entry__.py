@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index_violations": checks.ivf_index_violations,
         "training_dataset_violations":
             checks.training_dataset_violations,
+        "audio_feature_violations": checks.audio_feature_violations,
+        "video_sampling_violations": checks.video_sampling_violations,
+        "image_resize_violations": checks.image_resize_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -985,6 +988,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE FALSE
         """,
         "training_dataset_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "audio_feature_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS audio_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "video_sampling_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS video_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "image_resize_violations": """
             SELECT CAST(NULL AS VARCHAR) AS image_id,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE

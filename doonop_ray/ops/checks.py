@@ -478,3 +478,106 @@ def training_dataset_violations(sf_dir: str) -> pd.DataFrame:
             ignore_index=True)
     return finish(out.astype({"image_id": "str", "kind": "str"}),
                   ["image_id", "kind"])
+
+
+def audio_feature_violations(sf_dir: str) -> pd.DataFrame:
+    """The audio featurizer's outputs must satisfy invariants that are
+    recomputable from the media table's METADATA alone (no decode):
+    duration_s == n_samples / sample_rate (independent float64
+    arithmetic), 0 <= rms <= peak <= 1 (pcm16 normalization bound),
+    0 <= zcr <= 1, and exactly one output row per input clip. Returns
+    (audio_id, kind) violation rows — expected empty. Tier-sized media
+    tables (<= 500 clips), so the driver-side compare is O(output)."""
+    from .multimodal import _tier_n, audio_features, media_table
+
+    feats = audio_features(sf_dir).set_index("audio_id")
+    meta = media_table("audio", _tier_n(sf_dir)).select(
+        ["audio_id", "sample_rate", "n_samples"]).to_pandas()
+    bad_id, bad_kind = [], []
+    if feats.index.has_duplicates or len(feats) != len(meta):
+        bad_id.append("<cardinality>")
+        bad_kind.append("rows")
+    for _, m in meta.iterrows():
+        aid = m["audio_id"]
+        if aid not in feats.index:
+            bad_id.append(aid)
+            bad_kind.append("missing")
+            continue
+        f = feats.loc[aid]
+        exp_dur = round(float(m["n_samples"]) / float(m["sample_rate"]), 6)
+        if abs(f["duration_s"] - exp_dur) > 1e-9:
+            bad_id.append(aid)
+            bad_kind.append("duration")
+        if not (0.0 <= f["rms"] <= f["peak"] <= 1.0):
+            bad_id.append(aid)
+            bad_kind.append("amplitude")
+        if not (0.0 <= f["zcr"] <= 1.0):
+            bad_id.append(aid)
+            bad_kind.append("zcr")
+    return finish(pd.DataFrame({
+        "audio_id": pd.Series(bad_id, dtype="str"),
+        "kind": pd.Series(bad_kind, dtype="str")}), ["audio_id", "kind"])
+
+
+def video_sampling_violations(sf_dir: str) -> pd.DataFrame:
+    """The frame sampler must emit EXACTLY the frames
+    range(0, n_frames, every) per clip — recomputed here from the media
+    table's n_frames metadata, not from the sampler — with channel
+    means inside [0, 255]. Returns (video_id, kind) violation rows —
+    expected empty."""
+    from .multimodal import _tier_n, media_table, video_frame_means
+
+    n = max(20, _tier_n(sf_dir) // 5)
+    got = video_frame_means(sf_dir)
+    meta = media_table("video", n).select(
+        ["video_id", "n_frames"]).to_pandas()
+    by_vid = {v: set(g["frame_idx"]) for v, g in got.groupby("video_id")}
+    bad_id, bad_kind = [], []
+    for _, m in meta.iterrows():
+        vid = m["video_id"]
+        expect = set(range(0, int(m["n_frames"]), 4))
+        if by_vid.pop(vid, None) != expect:
+            bad_id.append(vid)
+            bad_kind.append("frames")
+    for vid in by_vid:  # output rows for ids not in the input
+        bad_id.append(vid)
+        bad_kind.append("extra")
+    means = got[["mean_r", "mean_g", "mean_b"]].to_numpy()
+    for vid in got.loc[((means < 0) | (means > 255)).any(axis=1),
+                       "video_id"].unique():
+        bad_id.append(vid)
+        bad_kind.append("range")
+    return finish(pd.DataFrame({
+        "video_id": pd.Series(bad_id, dtype="str"),
+        "kind": pd.Series(bad_kind, dtype="str")}), ["video_id", "kind"])
+
+
+def image_resize_violations(sf_dir: str) -> pd.DataFrame:
+    """The resize stage's reported source dims must equal the crawl
+    world's image metadata (w, h) per image_id — the decode round-trip
+    preserving the stored geometry — with resized channel means inside
+    [0, 255] and one row per image. Returns (image_id, kind) violation
+    rows — expected empty."""
+    from ..pipelines.flagship import world_for
+    from .multimodal import image_resize_means
+
+    got = image_resize_means(sf_dir).set_index("image_id")
+    meta = world_for(sf_dir).images.select(
+        ["image_id", "w", "h"]).to_pandas().set_index("image_id")
+    bad_id, bad_kind = [], []
+    if got.index.has_duplicates or len(got) != len(meta):
+        bad_id.append("<cardinality>")
+        bad_kind.append("rows")
+    joined = meta.join(got, how="left")
+    dim_bad = joined[(joined["src_w"] != joined["w"])
+                     | (joined["src_h"] != joined["h"])]
+    for iid in dim_bad.index:
+        bad_id.append(iid)
+        bad_kind.append("dims")
+    means = got[["mean_r", "mean_g", "mean_b"]].to_numpy()
+    for iid in got.index[((means < 0) | (means > 255)).any(axis=1)]:
+        bad_id.append(iid)
+        bad_kind.append("range")
+    return finish(pd.DataFrame({
+        "image_id": pd.Series(bad_id, dtype="str"),
+        "kind": pd.Series(bad_kind, dtype="str")}), ["image_id", "kind"])

@@ -61,6 +61,8 @@ SQL_QUERIES = [
     "q11_important_parts", "q16_supplier_counts",
     "q20_dominant_suppliers", "q21_waiting_suppliers",
     "ivf_index_violations", "training_dataset_violations",
+    "audio_feature_violations", "video_sampling_violations",
+    "image_resize_violations",
     "q18_large_volume_allshuffle", "q10_returned_items_allshuffle",
     "q21_waiting_suppliers_allshuffle", "q4_order_priority_allshuffle",
     "q12_priority_by_linestatus_allshuffle",
