@@ -945,37 +945,54 @@ class RayCrawler:
             _t["loops"] += 1
             if self._stop_requested:
                 break
-            _t0 = time.monotonic()
-            got = ray.get(drains)
-            _t["drain"] += time.monotonic() - _t0
+            # consume drains AS THEY COMPLETE: a frontier shard that is
+            # busy absorbing pushes answers its drain late, and waiting
+            # for all shards (the old ray.get(drains)) gated every
+            # chunk submission on the slowest one — measured 3.7 s of a
+            # 7.2 s 32-way scaleh crawl blocked there. The mixed wait
+            # also absorbs finished chunks while drains are in flight,
+            # so the window has room by the time entries arrive.
+            pending = set(drains)
             drains = []
             n_new = 0
-            # tail shaping: when a poll drains less than a full cohort,
-            # split it into finer chunks so the stragglers spread over
-            # every core instead of a few long chunk tasks
-            total_polled = sum(len(e) for e in got)
-            rows_this_poll = (
-                chunk_rows if total_polled >= chunk_rows * max(2, cfg.engines // 2)
-                else max(32, chunk_rows // 4)
-            )
-            for entries in got:
-                for i in range(0, len(entries), rows_this_poll):
-                    # the window caps SUBMISSION, not just outstanding
-                    # count — already-submitted tasks that block on the
-                    # cold broadcast get over-spawn workers regardless of
-                    # any later wait
-                    while len(inflight) >= (
-                        window_full if absorbed_chunks >= cfg.engines
-                        else window_ramp
-                    ):
-                        _t0 = time.monotonic()
-                        done, _ = ray.wait(list(inflight), num_returns=1)
-                        inflight.difference_update(done)
-                        absorb(done)
-                        _t["wait"] += time.monotonic() - _t0
-                    inflight.add(chunk_task.remote(
-                        entries[i:i + rows_this_poll], [fns_ref]))
-                    n_new += 1
+            # tail shaping, per shard: when a shard's drain comes back
+            # under its share of a full cohort, split it into finer
+            # chunks so the stragglers spread over every core instead of
+            # a few long chunk tasks
+            shard_cohort = max(1, (chunk_rows * max(2, cfg.engines // 2))
+                               // n_shards)
+            while pending:
+                _t0 = time.monotonic()
+                ready, _ = ray.wait(list(pending) + list(inflight),
+                                    num_returns=1)
+                _t["drain"] += time.monotonic() - _t0
+                for r in ready:
+                    if r not in pending:
+                        inflight.discard(r)
+                        absorb([r])
+                        continue
+                    pending.discard(r)
+                    entries = ray.get(r)
+                    rows_this = (chunk_rows if len(entries) >= shard_cohort
+                                 else max(32, chunk_rows // 4))
+                    for i in range(0, len(entries), rows_this):
+                        # the window caps SUBMISSION, not just
+                        # outstanding count — already-submitted tasks
+                        # that block on the cold broadcast over-spawn
+                        # workers regardless of any later wait
+                        while len(inflight) >= (
+                            window_full if absorbed_chunks >= cfg.engines
+                            else window_ramp
+                        ):
+                            _t0 = time.monotonic()
+                            done, _ = ray.wait(list(inflight),
+                                               num_returns=1)
+                            inflight.difference_update(done)
+                            absorb(done)
+                            _t["wait"] += time.monotonic() - _t0
+                        inflight.add(chunk_task.remote(
+                            entries[i:i + rows_this], [fns_ref]))
+                        n_new += 1
             _t["chunks"] += n_new
             if inflight:
                 _t0 = time.monotonic()
