@@ -446,13 +446,24 @@ def minhash_lsh_pairs(
 
     def shingle_pair_rows(t: pa.Table) -> pa.Table:
         mem = bcast_get(mref)
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        # shingle ONLY member docs, all at once via the vectorized
+        # batch shingler (the per-doc `_token_shingles` loop here cost
+        # ~5 ms/doc in window-sized numpy ops — 80% of the warm query)
+        sel = [(d, x) for d, x in zip(ids, texts) if mem.get(d)]
+        if not sel:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "sh": pa.array([], sh_type)})
+        wc, hashes = _batch_shingles([x for _, x in sel], shingle_k)
+        offs = np.concatenate(([0], np.cumsum(wc)))
         out_pair, out_doc, out_sh = [], [], []
-        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            lst = mem.get(d)
-            if not lst:
-                continue
-            sh = sorted(_token_shingles(text, shingle_k))
-            for pi in lst:
+        for i, (d, _) in enumerate(sel):
+            # sorted-unique = the shingle SET (duplicates dropped), so
+            # verify can use assume_unique intersections
+            sh = np.unique(hashes[offs[i]:offs[i + 1]])
+            for pi in mem[d]:
                 out_pair.append(pi)
                 out_doc.append(d)
                 out_sh.append(sh)
@@ -464,12 +475,14 @@ def minhash_lsh_pairs(
 
     def verify_pair(g: pa.Table) -> pa.Table:
         docs = g["doc_id"].to_pylist()
-        shs = g["sh"].to_pylist()
         if len(docs) < 2:
             return empty
-        sa, sb = set(shs[0]), set(shs[1])
-        union = len(sa | sb)
-        if union and len(sa & sb) / union >= threshold:
+        sh = g["sh"].combine_chunks()
+        sa = np.asarray(sh[0].values, dtype=np.uint64)
+        sb = np.asarray(sh[1].values, dtype=np.uint64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        if union and inter / union >= threshold:
             x, y = docs[0], docs[1]
             return pa.table({"a": pa.array([min(x, y)], pa.int64()),
                              "b": pa.array([max(x, y)], pa.int64())})
