@@ -323,22 +323,25 @@ def top_tokens_heavy_hitters(sf_dir: str, k: int = 20,
         low = pc.utf8_lower(t["text"])
         flat = pc.list_flatten(pc.split_pattern_regex(low, r"\W+"))
         flat = flat.filter(pc.not_equal(flat, ""))
-        counts: dict[str, int] = {}
-        for tok in flat.to_pylist():
-            if tok in counts:
-                counts[tok] += 1
-            elif len(counts) < counters:
-                counts[tok] = 1
-            else:  # decrement-all step, drop zeros
-                dead = []
-                for w in counts:
-                    counts[w] -= 1
-                    if counts[w] == 0:
-                        dead.append(w)
-                for w in dead:
-                    del counts[w]
-        return pa.table({"token": pa.array(list(counts), pa.string()),
-                         "weight": pa.array(list(counts.values()), pa.int64())})
+        counts = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")])
+        w = counts.column("count_all").to_numpy(zero_copy_only=False)
+        if len(counts) > counters:
+            # vectorized Misra–Gries compression of the batch's exact
+            # counts (replaces the per-token dict loop — ~2M Python
+            # iterations per sf0.1 scan): subtract the (counters+1)-th
+            # largest count d and keep strictly positive weights. Since
+            # the counters+1 largest counts are each >= d and sum to
+            # <= N_B, d <= N_B/(counters+1); at most `counters` counts
+            # exceed d, and every token undercounts by <= d — the same
+            # summary validity (and a tighter bound) as the sequential
+            # decrement-all algorithm.
+            d = np.partition(w, -(counters + 1))[-(counters + 1)]
+            keep = w > d
+            counts = counts.filter(pa.array(keep))
+            w = w[keep] - d
+        return pa.table({"token": counts.column("token"),
+                         "weight": pa.array(w, pa.int64())})
 
     from .common import grouped_aggregate
 
