@@ -634,6 +634,41 @@ def test_minhash_empty_documents_returns_typed_empty(ray_session, tmp_path):
     assert list(df.columns) == ["a", "b"]
 
 
+def test_heavy_hitters_large_vocabulary_exact(ray_session, tmp_path):
+    """top_tokens_heavy_hitters on a vocabulary LARGER than its counter
+    budget (3,000 distinct tokens vs counters=2000) — the testdata
+    corpus has ~31 distinct tokens, so the vectorized Misra–Gries
+    compression branch (subtract the (counters+1)-th largest count,
+    keep positives) never fires there. The final top-k must still be
+    EXACT because pass 2 recounts the merged candidates."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doonop_ray.ops.text import top_tokens_heavy_hitters
+
+    rng = np.random.default_rng(17)
+    vocab = np.array([f"w{i:04d}" for i in range(3000)])
+    # Zipf-ish: token i appears max(1, (3000 - i) // 100) times, so the
+    # head is clearly separated and the tail is all singletons
+    counts = np.maximum(1, (3000 - np.arange(3000)) // 100)
+    stream = np.repeat(vocab, counts)
+    rng.shuffle(stream)
+    docs = [" ".join(chunk) for chunk in np.array_split(stream, 40)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        f"{tmp_path}/documents.parquet")
+
+    got = top_tokens_heavy_hitters(str(tmp_path), k=20)
+    exact = (pd.DataFrame({"token": vocab, "n": counts})
+             .sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").head(20).reset_index(drop=True))
+    assert list(got["token"]) == list(exact["token"])
+    assert list(got["n"].astype(int)) == list(exact["n"].astype(int))
+
+
 def test_connected_components_bucketed_matches_cogroup(ray_session):
     """The edge-pinned bucketed CC path (pagerank's layout applied to
     min-label propagation) must reach the same fixed point as the
