@@ -129,10 +129,18 @@ def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     ``ceil(q*n)`` of the ascending sort. Every pass is a pruned
     single-column scan with mergeable partials — no corpus-sized
     state anywhere; the number of refine passes is
-    O(log_nbins(n/collect_cap)) ≈ 2 even at 10^12 rows."""
+    O(log_nbins(n/collect_cap)) ≈ 2 even at 10^12 rows.
+
+    All quantiles refine TOGETHER: each round runs ONE scan computing
+    the histograms of every active candidate range (deduplicated — in
+    round 1 all quantiles share [gmin, gmax], so the old
+    one-scan-per-quantile loop rescanned the corpus len(qs) times for
+    the identical histogram), and the final collection is likewise one
+    combined scan. Scan count is O(passes + 1), independent of
+    len(qs); per-quantile binning arithmetic is bit-identical to the
+    sequential form."""
     import math
 
-    import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max, Min, Sum
 
     ds = read(sf_dir, "events", ["value"])
@@ -142,70 +150,117 @@ def exact_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
         return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
                              "value": pd.Series([np.nan] * len(qs))})
     gmin, gmax = float(g["min(value)"]), float(g["max(value)"])
-    targets = {q: int(math.ceil(q * n)) for q in qs}
 
-    def _hist(lo: float, hi: float, last: bool) -> np.ndarray:
-        width = (hi - lo) / nbins
-
+    def _hist_multi(ranges: list[tuple[float, float, bool]]) -> np.ndarray:
         def partial(t: pa.Table) -> pa.Table:
             v = t["value"].to_numpy(zero_copy_only=False)
-            # values == hi belong to the bin beyond the candidate range
-            # unless hi is the global max (match _collect exactly)
-            v = v[(v >= lo) & ((v <= hi) if last else (v < hi))]
-            if not len(v):
+            bins_out, cnt_out = [], []
+            for j, (lo, hi, last) in enumerate(ranges):
+                width = (hi - lo) / nbins
+                # values == hi belong to the bin beyond the candidate
+                # range unless hi is the global max (match collect)
+                vv = v[(v >= lo) & ((v <= hi) if last else (v < hi))]
+                if not len(vv):
+                    continue
+                b = np.minimum(((vv - lo) / width).astype(np.int64),
+                               nbins - 1)
+                counts = np.bincount(b, minlength=nbins)
+                nz = np.flatnonzero(counts)
+                bins_out.append(nz + j * nbins)
+                cnt_out.append(counts[nz])
+            if not bins_out:
                 return pa.table({"bin": pa.array([], pa.int64()),
                                  "cnt": pa.array([], pa.int64())})
-            b = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
-            counts = np.bincount(b, minlength=nbins)
-            nz = np.flatnonzero(counts)
-            return pa.table({"bin": pa.array(nz, pa.int64()),
-                             "cnt": pa.array(counts[nz], pa.int64())})
+            return pa.table({
+                "bin": pa.array(np.concatenate(bins_out), pa.int64()),
+                "cnt": pa.array(np.concatenate(cnt_out), pa.int64())})
 
         rows = (ds.map_batches(partial, batch_format="pyarrow",
                                batch_size=65536)
                 .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
                 .to_pandas())
-        dense = np.zeros(nbins, dtype=np.int64)
+        dense = np.zeros((len(ranges), nbins), dtype=np.int64)
         if len(rows):
-            dense[rows["bin"].to_numpy()] = rows["cnt"].to_numpy()
+            b = rows["bin"].to_numpy()
+            dense[b // nbins, b % nbins] = rows["cnt"].to_numpy()
         return dense
 
-    def _collect(lo: float, hi: float, last: bool) -> np.ndarray:
+    def _collect_multi(
+            ranges: list[tuple[float, float, bool]]) -> list[np.ndarray]:
         def keep(t: pa.Table) -> pa.Table:
-            m = pc.and_(pc.greater_equal(t["value"], pa.scalar(lo)),
-                        pc.less_equal(t["value"], pa.scalar(hi)) if last
-                        else pc.less(t["value"], pa.scalar(hi)))
-            return t.filter(m)
+            v = t["value"].to_numpy(zero_copy_only=False)
+            out_j, out_v = [], []
+            for j, (lo, hi, last) in enumerate(ranges):
+                vv = v[(v >= lo) & ((v <= hi) if last else (v < hi))]
+                if len(vv):
+                    out_j.append(np.full(len(vv), j, dtype=np.int64))
+                    out_v.append(vv)
+            if not out_j:
+                return pa.table({"j": pa.array([], pa.int64()),
+                                 "value": pa.array([], pa.float64())})
+            return pa.table({
+                "j": pa.array(np.concatenate(out_j), pa.int64()),
+                "value": pa.array(
+                    np.concatenate(out_v).astype(np.float64),
+                    pa.float64())})
 
-        vals = ds.map_batches(keep, batch_format="pyarrow",
-                              batch_size=65536).to_pandas()["value"]
-        return np.sort(vals.to_numpy())
+        df = ds.map_batches(keep, batch_format="pyarrow",
+                            batch_size=65536).to_pandas()
+        js = df["j"].to_numpy()
+        vs = df["value"].to_numpy()
+        return [np.sort(vs[js == j]) for j in range(len(ranges))]
 
-    out_rows = []
-    for q, rank in targets.items():
-        lo, hi, r = gmin, gmax, rank
-        # refine until the candidate range is collectable (or degenerate)
-        for _ in range(8):
-            if hi <= lo:
-                break
-            hist = _hist(lo, hi, last=(hi >= gmax))
-            cum = np.cumsum(hist)
-            b = int(np.searchsorted(cum, r))
-            in_bin = int(hist[b])
+    # per-quantile refinement state; `val` set = resolved
+    st = {q: {"lo": gmin, "hi": gmax, "r": int(math.ceil(q * n)),
+              "val": None, "collect": False} for q in qs}
+    for _ in range(8):
+        act = []
+        for q, s in st.items():
+            if s["val"] is not None or s["collect"]:
+                continue
+            if s["hi"] <= s["lo"]:
+                s["val"] = s["lo"]  # degenerate range resolves exactly
+            else:
+                act.append(q)
+        if not act:
+            break
+        uniq: dict[tuple[float, float], list] = {}
+        for q in act:
+            uniq.setdefault((st[q]["lo"], st[q]["hi"]), []).append(q)
+        keys = list(uniq)
+        dense = _hist_multi([(lo, hi, hi >= gmax) for lo, hi in keys])
+        for j, key in enumerate(keys):
+            lo, hi = key
             width = (hi - lo) / nbins
-            r -= int(cum[b - 1]) if b else 0
-            new_lo = lo + b * width
-            new_hi = hi if b == nbins - 1 else lo + (b + 1) * width
-            lo, hi = new_lo, new_hi
-            if in_bin <= collect_cap:
-                break
-        if hi <= lo:
-            val = lo
-        else:
-            vals = _collect(lo, hi, last=(hi >= gmax))
-            val = float(vals[r - 1])
-        out_rows.append((float(q), val))
-    out = pd.DataFrame(out_rows, columns=["q", "value"])
+            cum = np.cumsum(dense[j])
+            for q in uniq[key]:
+                s = st[q]
+                b = int(np.searchsorted(cum, s["r"]))
+                in_bin = int(dense[j][b])
+                s["r"] -= int(cum[b - 1]) if b else 0
+                s["lo"] = lo + b * width
+                s["hi"] = hi if b == nbins - 1 else lo + (b + 1) * width
+                if in_bin <= collect_cap:
+                    s["collect"] = True
+
+    need = [q for q, s in st.items() if s["val"] is None]
+    if need:
+        uniq = {}
+        for q in need:
+            s = st[q]
+            if s["hi"] <= s["lo"]:
+                s["val"] = s["lo"]
+            else:
+                uniq.setdefault((s["lo"], s["hi"]), []).append(q)
+        if uniq:
+            keys = list(uniq)
+            vals = _collect_multi([(lo, hi, hi >= gmax) for lo, hi in keys])
+            for j, key in enumerate(keys):
+                for q in uniq[key]:
+                    st[q]["val"] = float(vals[j][st[q]["r"] - 1])
+
+    out = pd.DataFrame([(float(q), st[q]["val"]) for q in qs],
+                       columns=["q", "value"])
     return finish(out, ["q"])
 
 
