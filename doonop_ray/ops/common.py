@@ -81,6 +81,28 @@ def r4(x):
     return np.sign(a) * np.floor(np.abs(a) * 1e4 + 0.5) / 1e4
 
 
+# Inputs at or below these bounds skip the distributed sort pipeline
+# (its fixed ~0.5 s exchange dwarfs a one-task C++ sort at such sizes)
+# and aggregate/apply in a single task instead. The bounds cap that
+# task's memory; the scale path above them is unchanged. Tests force
+# the scale path by monkeypatching SMALL_SORT_MAX_ROWS to 0.
+SMALL_SORT_MAX_ROWS = 65536
+SMALL_SORT_MAX_BYTES = 128 << 20
+
+
+def _small_route(ds):
+    """Materialize ``ds`` (the sort would anyway — it is an all-to-all
+    barrier) and decide from the now-free block metadata whether the
+    input is small enough for the single-task route."""
+    mat = ds.materialize()
+    try:
+        small = (mat.count() <= SMALL_SORT_MAX_ROWS
+                 and (mat.size_bytes() or 0) <= SMALL_SORT_MAX_BYTES)
+    except Exception:
+        small = False
+    return mat, small
+
+
 def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1):
     """Per-group apply for HIGH-CARDINALITY keys.
 
@@ -135,7 +157,13 @@ def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1):
         last = t.slice(starts[-1], n - starts[-1])
         return pa.concat_tables([first, last])
 
-    sorted_ds = ds.sort(keys).materialize()
+    mat, small = _small_route(ds)
+    if small:
+        sort_keys = [(k, "ascending") for k in keys]
+        return mat.repartition(1).map_batches(
+            lambda t: interior(t.sort_by(sort_keys), keep_edges=True),
+            batch_format="pyarrow", batch_size=None)
+    sorted_ds = mat.sort(keys).materialize()
     nb = sorted_ds.num_blocks()
     if nb <= 1:
         # no block boundary to straddle — one pass handles every group
@@ -212,7 +240,12 @@ def grouped_aggregate(ds, keys, aggs: list[tuple[str, str]]):
         return merged.rename_columns(
             [name_map.get(c, c) for c in merged.column_names])
 
-    sorted_ds = ds.sort(keys).materialize()
+    mat, small = _small_route(ds)
+    if small:
+        # single-task exact aggregate — no sort needed at all
+        return mat.repartition(1).map_batches(
+            block_agg, batch_format="pyarrow", batch_size=None)
+    sorted_ds = mat.sort(keys).materialize()
     if sorted_ds.num_blocks() <= 1:
         return sorted_ds.map_batches(
             block_agg, batch_format="pyarrow", batch_size=None)

@@ -1,6 +1,7 @@
 """Property-based tests (hypothesis) for the codec and URL layers."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -85,22 +86,33 @@ def keyed_tables(draw):
     return (rng.integers(0, n_keys, n), rng.integers(-1000, 1000, n), blocks)
 
 
+@pytest.mark.parametrize("small_max", [65536, 0],
+                         ids=["small-route", "sort-route"])
 @given(keyed_tables())
 @settings(max_examples=12, deadline=None)
-def test_grouped_aggregate_matches_pandas(ray_session, data):
+def test_grouped_aggregate_matches_pandas(ray_session, small_max, data):
     import pandas as pd
     import pyarrow as pa
     import ray.data as rd
 
+    import doonop_ray.ops.common as common
     from doonop_ray.ops.common import grouped_aggregate
 
     keys, vals, blocks = data
-    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(blocks)
-    got = (
-        grouped_aggregate(ds, "k", [("v", "sum"), ("v", "min"),
-                                    ("v", "max"), ("v", "count")])
-        .to_pandas().sort_values("k").reset_index(drop=True)
-    )
+    # hypothesis inputs are <=2000 rows, so without forcing the
+    # threshold the distributed-sort path would lose all coverage
+    orig = common.SMALL_SORT_MAX_ROWS
+    common.SMALL_SORT_MAX_ROWS = small_max
+    try:
+        ds = rd.from_arrow(
+            pa.table({"k": keys, "v": vals})).repartition(blocks)
+        got = (
+            grouped_aggregate(ds, "k", [("v", "sum"), ("v", "min"),
+                                        ("v", "max"), ("v", "count")])
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+    finally:
+        common.SMALL_SORT_MAX_ROWS = orig
     exp = (pd.DataFrame({"k": keys, "v": vals}).groupby("k")
            .agg(v_sum=("v", "sum"), v_min=("v", "min"),
                 v_max=("v", "max"), v_count=("v", "count")).reset_index())
@@ -109,13 +121,17 @@ def test_grouped_aggregate_matches_pandas(ray_session, data):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
 
 
+@pytest.mark.parametrize("small_max", [65536, 0],
+                         ids=["small-route", "sort-route"])
 @given(keyed_tables())
 @settings(max_examples=8, deadline=None)
-def test_grouped_apply_sees_every_group_exactly_once(ray_session, data):
+def test_grouped_apply_sees_every_group_exactly_once(ray_session, small_max,
+                                                     data):
     import pandas as pd
     import pyarrow as pa
     import ray.data as rd
 
+    import doonop_ray.ops.common as common
     from doonop_ray.ops.common import grouped_apply
 
     keys, vals, blocks = data
@@ -133,8 +149,13 @@ def test_grouped_apply_sees_every_group_exactly_once(ray_session, data):
             "s": pa.array([pc.sum(g["v"]).as_py()], pa.int64()),
         })
 
-    got = grouped_apply(ds, "k", fn, empty).to_pandas().sort_values(
-        "k").reset_index(drop=True)
+    orig = common.SMALL_SORT_MAX_ROWS
+    common.SMALL_SORT_MAX_ROWS = small_max
+    try:
+        got = grouped_apply(ds, "k", fn, empty).to_pandas().sort_values(
+            "k").reset_index(drop=True)
+    finally:
+        common.SMALL_SORT_MAX_ROWS = orig
     exp = (pd.DataFrame({"k": keys, "v": vals}).groupby("k")
            .agg(n=("v", "size"), s=("v", "sum")).reset_index())
     assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
@@ -285,24 +306,33 @@ def test_shuffle_join_inner_takes_first_right_match(ray_session):
     assert got.iloc[0]["key"] == 1 and got.iloc[0]["rv"] in (7, 8)
 
 
+@pytest.mark.parametrize("small_max", [65536, 0],
+                         ids=["small-route", "sort-route"])
 @given(keyed_tables())
 @settings(max_examples=8, deadline=None)
-def test_grouped_aggregate_string_keys_match_pandas(ray_session, data):
+def test_grouped_aggregate_string_keys_match_pandas(ray_session, small_max,
+                                                    data):
     """The dedup family groups on string digests — pin the grouping
     primitives on string keys too (int-only coverage before)."""
     import pandas as pd
     import pyarrow as pa
     import ray.data as rd
 
+    import doonop_ray.ops.common as common
     from doonop_ray.ops.common import grouped_aggregate
 
     keys, vals, blocks = data
     skeys = np.array([f"k{k:05d}" for k in keys])
     ds = rd.from_arrow(pa.table({"k": skeys, "v": vals})).repartition(blocks)
-    got = (
-        grouped_aggregate(ds, "k", [("v", "sum"), ("v", "count")])
-        .to_pandas().sort_values("k").reset_index(drop=True)
-    )
+    orig = common.SMALL_SORT_MAX_ROWS
+    common.SMALL_SORT_MAX_ROWS = small_max
+    try:
+        got = (
+            grouped_aggregate(ds, "k", [("v", "sum"), ("v", "count")])
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+    finally:
+        common.SMALL_SORT_MAX_ROWS = orig
     exp = (pd.DataFrame({"k": skeys, "v": vals}).groupby("k")
            .agg(v_sum=("v", "sum"), v_count=("v", "count")).reset_index())
     assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
