@@ -491,12 +491,15 @@ def audio_feature_violations(sf_dir: str) -> pd.DataFrame:
     from .multimodal import _tier_n, audio_features, media_table
 
     feats = audio_features(sf_dir).set_index("audio_id")
-    meta = media_table("audio", _tier_n(sf_dir)).select(
+    meta = media_table("audio", _tier_n(sf_dir), meta_only=True).select(
         ["audio_id", "sample_rate", "n_samples"]).to_pandas()
     bad_id, bad_kind = [], []
     if feats.index.has_duplicates or len(feats) != len(meta):
         bad_id.append("<cardinality>")
         bad_kind.append("rows")
+        # keep the per-clip scan scalar-safe under the very violation it
+        # just reported (duplicate ids make .loc return a frame)
+        feats = feats[~feats.index.duplicated(keep="first")]
     for _, m in meta.iterrows():
         aid = m["audio_id"]
         if aid not in feats.index:
@@ -525,17 +528,24 @@ def video_sampling_violations(sf_dir: str) -> pd.DataFrame:
     table's n_frames metadata, not from the sampler — with channel
     means inside [0, 255]. Returns (video_id, kind) violation rows —
     expected empty."""
-    from .multimodal import _tier_n, media_table, video_frame_means
+    from .multimodal import (VIDEO_SAMPLE_EVERY, _video_n, media_table,
+                             video_frame_means)
 
-    n = max(20, _tier_n(sf_dir) // 5)
     got = video_frame_means(sf_dir)
-    meta = media_table("video", n).select(
+    meta = media_table("video", _video_n(sf_dir), meta_only=True).select(
         ["video_id", "n_frames"]).to_pandas()
-    by_vid = {v: set(g["frame_idx"]) for v, g in got.groupby("video_id")}
     bad_id, bad_kind = [], []
+    # a set-compare alone cannot see duplicated frame rows — guard
+    # cardinality explicitly ("EXACTLY the frames" means once each)
+    dup_vids = got.loc[
+        got.duplicated(["video_id", "frame_idx"]), "video_id"].unique()
+    for vid in dup_vids:
+        bad_id.append(vid)
+        bad_kind.append("dup")
+    by_vid = {v: set(g["frame_idx"]) for v, g in got.groupby("video_id")}
     for _, m in meta.iterrows():
         vid = m["video_id"]
-        expect = set(range(0, int(m["n_frames"]), 4))
+        expect = set(range(0, int(m["n_frames"]), VIDEO_SAMPLE_EVERY))
         if by_vid.pop(vid, None) != expect:
             bad_id.append(vid)
             bad_kind.append("frames")

@@ -33,6 +33,16 @@ def read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns, schema=schema)
 
 
+def table_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer only (no data read) — the
+    ``size_hint`` source for row-preserving pipelines over a base table,
+    so corpus-scale inputs stream into the sort without the
+    materialize-probe pin (see ``_small_route``)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 def read_arrow(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
     import pyarrow.parquet as pq
 
@@ -90,10 +100,28 @@ SMALL_SORT_MAX_ROWS = 65536
 SMALL_SORT_MAX_BYTES = 128 << 20
 
 
-def _small_route(ds):
-    """Materialize ``ds`` (the sort would anyway — it is an all-to-all
-    barrier) and decide from the now-free block metadata whether the
-    input is small enough for the single-task route."""
+def _small_route(ds, size_hint=None):
+    """Decide whether ``ds`` takes the single-task route.
+
+    ``size_hint`` — "large" (caller KNOWS the input is corpus-sized), a
+    row-count estimate (e.g. the source read's metadata count carried
+    through row-preserving maps), or None — and plan-metadata row counts
+    (from_arrow / plain reads) let known-large inputs stream straight
+    into the sort. Only when the count is unknowable without execution
+    do we materialize-and-inspect: the sort is an all-to-all barrier, so
+    the input reaches the object store either way — the cost of the pin
+    is that consumed blocks can't be released mid-shuffle, a transient
+    ~1x-input peak (spill traffic, not OOM) the hints avoid at scale."""
+    if size_hint == "large":
+        return ds, False
+    n = size_hint if isinstance(size_hint, (int, np.integer)) else None
+    if n is None:
+        try:
+            n = ds._meta_count()
+        except Exception:
+            n = None
+    if n is not None and n > SMALL_SORT_MAX_ROWS:
+        return ds, False
     mat = ds.materialize()
     try:
         small = (mat.count() <= SMALL_SORT_MAX_ROWS
@@ -103,7 +131,8 @@ def _small_route(ds):
     return mat, small
 
 
-def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1):
+def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1,
+                  size_hint=None):
     """Per-group apply for HIGH-CARDINALITY keys.
 
     ``Dataset.groupby().map_groups()`` pays ~100µs of block machinery per
@@ -157,7 +186,7 @@ def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1):
         last = t.slice(starts[-1], n - starts[-1])
         return pa.concat_tables([first, last])
 
-    mat, small = _small_route(ds)
+    mat, small = _small_route(ds, size_hint)
     if small:
         sort_keys = [(k, "ascending") for k in keys]
         return mat.repartition(1).map_batches(
@@ -189,7 +218,8 @@ def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1):
     return interior_out.union(rd.from_arrow(edge_out))
 
 
-def grouped_aggregate(ds, keys, aggs: list[tuple[str, str]]):
+def grouped_aggregate(ds, keys, aggs: list[tuple[str, str]],
+                      size_hint=None):
     """Vectorized aggregate for HIGH-CARDINALITY keys.
 
     ``Dataset.groupby().aggregate()`` pays per-group Python in its
@@ -240,7 +270,7 @@ def grouped_aggregate(ds, keys, aggs: list[tuple[str, str]]):
         return merged.rename_columns(
             [name_map.get(c, c) for c in merged.column_names])
 
-    mat, small = _small_route(ds)
+    mat, small = _small_route(ds, size_hint)
     if small:
         # single-task exact aggregate — no sort needed at all
         return mat.repartition(1).map_batches(

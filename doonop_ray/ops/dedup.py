@@ -33,7 +33,7 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
     instead of the raw text keeps the all-to-all shuffle to 32 bytes/row
     regardless of document size (collision-free in practice at 2^64+
     docs)."""
-    from .common import grouped_aggregate
+    from .common import grouped_aggregate, table_rows
 
     def digest(t: pa.Table) -> pa.Table:
         hs = [
@@ -47,7 +47,8 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
     # grouped_aggregate: vectorized reduce — at 10^9+ distinct digests
     # Ray's per-group reduce machinery dominates (12x, measured)
     out = (
-        grouped_aggregate(keyed, "h", [("doc_id", "min")])
+        grouped_aggregate(keyed, "h", [("doc_id", "min")],
+                          size_hint=table_rows(sf_dir, "documents"))
         .to_pandas()
         .rename(columns={"doc_id_min": "doc_id"})[["doc_id"]]
     )
@@ -69,7 +70,7 @@ def _prefix_keys(text_col, n_tokens: int) -> list:
 def dedup_prefix(sf_dir: str, n_tokens: int = 3) -> pd.DataFrame:
     """Near-dup-ish: dedup on the first-N-token prefix key (creates real
     duplicate groups on this corpus). Keeps min doc_id per key."""
-    from .common import grouped_aggregate
+    from .common import grouped_aggregate, table_rows
 
     def key(t: pa.Table) -> pa.Table:
         keys = _prefix_keys(t["text"], n_tokens)
@@ -78,7 +79,8 @@ def dedup_prefix(sf_dir: str, n_tokens: int = 3) -> pd.DataFrame:
     keyed = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         key, batch_format="pyarrow")
     out = (
-        grouped_aggregate(keyed, "k", [("doc_id", "min")])
+        grouped_aggregate(keyed, "k", [("doc_id", "min")],
+                          size_hint=table_rows(sf_dir, "documents"))
         .to_pandas()
         .rename(columns={"doc_id_min": "doc_id"})[["doc_id"]]
     )
@@ -773,7 +775,7 @@ def dedup_keep_best(sf_dir: str) -> pd.DataFrame:
             "k": pa.array(keys, pa.string()),
         })
 
-    from .common import grouped_apply
+    from .common import grouped_apply, table_rows
 
     def best(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
@@ -785,7 +787,8 @@ def dedup_keep_best(sf_dir: str) -> pd.DataFrame:
     keyed = read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
         key, batch_format="pyarrow")
     # prefix-key cardinality grows with the corpus → grouped_apply
-    out = grouped_apply(keyed, "k", best, empty).to_pandas()
+    out = grouped_apply(keyed, "k", best, empty,
+                        size_hint=table_rows(sf_dir, "documents")).to_pandas()
     out = out.astype({"doc_id": "int64", "n_chars": "int64"})
     return finish(out, ["doc_id"])
 
@@ -881,7 +884,7 @@ def dedup_incremental(sf_dir: str, n_tokens: int = 3,
     from .ann import _publish_dir, _stage_dir
     from .bucket import (_BUCKET_ROOT, _bucket_ids, bucket_dataset,
                          bucketed_join)
-    from .common import grouped_aggregate
+    from .common import grouped_aggregate, table_rows
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
@@ -901,7 +904,9 @@ def dedup_incremental(sf_dir: str, n_tokens: int = 3,
     if not os.path.isdir(idx_dir):
         corpus = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             lambda t: key_rows(t, False), batch_format="pyarrow")
-        uniq = grouped_aggregate(corpus, "fp", [("doc_id", "min")]).map_batches(
+        uniq = grouped_aggregate(
+            corpus, "fp", [("doc_id", "min")],
+            size_hint=table_rows(sf_dir, "documents")).map_batches(
             lambda t: pa.table({
                 "fp": t["fp"],
                 "dup_of": t["doc_id_min"],

@@ -44,11 +44,18 @@ except ImportError:
 # ---------------------------------------------------------------------------
 
 
-def synth_audio(audio_id: int, seed: int = 42) -> tuple[bytes, int, int]:
-    """(pcm16_bytes, sample_rate, n_samples): a seeded sine + noise."""
+def _audio_meta(audio_id: int, seed: int = 42):
+    """(rng, sample_rate, n_samples) — the metadata draws, shared by the
+    full synthesizer and the meta-only table so the two can never skew."""
     rng = np.random.default_rng([seed, 104729, audio_id])
     sr = 8000
     n = int(rng.integers(sr // 2, 2 * sr))  # 0.5–2 s
+    return rng, sr, n
+
+
+def synth_audio(audio_id: int, seed: int = 42) -> tuple[bytes, int, int]:
+    """(pcm16_bytes, sample_rate, n_samples): a seeded sine + noise."""
+    rng, sr, n = _audio_meta(audio_id, seed)
     t = np.arange(n, dtype=np.float32) / sr
     f = float(rng.uniform(100, 1000))
     wave = 0.5 * np.sin(2 * np.pi * f * t) + 0.05 * rng.standard_normal(
@@ -58,24 +65,43 @@ def synth_audio(audio_id: int, seed: int = 42) -> tuple[bytes, int, int]:
     return pcm.tobytes(), sr, n
 
 
-def synth_video(video_id: int, seed: int = 42) -> tuple[bytes, int, int, int, int]:
-    """(raw_rgb_bytes, w, h, n_frames, fps): packed HxWx3 uint8 frames
-    with a per-frame deterministic drift."""
+def _video_meta(video_id: int, seed: int = 42):
+    """(rng, w, h, n_frames, fps) — metadata draws shared with
+    ``synth_video`` (see ``_audio_meta``)."""
     rng = np.random.default_rng([seed, 1299709, video_id])
     w = int(rng.integers(16, 33))
     h = int(rng.integers(16, 33))
     n_frames = int(rng.integers(8, 25))
+    return rng, w, h, n_frames, 12
+
+
+def synth_video(video_id: int, seed: int = 42) -> tuple[bytes, int, int, int, int]:
+    """(raw_rgb_bytes, w, h, n_frames, fps): packed HxWx3 uint8 frames
+    with a per-frame deterministic drift."""
+    rng, w, h, n_frames, _fps = _video_meta(video_id, seed)
     base = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
     for i in range(n_frames):
         frames[i] = (base.astype(np.int16) + 3 * i) % 256
-    return frames.tobytes(), w, h, n_frames, 12
+    return frames.tobytes(), w, h, n_frames, _fps
 
 
-def media_table(kind: str, n: int, seed: int = 42) -> pa.Table:
+def media_table(kind: str, n: int, seed: int = 42,
+                meta_only: bool = False) -> pa.Table:
     """Build the typed multimodal table (input_hint shape: opaque bytes +
-    typed metadata columns)."""
+    typed metadata columns). ``meta_only=True`` skips payload synthesis
+    and omits the ``bytes`` column — the integrity checks read only the
+    metadata, and regenerating every clip's PCM/frames driver-side just
+    to discard it doubled the stage-under-test's own work."""
     if kind == "audio":
+        if meta_only:
+            rows = [_audio_meta(i, seed)[1:] for i in range(n)]
+            return pa.table({
+                "audio_id": pa.array([f"aud-{i:07d}" for i in range(n)]),
+                "sample_rate": pa.array([r[0] for r in rows], pa.int32()),
+                "n_samples": pa.array([r[1] for r in rows], pa.int32()),
+                "fmt": pa.array(["pcm16"] * n),
+            })
         rows = [synth_audio(i, seed) for i in range(n)]
         return pa.table({
             "audio_id": pa.array([f"aud-{i:07d}" for i in range(n)]),
@@ -85,6 +111,16 @@ def media_table(kind: str, n: int, seed: int = 42) -> pa.Table:
             "fmt": pa.array(["pcm16"] * n),
         })
     if kind == "video":
+        if meta_only:
+            rows = [_video_meta(i, seed)[1:] for i in range(n)]
+            return pa.table({
+                "video_id": pa.array([f"vid-{i:07d}" for i in range(n)]),
+                "w": pa.array([r[0] for r in rows], pa.int32()),
+                "h": pa.array([r[1] for r in rows], pa.int32()),
+                "n_frames": pa.array([r[2] for r in rows], pa.int32()),
+                "fps": pa.array([r[3] for r in rows], pa.int32()),
+                "fmt": pa.array(["rawrgb"] * n),
+            })
         rows = [synth_video(i, seed) for i in range(n)]
         return pa.table({
             "video_id": pa.array([f"vid-{i:07d}" for i in range(n)]),
@@ -145,12 +181,17 @@ class AudioFeaturizer:
         })
 
 
+# default sampling stride for VideoFrameSampler — shared with the
+# video_sampling_violations integrity check (the two must move in lockstep)
+VIDEO_SAMPLE_EVERY = 4
+
+
 class VideoFrameSampler:
     """Actor-pool stage: sample every k-th frame of the packed payload
     and emit one row per sampled frame (frame_idx + channel means) —
     the flat-map output layout a frame-level training pipeline needs."""
 
-    def __init__(self, every: int = 4):
+    def __init__(self, every: int = VIDEO_SAMPLE_EVERY):
         self.every = every
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -259,11 +300,16 @@ def audio_features(sf_dir: str) -> pd.DataFrame:
     return finish(ds.to_pandas(), ["audio_id"])
 
 
+def _video_n(sf_dir: str) -> int:
+    """Clip count of the video tier — shared with the integrity check."""
+    return max(20, _tier_n(sf_dir) // 5)
+
+
 def video_frame_means(sf_dir: str) -> pd.DataFrame:
     """Video pipeline: binary-column table → actor-pool frame-sample."""
     import ray.data as rd
 
-    n = max(20, _tier_n(sf_dir) // 5)
+    n = _video_n(sf_dir)
     ds = rd.from_arrow(media_table("video", n)).map_batches(
         VideoFrameSampler,
         batch_format="pyarrow",

@@ -225,7 +225,7 @@ def curate_documents(sf_dir: str) -> pd.DataFrame:
     token key among the QUALIFYING docs — ``dedup_prefix`` semantics).
     The filters run inside map_batches so only (doc_id, prefix-key)
     survivors reach the ``grouped_aggregate`` shuffle."""
-    from .common import grouped_aggregate
+    from .common import grouped_aggregate, table_rows
 
     def qualify(t: pa.Table) -> pa.Table:
         low = pc.utf8_lower(t["text"])
@@ -250,7 +250,8 @@ def curate_documents(sf_dir: str) -> pd.DataFrame:
     keyed = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         qualify, batch_format="pyarrow")
     out = (
-        grouped_aggregate(keyed, "k", [("doc_id", "min")])
+        grouped_aggregate(keyed, "k", [("doc_id", "min")],
+                          size_hint=table_rows(sf_dir, "documents"))
         .to_pandas()
         .rename(columns={"doc_id_min": "doc_id"})[["doc_id"]]
     )
@@ -265,7 +266,7 @@ def sample_per_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
     top-k runs through ``grouped_apply``."""
     import hashlib
 
-    from .common import grouped_apply
+    from .common import grouped_apply, table_rows
 
     def hash_rows(t: pa.Table) -> pa.Table:
         hs = [hashlib.md5(x.encode()).hexdigest()
@@ -302,7 +303,8 @@ def sample_per_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
                       "doc_id": pa.array([], pa.int64())})
     ds = read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
         hash_rows, batch_format="pyarrow")
-    out = grouped_apply(ds, "lang", topk, empty).to_pandas()
+    out = grouped_apply(ds, "lang", topk, empty,
+                        size_hint=table_rows(sf_dir, "documents")).to_pandas()
     return finish(out, ["lang", "doc_id"])
 
 

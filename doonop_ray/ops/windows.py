@@ -318,7 +318,7 @@ def events_windowed_p90(sf_dir: str) -> pd.DataFrame:
     matches the DuckDB oracle bit-exactly."""
     import numpy as np
 
-    from .common import grouped_apply
+    from .common import grouped_apply, table_rows
 
     def bucket(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -343,7 +343,8 @@ def events_windowed_p90(sf_dir: str) -> pd.DataFrame:
     })
     ds = read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
         bucket, batch_format="pyarrow")
-    out = grouped_apply(ds, ["event_type", "hour"], p90, empty).to_pandas()
+    out = grouped_apply(ds, ["event_type", "hour"], p90, empty,
+                        size_hint=table_rows(sf_dir, "events")).to_pandas()
     return finish(out, ["event_type", "hour"])
 
 

@@ -965,12 +965,17 @@ class RayCrawler:
                 _t0 = time.monotonic()
                 ready, _ = ray.wait(list(pending) + list(inflight),
                                     num_returns=1)
-                _t["drain"] += time.monotonic() - _t0
+                _dt = time.monotonic() - _t0
                 for r in ready:
                     if r not in pending:
+                        # a finished CHUNK woke us — that wait was chunk
+                        # latency, not frontier-drain latency (keep the
+                        # drain_sec metric attributable for A/Bs)
+                        _t["wait"] += _dt
                         inflight.discard(r)
                         absorb([r])
                         continue
+                    _t["drain"] += _dt
                     pending.discard(r)
                     entries = ray.get(r)
                     rows_this = (chunk_rows if len(entries) >= shard_cohort
