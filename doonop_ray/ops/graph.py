@@ -385,6 +385,53 @@ def _pagerank_broadcast(edges, nodes, n: int, n_iters: int,
         "node": pa.array(node_ids, pa.int64()),
         "rank": pa.array(ranks, pa.float64())}))
 
+def _bucketed_rounds(edir, sdir, n_buckets: int, msg_fn, reduce_fn,
+                     msg_empty: pa.Table, state_empty: pa.Table,
+                     max_rounds: int, read_back, stop_fn=None):
+    """Per-round scaffold shared by the edge-pinned iterative kernels
+    (``_pagerank_bucketed`` / ``_cc_bucketed``): each round runs
+
+    1. ``msg_fn(k, sdir)`` per bucket task (joins the state bucket to the
+       pinned edge bucket) → one node-keyed ``bucket_dataset`` exchange;
+    2. ``reduce_fn(k, mdir, sdir)`` per bucket task → the next state dir
+       (rows are already home-bucketed: a local partitioned write);
+
+    then deletes the consumed message + superseded state dirs so disk
+    stays O(1) dirs. ``stop_fn(sdir)`` (optional) ends early — it sees
+    the NEW state dir after each round. ``read_back(sdir)`` produces the
+    return value before the ``finally`` cleanup removes everything."""
+    import shutil
+
+    from .bucket import bucket_dataset, map_buckets
+
+    stale = [edir, sdir]
+    try:
+        for _ in range(max_rounds):
+            mdir = bucket_dataset(
+                map_buckets(n_buckets,
+                            lambda k, sdir=sdir: msg_fn(k, sdir),
+                            msg_empty),
+                "node", n_buckets, schema=msg_empty.schema)
+            stale.append(mdir)
+            sdir_next = bucket_dataset(
+                map_buckets(n_buckets,
+                            lambda k, mdir=mdir, sdir=sdir:
+                                reduce_fn(k, mdir, sdir),
+                            state_empty),
+                "node", n_buckets, schema=state_empty.schema)
+            stale.append(sdir_next)
+            shutil.rmtree(mdir, ignore_errors=True)
+            shutil.rmtree(sdir, ignore_errors=True)
+            stale = [edir, sdir_next]
+            sdir = sdir_next
+            if stop_fn is not None and stop_fn(sdir):
+                break
+        return read_back(sdir)
+    finally:
+        for d in stale:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _pagerank_bucketed(edges, nodes, n: int, n_iters: int,
                        damping: float, n_buckets: int):
     """Edge-pinned scale path: the symmetrized edge table is hash-
@@ -408,9 +455,9 @@ def _pagerank_bucketed(edges, nodes, n: int, n_iters: int,
     bucketing is the per-iteration LOCAL bucket read; everything
     exchanged is O(nodes). Skew caveat (as ``bucket.py``): a node with
     a corpus-sized neighborhood lands its edges in one bucket."""
-    import shutil
+    import ray.data as rd
 
-    from .bucket import _read_bucket, bucket_dataset, map_buckets
+    from .bucket import _read_bucket, bucket_dataset
 
     init = 1.0 / n
     base = (1.0 - damping) / n
@@ -432,71 +479,47 @@ def _pagerank_bucketed(edges, nodes, n: int, n_iters: int,
                 "outdeg": pc.cast(t["key_count"], pa.float64())}),
             batch_format="pyarrow"),
         "node", n_buckets, schema=rank_schema)
-    import ray.data as rd
 
-    stale = [edir, rdir]
-    try:
-        for _ in range(n_iters):
-            def contrib(k: int, rdir=rdir) -> pa.Table | None:
-                et = _read_bucket(edir, k, drop_key="bucket",
-                                  columns=["src", "dst"])
-                rt = _read_bucket(rdir, k, drop_key="bucket",
-                                  columns=["node", "rank", "outdeg"])
-                if et is None or rt is None or len(et) == 0:
-                    return None
-                rate = (rt["rank"].to_numpy(zero_copy_only=False)
-                        / rt["outdeg"].to_numpy(zero_copy_only=False))
-                idx = pc.index_in(et["src"],
-                                  value_set=rt["node"].combine_chunks())
-                c = rate[idx.to_numpy(zero_copy_only=False)]
-                g = pa.table({"node": et["dst"],
-                              "c": pa.array(c, pa.float64())}).group_by(
-                    "node", use_threads=False).aggregate([("c", "sum")])
-                return pa.table({"node": g["node"], "c": g["c_sum"]})
+    def contrib(k: int, rdir: str) -> pa.Table | None:
+        et = _read_bucket(edir, k, drop_key="bucket",
+                          columns=["src", "dst"])
+        rt = _read_bucket(rdir, k, drop_key="bucket",
+                          columns=["node", "rank", "outdeg"])
+        if et is None or rt is None or len(et) == 0:
+            return None
+        rate = (rt["rank"].to_numpy(zero_copy_only=False)
+                / rt["outdeg"].to_numpy(zero_copy_only=False))
+        idx = pc.index_in(et["src"],
+                          value_set=rt["node"].combine_chunks())
+        c = rate[idx.to_numpy(zero_copy_only=False)]
+        g = pa.table({"node": et["dst"],
+                      "c": pa.array(c, pa.float64())}).group_by(
+            "node", use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"node": g["node"], "c": g["c_sum"]})
 
-            cdir = bucket_dataset(
-                map_buckets(n_buckets, contrib,
-                            contrib_schema.empty_table()),
-                "node", n_buckets, schema=contrib_schema)
-            stale.append(cdir)
+    def reduce_(k: int, cdir: str, rdir: str) -> pa.Table | None:
+        ct = _read_bucket(cdir, k, drop_key="bucket",
+                          columns=["node", "c"])
+        rt = _read_bucket(rdir, k, drop_key="bucket",
+                          columns=["node", "outdeg"])
+        if ct is None or rt is None or len(ct) == 0:
+            return None
+        g = ct.group_by("node", use_threads=False).aggregate(
+            [("c", "sum")])
+        idx = pc.index_in(g["node"],
+                          value_set=rt["node"].combine_chunks())
+        rank = pc.add(pa.scalar(base),
+                      pc.multiply(pa.scalar(damping), g["c_sum"]))
+        return pa.table({"node": g["node"], "rank": rank,
+                         "outdeg": rt["outdeg"].take(idx)})
 
-            def reduce_(k: int, cdir=cdir, rdir=rdir) -> pa.Table | None:
-                ct = _read_bucket(cdir, k, drop_key="bucket",
-                                  columns=["node", "c"])
-                rt = _read_bucket(rdir, k, drop_key="bucket",
-                                  columns=["node", "outdeg"])
-                if ct is None or rt is None or len(ct) == 0:
-                    return None
-                g = ct.group_by("node", use_threads=False).aggregate(
-                    [("c", "sum")])
-                idx = pc.index_in(g["node"],
-                                  value_set=rt["node"].combine_chunks())
-                rank = pc.add(pa.scalar(base),
-                              pc.multiply(pa.scalar(damping), g["c_sum"]))
-                return pa.table({"node": g["node"], "rank": rank,
-                                 "outdeg": rt["outdeg"].take(idx)})
-
-            rdir_next = bucket_dataset(
-                map_buckets(n_buckets, reduce_,
-                            rank_schema.empty_table()),
-                "node", n_buckets, schema=rank_schema)
-            stale.append(rdir_next)
-            # O(1) dirs on disk (review: O(n_iters) node-sized dirs would
-            # accumulate on the path built for node sets too big for
-            # memory): the superseded rank dir and the consumed
-            # contribution dir are gone before the next iteration starts
-            shutil.rmtree(cdir, ignore_errors=True)
-            shutil.rmtree(rdir, ignore_errors=True)
-            stale = [edir, rdir_next]
-            rdir = rdir_next
-
-        out = rd.read_parquet(
-            rdir, columns=["node", "rank"],
-            file_extensions=["parquet"]).materialize()
-    finally:
-        for d in stale:
-            shutil.rmtree(d, ignore_errors=True)
-    return out
+    return _bucketed_rounds(
+        edir, rdir, n_buckets, contrib, reduce_,
+        contrib_schema.empty_table(), rank_schema.empty_table(),
+        max_rounds=n_iters,
+        read_back=lambda d: rd.read_parquet(
+            d, columns=["node", "rank"],
+            file_extensions=["parquet"]).materialize())
 
 def _cc_bucketed(nodes_ds, edges_ds, max_iters: int, n_buckets: int):
     """Edge-pinned connected components (the ``pagerank`` bucketed
@@ -562,70 +585,57 @@ def _cc_bucketed(nodes_ds, edges_ds, max_iters: int, n_buckets: int):
         map_buckets(n_buckets, init_bucket, lbl_schema.empty_table()),
         "node", n_buckets, schema=lbl_schema)
     shutil.rmtree(raw, ignore_errors=True)
-    stale = [edir, ldir]
-    prev_sum = None
-    try:
-        for _ in range(max_iters):
-            def msg(k: int, ldir=ldir) -> pa.Table | None:
-                et = _read_bucket(edir, k, drop_key="bucket",
-                                  columns=["src", "dst"])
-                lt = _read_bucket(ldir, k, drop_key="bucket",
-                                  columns=["node", "label"])
-                if et is None or lt is None or len(et) == 0:
-                    return None
-                idx = pc.index_in(et["src"],
-                                  value_set=lt["node"].combine_chunks())
-                g = pa.table({"node": et["dst"],
-                              "label": lt["label"].take(idx)}).group_by(
-                    "node", use_threads=False).aggregate([("label", "min")])
-                return pa.table({"node": g["node"], "label": g["label_min"]})
 
-            mdir = bucket_dataset(
-                map_buckets(n_buckets, msg, lbl_schema.empty_table()),
-                "node", n_buckets, schema=lbl_schema)
-            stale.append(mdir)
+    def msg(k: int, ldir: str) -> pa.Table | None:
+        et = _read_bucket(edir, k, drop_key="bucket",
+                          columns=["src", "dst"])
+        lt = _read_bucket(ldir, k, drop_key="bucket",
+                          columns=["node", "label"])
+        if et is None or lt is None or len(et) == 0:
+            return None
+        idx = pc.index_in(et["src"],
+                          value_set=lt["node"].combine_chunks())
+        g = pa.table({"node": et["dst"],
+                      "label": lt["label"].take(idx)}).group_by(
+            "node", use_threads=False).aggregate([("label", "min")])
+        return pa.table({"node": g["node"], "label": g["label_min"]})
 
-            def reduce_(k: int, mdir=mdir, ldir=ldir) -> pa.Table | None:
-                lt = _read_bucket(ldir, k, drop_key="bucket",
-                                  columns=["node", "label"])
-                if lt is None or len(lt) == 0:
-                    return None
-                mt = _read_bucket(mdir, k, drop_key="bucket",
-                                  columns=["node", "label"])
-                if mt is None or len(mt) == 0:
-                    return lt
-                g = mt.group_by("node", use_threads=False).aggregate(
-                    [("label", "min")])
-                idx = pc.index_in(lt["node"],
-                                  value_set=g["node"].combine_chunks())
-                heard = g["label_min"].take(idx)
-                new = pc.min_element_wise(
-                    lt["label"], pc.fill_null(heard, np.iinfo(np.int64).max))
-                return pa.table({"node": lt["node"], "label": new})
+    def reduce_(k: int, mdir: str, ldir: str) -> pa.Table | None:
+        lt = _read_bucket(ldir, k, drop_key="bucket",
+                          columns=["node", "label"])
+        if lt is None or len(lt) == 0:
+            return None
+        mt = _read_bucket(mdir, k, drop_key="bucket",
+                          columns=["node", "label"])
+        if mt is None or len(mt) == 0:
+            return lt
+        g = mt.group_by("node", use_threads=False).aggregate(
+            [("label", "min")])
+        idx = pc.index_in(lt["node"],
+                          value_set=g["node"].combine_chunks())
+        heard = g["label_min"].take(idx)
+        new = pc.min_element_wise(
+            lt["label"], pc.fill_null(heard, np.iinfo(np.int64).max))
+        return pa.table({"node": lt["node"], "label": new})
 
-            ldir_next = bucket_dataset(
-                map_buckets(n_buckets, reduce_, lbl_schema.empty_table()),
-                "node", n_buckets, schema=lbl_schema)
-            stale.append(ldir_next)
-            shutil.rmtree(mdir, ignore_errors=True)
-            shutil.rmtree(ldir, ignore_errors=True)
-            stale = [edir, ldir_next]
-            ldir = ldir_next
+    prev_sum = [None]
 
-            cur_sum = rd.read_parquet(
-                ldir, columns=["label"],
-                file_extensions=["parquet"]).sum("label")
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
+    def converged(ldir: str) -> bool:
+        cur_sum = rd.read_parquet(
+            ldir, columns=["label"],
+            file_extensions=["parquet"]).sum("label")
+        if cur_sum == prev_sum[0]:
+            return True
+        prev_sum[0] = cur_sum
+        return False
 
-        out = rd.read_parquet(
-            ldir, columns=["node", "label"],
+    return _bucketed_rounds(
+        edir, ldir, n_buckets, msg, reduce_,
+        lbl_schema.empty_table(), lbl_schema.empty_table(),
+        max_rounds=max_iters, stop_fn=converged,
+        read_back=lambda d: rd.read_parquet(
+            d, columns=["node", "label"],
             file_extensions=["parquet"]).map_batches(
             lambda t: pa.table({"node": t["node"],
                                 "component": t["label"]}),
-            batch_format="pyarrow").materialize()
-    finally:
-        for d in stale:
-            shutil.rmtree(d, ignore_errors=True)
-    return out
+            batch_format="pyarrow").materialize())
