@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": text.mixture_weights,
         "sample_by_mixture": text.sample_by_mixture,
         "contamination_check": text.contamination_check,
+        "contamination_check_bloom": text.contamination_check_bloom,
         "sample_per_lang": text.sample_per_lang,
         "train_val_test_split": text.train_val_test_split,
         "boilerplate_segments": text.boilerplate_segments,
@@ -173,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_feature_violations": checks.audio_feature_violations,
         "video_sampling_violations": checks.video_sampling_violations,
         "image_resize_violations": checks.image_resize_violations,
+        "contamination_bloom_violations":
+            checks.contamination_bloom_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -1006,6 +1009,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS VARCHAR) AS image_id,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE
+        """,
+        "contamination_bloom_violations": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        # the Bloom twin shares the exact gate's oracle: superset-only
+        # by contract, but at these gram counts the 2^22-bit filter's
+        # analytic FP rate is ~1e-8 per gram and the fixed-key hashing
+        # is deterministic — verified 0 false positives at sf0.001/
+        # 0.01/0.1; contamination_bloom_violations guards the general
+        # no-false-negative + bounded-FP invariant independently
+        "contamination_check_bloom": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\w+') AS toks
+                FROM documents),
+            grams AS (
+                SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks)-2)) AS i FROM tok)),
+            test AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+            SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM test)
+            ORDER BY doc_id
         """,
         "train_val_test_split": """
             SELECT doc_id, lang,

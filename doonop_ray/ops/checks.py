@@ -591,3 +591,34 @@ def image_resize_violations(sf_dir: str) -> pd.DataFrame:
     return finish(pd.DataFrame({
         "image_id": pd.Series(bad_id, dtype="str"),
         "kind": pd.Series(bad_kind, dtype="str")}), ["image_id", "kind"])
+
+
+def contamination_bloom_violations(sf_dir: str) -> pd.DataFrame:
+    """Bloom decontamination must have NO FALSE NEGATIVES: the doc_id
+    set flagged by ``contamination_check_bloom`` must be a superset of
+    the exact gate's (``contamination_check``) — a Bloom filter can
+    only over-flag, never under-flag. Additionally the over-flag (false
+    positive) count must stay under a generous cap derived from the
+    filter's analytic FP rate (10x slack + 5 absolute), so a sizing or
+    hashing bug that floods the train side with spurious flags is also
+    caught. Returns (doc_id, kind) violation rows — expected empty."""
+    from .text import (BLOOM_BITS, BLOOM_K, contamination_check,
+                       contamination_check_bloom)
+
+    exact = set(contamination_check(sf_dir)["doc_id"])
+    bloom = set(contamination_check_bloom(sf_dir)["doc_id"])
+    bad_id = sorted(exact - bloom)          # false negatives: forbidden
+    bad_kind = ["false_negative"] * len(bad_id)
+    n_train = int(read(sf_dir, "documents", ["doc_id"]).count())
+    # analytic per-gram FP rate at n <= n_train distinct grams (train
+    # grams bound holdout grams); each train doc probes many grams, so
+    # cap expected doc-level FPs at n_train * gram_fp * 10 + 5
+    gram_fp = (1.0 - np.exp(-BLOOM_K * n_train * 64.0 / BLOOM_BITS)) \
+        ** BLOOM_K
+    fp = len(bloom - exact)
+    if fp > n_train * gram_fp * 10 + 5:
+        bad_id.append(-1)
+        bad_kind.append("fp_excess")
+    return finish(pd.DataFrame({
+        "doc_id": pd.Series(bad_id, dtype="int64"),
+        "kind": pd.Series(bad_kind, dtype="str")}), ["doc_id", "kind"])

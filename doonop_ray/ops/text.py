@@ -807,6 +807,91 @@ def contamination_check(sf_dir: str, n: int = 4,
     return finish(out.astype({"doc_id": "int64"}), ["doc_id"])
 
 
+# Bloom decontamination parameters: a 2^22-bit filter is a FIXED 512 KiB
+# broadcast regardless of holdout size — the scale path when the eval
+# set's distinct-gram set is too large to broadcast exactly (the exact
+# value_set in contamination_check grows with the holdout; the filter
+# does not). k=4 double-hashed probes → FP rate (1-e^(-kn/m))^k,
+# ~1e-4 at n=1e5 grams and still <1% at n=5e5.
+BLOOM_BITS = 1 << 22
+BLOOM_K = 4
+
+
+def _bloom_positions(grams: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, len(grams)) bit positions via double hashing — two
+    independent 64-bit string hashes h1, h2 (h2 forced odd so the probe
+    stride never degenerates), probe i at (h1 + i*h2) mod m_bits.
+    ``pd.util.hash_array`` is deterministic across processes (fixed
+    16-byte keys, no PYTHONHASHSEED), so workers and driver agree."""
+    h1 = pd.util.hash_array(grams, hash_key="doonopbloomhash1")
+    h2 = pd.util.hash_array(grams, hash_key="doonopbloomhash2") | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)
+
+
+def contamination_check_bloom(sf_dir: str, n: int = 4,
+                              holdout_mod: int = 10,
+                              m_bits: int = BLOOM_BITS,
+                              k: int = BLOOM_K) -> pd.DataFrame:
+    """Train/test contamination via a Bloom filter — the scale twin of
+    ``contamination_check`` for holdout sets whose distinct-gram set is
+    too large to broadcast exactly: workers emit per-batch UNIQUE bit
+    positions (≤ k × batch distinct grams, not gram strings), the driver
+    ORs them into one fixed-size bitmap (512 KiB at the default —
+    constant in both corpus and holdout size), and the train corpus
+    streams through one vectorized membership scan against the broadcast
+    bitmap. Bloom guarantees NO FALSE NEGATIVES: the flagged set is a
+    superset of the exact gate's (``contamination_bloom_violations``
+    recomputes that invariant; tests pin the FP count)."""
+    import ray
+
+    from .common import bcast_get
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hold_bits(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(ids % holdout_mod == 0))
+        empty = pa.table({"p": pa.array([], pa.uint64())})
+        if len(sub) == 0:
+            return empty
+        _, grams = _word_ngrams(sub, n)
+        if len(grams) == 0:
+            return empty
+        pos = _bloom_positions(np.unique(grams), m_bits, k)
+        return pa.table({"p": pa.array(np.unique(pos), pa.uint64())})
+
+    hold = docs.map_batches(hold_bits, batch_format="pyarrow").to_pandas()
+    # driver merge is O(k × holdout distinct grams) positions — eval-set
+    # sized by construction, same budget as the exact gate's unique()
+    pos = np.unique(hold["p"].to_numpy().astype(np.uint64))
+    bitmap = np.zeros(m_bits >> 3, dtype=np.uint8)
+    np.bitwise_or.at(bitmap, (pos >> 3).astype(np.int64),
+                     (np.uint8(1) << (pos & 7).astype(np.uint8)))
+    bref = ray.put(bitmap)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bm = bcast_get(bref)
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(ids % holdout_mod != 0))
+        empty = pa.table({"doc_id": pa.array([], pa.int64())})
+        if len(sub) == 0:
+            return empty
+        didx, grams = _word_ngrams(sub, n)
+        if len(grams) == 0:
+            return empty
+        ug, inv = np.unique(grams, return_inverse=True)
+        p = _bloom_positions(ug, m_bits, k)
+        bits = (bm[(p >> np.uint64(3)).astype(np.int64)]
+                >> (p & np.uint64(7)).astype(np.uint8)) & 1
+        hitm = bits.all(axis=0)[inv]
+        cids = np.unique(sub["doc_id"].to_numpy()[didx[hitm]])
+        return pa.table({"doc_id": pa.array(cids, pa.int64())})
+
+    out = docs.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return finish(out.astype({"doc_id": "int64"}), ["doc_id"])
+
+
 # PII patterns, applied IN ORDER (counts are taken before each replace,
 # so the oracle must mirror the same sequential semantics). Both sides
 # run RE2 (pyarrow re2 kernels / DuckDB regexp_*), so the patterns stay

@@ -68,6 +68,7 @@ SQL_QUERIES = [
     "q12_priority_by_linestatus_allshuffle",
     "q13_customer_distribution_allshuffle",
     "customer_order_counts_allshuffle", "q8_market_share_allshuffle",
+    "contamination_check_bloom", "contamination_bloom_violations",
 ]
 
 
@@ -176,6 +177,23 @@ def test_contamination_check_excludes_holdout(entrymod, ray_session):
     # synthetic corpus has real 4-gram overlap to detect
     assert len(got) > 0
     assert (got["doc_id"] % 10 != 0).all()
+
+
+def test_contamination_bloom_no_false_negatives(entrymod, ray_session):
+    from doonop_ray.ops.text import (contamination_check,
+                                     contamination_check_bloom)
+
+    exact = set(contamination_check(SF)["doc_id"])
+    # at the default 2^22-bit sizing the FP rate is negligible at this
+    # scale: the bloom gate must agree exactly
+    bloom = set(contamination_check_bloom(SF)["doc_id"])
+    assert bloom == exact
+    # under a deliberately starved 2^10-bit filter every probe
+    # collides: false positives flood in, but the no-false-negative
+    # superset invariant must still hold
+    tiny = set(contamination_check_bloom(SF, m_bits=1 << 10)["doc_id"])
+    assert exact <= tiny
+    assert len(tiny) > len(exact)  # the starved filter really does FP
 
 
 def test_hll_accuracy_vs_exact(entrymod, duck, ray_session):
