@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
         "quantile_sketch": sketches.quantile_sketch,
+        "cms_token_frequency": sketches.cms_token_frequency,
         # text analysis
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -176,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize_violations": checks.image_resize_violations,
         "contamination_bloom_violations":
             checks.contamination_bloom_violations,
+        "cms_accuracy_violations": checks.cms_accuracy_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -1012,6 +1014,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "contamination_bloom_violations": """
             SELECT CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "cms_accuracy_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS token,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE
         """,

@@ -622,3 +622,55 @@ def contamination_bloom_violations(sf_dir: str) -> pd.DataFrame:
     return finish(pd.DataFrame({
         "doc_id": pd.Series(bad_id, dtype="int64"),
         "kind": pd.Series(bad_kind, dtype="str")}), ["doc_id", "kind"])
+
+
+def cms_accuracy_violations(sf_dir: str, slack: float = 3.0) -> pd.DataFrame:
+    """Count-min estimates must respect BOTH sketch guarantees per
+    probe token: NEVER underestimate the exact corpus frequency
+    (counters only over-count, so est < exact is a hard bug), and
+    overestimate by at most slack x (e/w) x N (Markov bound per row,
+    min over d=4 independent rows -> violation probability
+    <= (1/(slack e))^4 ~ 2e-4 per probe; deterministic given the data
+    and fixed hash keys). The exact counts come from an independent
+    filtered distributed scan, not from the sketch code. Returns
+    (token, kind) violation rows — expected empty."""
+    import pyarrow.compute as pc
+
+    from .sketches import CMS_PROBES, CMS_W, cms_token_frequency
+
+    got = cms_token_frequency(sf_dir).set_index("token")["est"]
+    probe_arr = pa.array(sorted(CMS_PROBES), pa.string())
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        flat = pc.list_flatten(pc.split_pattern_regex(low, r"\W+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        hits = flat.filter(pc.is_in(flat, value_set=probe_arr))
+        cnt = pa.table({"token": hits}).group_by("token").aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "token": pa.concat_arrays(
+                [cnt["token"].combine_chunks(),
+                 pa.array(["<TOTAL>"], pa.string())]),
+            "n": pa.concat_arrays(
+                [cnt["count_all"].combine_chunks().cast(pa.int64()),
+                 pa.array([len(flat)], pa.int64())])})
+
+    ex = (read(sf_dir, "documents", ["text"])
+          .map_batches(exact_partial, batch_format="pyarrow")
+          .to_pandas().groupby("token")["n"].sum())
+    n_total = int(ex.get("<TOTAL>", 0))
+    bound = slack * np.e / CMS_W * n_total
+    bad_tok, bad_kind = [], []
+    for tok in sorted(CMS_PROBES):
+        exact = int(ex.get(tok, 0))
+        est = int(got[tok])
+        if est < exact:
+            bad_tok.append(tok)
+            bad_kind.append("underestimate")
+        elif est > exact + bound:
+            bad_tok.append(tok)
+            bad_kind.append("overestimate")
+    return finish(pd.DataFrame({
+        "token": pd.Series(bad_tok, dtype="str"),
+        "kind": pd.Series(bad_kind, dtype="str")}), ["token", "kind"])

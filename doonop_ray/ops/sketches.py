@@ -346,3 +346,94 @@ def quantile_sketch(sf_dir: str,
     ests = [float(v[np.searchsorted(cw, q * total, side="left")
                     .clip(0, len(v) - 1)]) for q in qs]
     return pd.DataFrame({"q": list(qs), "est": ests})
+
+
+# Count-min sketch (Cormode & Muthukrishnan 2005): d=4 double-hashed
+# counter rows of w=2^15 int64 counters — 1 MiB per partial, elementwise
+# ADD-mergeable (the frequency counterpart of HLL's max-merge). Point
+# estimates NEVER underestimate (each counter only over-counts via
+# collisions) and overestimate by more than e/w x N with probability
+# <= e^-d per probe — both sides enforced by cms_accuracy_violations.
+CMS_D = 4
+CMS_W = 1 << 15
+# fixed probe set: point queries a pipeline would ask of the sketch —
+# drawn from the synthetic corpus's stable vocabulary plus absent
+# tokens (est must be ~0), deterministic and corpus-INDEPENDENT in the
+# sense that no exact top-k pass picks them (no circularity)
+CMS_PROBES = ("join", "hash", "row", "batch", "scan", "filter",
+              "the", "a", "data", "table", "stream", "window",
+              "lorem", "notaword9")
+# pd.util.hash_array keys are exactly 16 bytes
+_CMS_KEYS = tuple(f"doonopcmshash{i:03d}" for i in range(CMS_D))
+
+
+def _cms_positions(tokens: np.ndarray, w: int) -> np.ndarray:
+    """(CMS_D, n) counter columns — one independent fixed-key 64-bit
+    hash per row, reduced mod w (deterministic across processes)."""
+    return np.stack([
+        pd.util.hash_array(tokens, hash_key=k) % np.uint64(w)
+        for k in _CMS_KEYS])
+
+
+def cms_build(sf_dir: str, w: int = CMS_W, fanin: int = 8) -> np.ndarray:
+    """Build the (CMS_D, w) count-min sketch of ALL document-token
+    occurrences in one streaming pass: per-batch token counts via the
+    C++ group_by (hash unique tokens once, weight by count), bincount
+    into a local sketch, emit it as ONE binary blob row; blobs tree-add
+    through a ``fanin`` repartition so the driver reads fanin blobs
+    (d x w x 8 B each) regardless of corpus size."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        flat = pc.list_flatten(pc.split_pattern_regex(low, r"\W+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        cnt = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")])
+        toks = np.asarray(cnt["token"].to_pylist(), dtype=object)
+        weights = cnt["count_all"].to_numpy().astype(np.int64)
+        sk = np.zeros((CMS_D, w), dtype=np.int64)
+        if len(toks):
+            pos = _cms_positions(toks, w)
+            for r in range(CMS_D):
+                sk[r] += np.bincount(pos[r].astype(np.int64),
+                                     weights=weights,
+                                     minlength=w).astype(np.int64)
+        return pa.table({"sk": pa.array([sk.tobytes()], pa.large_binary())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        acc = np.zeros(CMS_D * w, dtype=np.int64)
+        for blob in t["sk"]:
+            acc += np.frombuffer(blob.as_py(), dtype=np.int64)
+        return pa.table({"sk": pa.array([acc.tobytes()], pa.large_binary())})
+
+    parts = (read(sf_dir, "documents", ["text"])
+             .map_batches(partial, batch_format="pyarrow")
+             .repartition(fanin)
+             .map_batches(combine, batch_format="pyarrow", batch_size=None)
+             .to_pandas())
+    sk = np.zeros(CMS_D * w, dtype=np.int64)
+    for blob in parts["sk"]:
+        sk += np.frombuffer(blob, dtype=np.int64)
+    return sk.reshape(CMS_D, w)
+
+
+def cms_estimate(sk: np.ndarray, tokens: list[str]) -> np.ndarray:
+    """Point estimates: min over the d counter rows per token."""
+    pos = _cms_positions(np.asarray(tokens, dtype=object), sk.shape[1])
+    return np.stack([sk[r, pos[r].astype(np.int64)]
+                     for r in range(sk.shape[0])]).min(axis=0)
+
+
+def cms_token_frequency(sf_dir: str,
+                        tokens: tuple[str, ...] = CMS_PROBES,
+                        w: int = CMS_W) -> pd.DataFrame:
+    """Approximate corpus frequency of the probe tokens from ONE
+    mergeable count-min pass (use when the vocabulary is too large /
+    the stream too wide for an exact per-token groupby). Error bounds
+    enforced by ``cms_accuracy_violations``."""
+    sk = cms_build(sf_dir, w=w)
+    probes = sorted(tokens)
+    est = cms_estimate(sk, probes)
+    return pd.DataFrame({"token": pd.Series(probes, dtype="str"),
+                         "est": pd.Series(est, dtype="int64")})

@@ -69,6 +69,7 @@ SQL_QUERIES = [
     "q13_customer_distribution_allshuffle",
     "customer_order_counts_allshuffle", "q8_market_share_allshuffle",
     "contamination_check_bloom", "contamination_bloom_violations",
+    "cms_accuracy_violations",
 ]
 
 
@@ -577,6 +578,37 @@ def test_quantile_sketch_tracks_exact_quantiles(entrymod, ray_session):
         le = np.searchsorted(vals, row["est"], side="right")
         assert lt <= (row["q"] + 0.01) * n
         assert le >= (row["q"] - 0.01) * n
+
+
+def test_cms_never_underestimates_and_merge_invariant(entrymod, duck,
+                                                      ray_session):
+    """Count-min point estimates must be >= the exact DuckDB corpus
+    frequency for every probe token (counters only over-count), and the
+    sketch must be identical under different merge trees (fanin 2 vs 8
+    — elementwise-add mergeability is what makes it distributable)."""
+    import numpy as np
+
+    from doonop_ray.ops.sketches import (CMS_PROBES, cms_build,
+                                         cms_estimate, cms_token_frequency)
+
+    probes = sorted(CMS_PROBES)
+    in_list = ", ".join(f"'{t}'" for t in probes)
+    exact = dict(duck.sql(f"""
+        SELECT t AS token, COUNT(*) AS n
+        FROM (SELECT unnest({entrymod._TOKENS}) AS t FROM documents)
+        WHERE t IN ({in_list}) GROUP BY t""").fetchall())
+
+    got = cms_token_frequency(SF).set_index("token")["est"]
+    for tok in probes:
+        assert got[tok] >= exact.get(tok, 0), tok
+    # the absent token can only be inflated by collisions, never huge
+    assert got["notaword9"] <= got[max(exact, key=exact.get)]
+
+    sk2 = cms_build(SF, fanin=2)
+    sk8 = cms_build(SF, fanin=8)
+    np.testing.assert_array_equal(sk2, sk8)
+    np.testing.assert_array_equal(
+        cms_estimate(sk2, probes), got.loc[probes].to_numpy())
 
 
 def test_pagerank_empty_edges_returns_typed_empty(ray_session):
