@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_customer_supplier": graph.pagerank_customer_supplier,
         "neardup_dedup_corpus": dedup.neardup_dedup_corpus,
         "dedup_incremental": dedup.dedup_incremental,
+        "substring_dup_stats": dedup.substring_dup_stats,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
@@ -870,6 +871,25 @@ def oracle_sql() -> dict[str, str]:
             FROM fp n JOIN fp c ON n.fp = c.fp AND c.doc_id % 10 <> 0
             WHERE n.doc_id % 10 = 0
             GROUP BY n.doc_id ORDER BY n.doc_id
+        """,
+        "substring_dup_stats": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text), '\w+') AS ts
+                          FROM documents),
+            grams AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g
+                      FROM (SELECT doc_id, ts,
+                                   unnest(range(1, len(ts)-3)) AS i
+                            FROM toks)),
+            dup AS (SELECT g FROM grams
+                    GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN g IN (SELECT g FROM dup)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                   ROUND(SUM(CASE WHEN g IN (SELECT g FROM dup)
+                             THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+                       AS dup_frac
+            FROM grams GROUP BY doc_id ORDER BY doc_id
         """,
         "dedup_keep_best": f"""
             SELECT doc_id, n_chars FROM (

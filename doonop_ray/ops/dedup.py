@@ -931,3 +931,132 @@ def dedup_incremental(sf_dir: str, n_tokens: int = 3,
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "dup_of": pd.Series([], dtype="int64")})
     return finish(out[["doc_id", "dup_of"]].astype("int64"), ["doc_id"])
+
+
+def _batch_grams(texts: list[str], k: int):
+    """Strict k-token-window gram hashes for a batch of texts: docs with
+    fewer than k tokens emit ZERO grams (SQL ``range(1, len-k+2)``
+    semantics — unlike ``_batch_shingles``, no short-doc fallback).
+    Same tokenization (lower + non-alnum→space) and the same universal
+    polynomial over per-token blake2b hashes. Returns (per-doc gram
+    counts int64[n], concatenated gram hashes uint64[Σcounts]) in doc
+    order; within-doc duplicates kept (each occurrence is one gram)."""
+    cache: dict[str, int] = {}
+    tok_h: list[int] = []
+    tc = np.empty(len(texts), np.int64)
+    for i, text in enumerate(texts):
+        toks = text.lower().translate(_NORM).split()
+        tc[i] = len(toks)
+        for w in toks:
+            h = cache.get(w)
+            if h is None:
+                h = cache[w] = hash_bytes(w)
+            tok_h.append(h)
+    x = (_fold61(np.asarray(tok_h, dtype=np.uint64)) if tok_h
+         else np.empty(0, np.uint64))
+    off = np.concatenate(([0], np.cumsum(tc)[:-1]))
+    wc = np.maximum(0, tc - k + 1)
+    out = np.empty(int(wc.sum()), np.uint64)
+    full = wc > 0
+    if full.any():
+        starts = _ragged_arange(wc[full], off[full])
+        acc = _SH_C + _mulmod61(_SH_R[0], x[starts])
+        for j in range(1, k):
+            acc = _fold61(acc) + _mulmod61(_SH_R[j], x[starts + j])
+        out_off = np.concatenate(([0], np.cumsum(wc)[:-1]))
+        out[_ragged_arange(wc[full], out_off[full])] = _fold61(acc)
+    return wc, out
+
+
+def substring_dup_stats(sf_dir: str, k: int = 5,
+                        n_buckets: int = 32) -> pd.DataFrame:
+    """Token-level exact substring duplication per document (the
+    suffix-array/"dedup by repeated substrings" family of training-data
+    cleaning, à la Lee et al. 2021, expressed as a gram-fingerprint
+    shuffle): a k-token gram is DUPLICATED if it occurs in ≥2 distinct
+    documents; per doc report total grams, duplicated-gram occurrences,
+    and their ratio. Complements the doc-level dedup family (exact /
+    prefix / MinHash / SimHash / winnowing) with the span-level signal.
+
+    Scale shape — one bucketed exchange of NARROW fingerprint partials:
+    1. map_batches: tokenize, strict k-gram 61-bit polynomial hashes,
+       per-batch ``(gh, doc_id) → cnt`` reduce via the C++ group_by
+       (ships one row per distinct gram-doc per batch, not per token);
+    2. hash-bucket rows by gh to storage (``bucket_dataset``) — each
+       gram's global occurrence set lands in exactly one bucket;
+    3. per bucket (bucket-complete, zero further exchange): re-reduce
+       (gh, doc) partials, mark ghs with ≥2 distinct docs, emit per-doc
+       (n_grams, n_dup) partials;
+    4. ``grouped_aggregate`` by doc_id (output is one row per doc).
+    Collision bound: distinct grams ≪ 2⁶¹ (birthday ~1e-12 at 1e9
+    grams), deterministic given the data, verified vs the string-gram
+    SQL oracle at every test SF. Docs with < k tokens emit no row
+    (no grams — SQL GROUP BY semantics)."""
+    import shutil
+
+    from .bucket import _read_bucket, bucket_dataset, map_buckets
+    from .common import grouped_aggregate, table_rows
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        wc, hs = _batch_grams(t["text"].to_pylist(), k)
+        doc = np.repeat(np.asarray(pc.cast(t["doc_id"], pa.int64())), wc)
+        pairs = pa.table({
+            "gh": pa.array(hs.view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+        }).group_by(["gh", "doc_id"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pairs.rename_columns(["gh", "doc_id", "cnt"])
+
+    grams = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        gram_rows, batch_format="pyarrow")
+    bdir = bucket_dataset(
+        grams, "gh", n_buckets,
+        schema=pa.schema([("gh", pa.int64()), ("doc_id", pa.int64()),
+                          ("cnt", pa.int64())]))
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_grams": pa.array([], pa.int64()),
+                      "n_dup": pa.array([], pa.int64())})
+
+    def bucket_stats(kb: int) -> pa.Table | None:
+        t = _read_bucket(bdir, kb, drop_key="bucket")
+        if t is None or len(t) == 0:
+            return None
+        # merge cross-batch partials for this bucket's grams
+        t = t.group_by(["gh", "doc_id"], use_threads=False).aggregate(
+            [("cnt", "sum")])
+        ndocs = t.group_by("gh", use_threads=False).aggregate(
+            [("doc_id", "count_distinct")])
+        dup_gh = ndocs.filter(
+            pc.greater_equal(ndocs["doc_id_count_distinct"], 2))["gh"]
+        is_dup = pc.is_in(t["gh"], value_set=dup_gh.combine_chunks())
+        cnt = t["cnt_sum"].to_numpy()
+        dup_cnt = np.where(np.asarray(is_dup), cnt, 0)
+        per_doc = pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pa.array(cnt, pa.int64()),
+            "n_dup": pa.array(dup_cnt, pa.int64()),
+        }).group_by("doc_id", use_threads=False).aggregate(
+            [("n_grams", "sum"), ("n_dup", "sum")])
+        return per_doc.rename_columns(["doc_id", "n_grams", "n_dup"])
+
+    try:
+        per_doc = grouped_aggregate(
+            map_buckets(n_buckets, bucket_stats, empty), "doc_id",
+            [("n_grams", "sum"), ("n_dup", "sum")],
+            size_hint=table_rows(sf_dir, "documents")).to_pandas()
+    finally:
+        shutil.rmtree(bdir, ignore_errors=True)
+    if per_doc.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_grams": pd.Series([], dtype="int64"),
+            "n_dup": pd.Series([], dtype="int64"),
+            "dup_frac": pd.Series([], dtype="float64")})
+    out = pd.DataFrame({
+        "doc_id": per_doc["doc_id"].astype("int64"),
+        "n_grams": per_doc["n_grams_sum"].astype("int64"),
+        "n_dup": per_doc["n_dup_sum"].astype("int64")})
+    from .common import r4
+    out["dup_frac"] = (out["n_dup"] / out["n_grams"]).map(r4)
+    return finish(out, ["doc_id"])

@@ -69,7 +69,7 @@ SQL_QUERIES = [
     "q13_customer_distribution_allshuffle",
     "customer_order_counts_allshuffle", "q8_market_share_allshuffle",
     "contamination_check_bloom", "contamination_bloom_violations",
-    "cms_accuracy_violations",
+    "cms_accuracy_violations", "substring_dup_stats",
 ]
 
 
@@ -609,6 +609,42 @@ def test_cms_never_underestimates_and_merge_invariant(entrymod, duck,
     np.testing.assert_array_equal(sk2, sk8)
     np.testing.assert_array_equal(
         cms_estimate(sk2, probes), got.loc[probes].to_numpy())
+
+
+def test_batch_grams_strict_short_doc_semantics():
+    """_batch_grams must emit ZERO grams for docs shorter than k (the
+    SQL range(1, len-k+2) contract — no _batch_shingles-style fallback)
+    and agree with a naive per-doc sliding window elsewhere. The
+    sf0.001 corpus has no sub-k docs, so the oracle-equality test never
+    exercises this edge."""
+    import numpy as np
+
+    from doonop_ray.ops.dedup import (_batch_grams, _fold61, _mulmod61,
+                                      _NORM, _SH_C, _SH_R, hash_bytes)
+
+    k = 5
+    texts = ["one two three four",          # 4 tokens < k -> 0 grams
+             "",                             # empty -> 0 grams
+             "a b c d e f g",               # 7 tokens -> 3 grams
+             "x " * k]                       # exactly k -> 1 gram
+    wc, hs = _batch_grams(texts, k)
+    assert wc.tolist() == [0, 0, 3, 1]
+    assert len(hs) == 4
+
+    def naive(text):
+        toks = text.lower().translate(_NORM).split()
+        out = []
+        for i in range(max(0, len(toks) - k + 1)):
+            x = _fold61(np.asarray([hash_bytes(w) for w in
+                                    toks[i:i + k]], dtype=np.uint64))
+            acc = _SH_C + _mulmod61(_SH_R[0:1], x[0:1])
+            for j in range(1, k):
+                acc = _fold61(acc) + _mulmod61(_SH_R[j:j + 1], x[j:j + 1])
+            out.append(int(_fold61(acc)[0]))
+        return out
+
+    expect = [g for t in texts for g in naive(t)]
+    assert hs.tolist() == expect
 
 
 def test_pagerank_empty_edges_returns_typed_empty(ray_session):
