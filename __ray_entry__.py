@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search_bm25": text.keyword_search_bm25,
         "winnowing_neardup_pairs": text.winnowing_neardup_pairs,
         "kmeans_embeddings": ann.kmeans_embeddings,
+        "centroid_by_label": ann.centroid_by_label,
+        "corpus_shuffle_shards": text.corpus_shuffle_shards,
+        "bpe_merges": text.bpe_merges,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -1061,6 +1064,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM grams
             WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM test)
             ORDER BY doc_id
+        """,
+        "centroid_by_label": """
+            WITH e AS (SELECT label, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS i
+                       FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(i AS BIGINT) AS dim,
+                   ROUND(AVG(CAST(v AS DOUBLE)), 4) AS mean_v
+            FROM e GROUP BY label, i ORDER BY label, i
+        """,
+        "corpus_shuffle_shards": """
+            SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id % 8
+                       ORDER BY md5(text), doc_id) - 1 AS BIGINT) AS pos
+            FROM documents ORDER BY doc_id
         """,
         "train_val_test_split": """
             SELECT doc_id, lang,

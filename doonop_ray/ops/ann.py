@@ -643,3 +643,59 @@ def ann_topk_pq(sf_dir: str, k: int = 10, n_queries: int = 5,
             rows.append((int(qid), rank, int(r.neighbor_id)))
     out = pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
     return finish(out, ["query_id", "rank"])
+
+
+def centroid_by_label(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding (class centroids) as LONG rows
+    (label, dim, mean_v) — the vector-column aggregate a curation
+    pipeline uses for per-cluster/per-class statistics and as warm
+    starts for k-means.
+
+    Scale shape: each batch reshapes its fixed-width ``list<float>``
+    column to an (n, d) float64 matrix and reduces it to one
+    (labels × d) partial of sums+counts — emitted as labels×d NARROW
+    long rows, so the exchange ships O(labels·d) per block no matter
+    how many vectors the block held; ``grouped_aggregate`` merges the
+    partials and the mean materializes only at the end. ``dim`` is
+    1-based to match SQL ``generate_subscripts``."""
+    import pyarrow.compute as pc
+
+    from .common import grouped_aggregate, r4
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        flat = np.asarray(
+            t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+        if n == 0 or flat.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "c": pa.array([], pa.int64())})
+        d = flat.size // n
+        mat = flat.reshape(n, d)
+        labels = np.asarray(pc.cast(t["label"], pa.int64()))
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(uniq)), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "c": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        read(sf_dir, "embeddings", ["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], [("s", "sum"), ("c", "sum")]).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                             "dim": pd.Series([], dtype="int64"),
+                             "mean_v": pd.Series([], dtype="float64")})
+    out = pd.DataFrame({
+        "label": agg["label"].astype("int64"),
+        "dim": agg["dim"].astype("int64"),
+        "mean_v": (agg["s_sum"] / agg["c_sum"]).map(r4)})
+    return finish(out, ["label", "dim"])

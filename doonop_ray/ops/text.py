@@ -1378,3 +1378,121 @@ def sample_by_mixture(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "lang": pd.Series([], dtype="str")})
     return finish(out.astype({"doc_id": "int64"}), ["doc_id"])
+
+
+def corpus_shuffle_shards(sf_dir: str, n_shards: int = 8) -> pd.DataFrame:
+    """Deterministic global training-data shuffle + sharding: every doc
+    gets (shard, pos) where shard = doc_id % n_shards and pos is the
+    doc's rank within its shard under md5(text) hash order — a
+    reproducible pseudo-random permutation with NO RNG state, the order
+    a training run streams each shard in. Re-running at any scale or
+    engine assigns identical positions (the property a resumable
+    100 TB shuffle needs; contrast ``Dataset.random_shuffle``, whose
+    output depends on seed + block layout).
+
+    Scale shape: the md5 keys are a pure map; the per-shard rank is a
+    ``grouped_apply`` (one sort keyed by shard) — and because shards
+    are the PARTITION key, at 100 TB each shard's rank assignment runs
+    where its rows land, no global coordination."""
+    from .common import grouped_apply
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+        md5 = [hashlib.md5(x.encode()).hexdigest()
+               for x in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shard": pa.array(ids % n_shards, pa.int64()),
+            "h": pa.array(md5, pa.string()),
+        })
+
+    def rank(g: pa.Table) -> pa.Table:
+        idx = pa.table({
+            "h": g["h"], "doc_id": g["doc_id"]
+        }).sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        return pa.table({
+            "doc_id": idx["doc_id"],
+            "shard": g["shard"].slice(0, len(g)),
+            "pos": pa.array(np.arange(len(g), dtype=np.int64), pa.int64()),
+        })
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "shard": pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64())})
+    keyed = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        key, batch_format="pyarrow")
+    out = grouped_apply(keyed, ["shard"], rank, empty).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "shard": pd.Series([], dtype="int64"),
+                             "pos": pd.Series([], dtype="int64")})
+    return finish(out.astype("int64"), ["doc_id"])
+
+
+def _bpe_merge_word(syms: tuple, a: str, b: str) -> tuple:
+    """Greedy left-to-right non-overlapping merge of (a,b) in a symbol
+    sequence — the standard BPE apply step."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_merges(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """Byte-pair-encoding vocabulary training (Sennrich et al. 2016) —
+    the ordered merge table (rank, left, right, count) a tokenizer
+    build produces.
+
+    Scale shape: BPE trains on the WORD-FREQUENCY DICTIONARY, not the
+    corpus (the standard trick — HF tokenizers / SentencePiece do the
+    same), so the corpus-sized work is ONE distributed word-count pass
+    (per-batch C++ group_by partials → ``grouped_aggregate``); the
+    merge loop then runs over the vocabulary table, which is bounded by
+    distinct-word count, not corpus bytes (at 100 TB: ~10⁷–10⁸ rows —
+    driver-feasible; beyond that each pair-count iteration re-expresses
+    as a grouped_aggregate over a vocab Dataset). Deterministic:
+    ties break on (max count, lexicographically smallest pair); pair
+    counts include every adjacent position; apply is greedy
+    left-to-right. Pinned against an independent naive reference in
+    tests (rows-only for the driver — merge choices depend on corpus
+    statistics, not SQL-expressible)."""
+    from .common import grouped_aggregate, table_rows
+
+    def wc_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _doc_tokens(t)
+        cnt = pa.table({"w": flat}).group_by("w", use_threads=False) \
+            .aggregate([([], "count_all")])
+        return cnt.rename_columns(["w", "c"])
+
+    vocab = grouped_aggregate(
+        read(sf_dir, "documents", ["text"])
+        .map_batches(wc_partial, batch_format="pyarrow"),
+        "w", [("c", "sum")],
+        size_hint=table_rows(sf_dir, "documents")).to_pandas()
+    words: dict[tuple, int] = {
+        tuple(w): int(c) for w, c in zip(vocab["w"], vocab["c_sum"])}
+
+    rules = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (left, right), best = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((rank, left, right, best))
+        merged: dict[tuple, int] = {}
+        for syms, cnt in words.items():
+            ns = _bpe_merge_word(syms, left, right)
+            merged[ns] = merged.get(ns, 0) + cnt
+        words = merged
+    out = pd.DataFrame(rules, columns=["rank", "left", "right", "count"])
+    return finish(out.astype({"rank": "int64", "count": "int64"}), ["rank"])

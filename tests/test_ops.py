@@ -70,6 +70,7 @@ SQL_QUERIES = [
     "customer_order_counts_allshuffle", "q8_market_share_allshuffle",
     "contamination_check_bloom", "contamination_bloom_violations",
     "cms_accuracy_violations", "substring_dup_stats",
+    "centroid_by_label", "corpus_shuffle_shards",
 ]
 
 
@@ -645,6 +646,57 @@ def test_batch_grams_strict_short_doc_semantics():
 
     expect = [g for t in texts for g in naive(t)]
     assert hs.tolist() == expect
+
+
+def test_bpe_merges_match_naive_reference(entrymod, ray_session):
+    """bpe_merges (distributed word count + vocab merge loop) must
+    equal an independent naive BPE trained directly on the raw corpus:
+    same tokenization, all-adjacent-positions pair counts, greedy
+    left-to-right apply, (max count, lexicographically smallest pair)
+    tie-break."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    got = entrymod.queries()["bpe_merges"](SF)
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    words = Counter()
+    for text in texts:
+        for w in re.findall(r"\w+", text.lower()):
+            words[tuple(w)] += 1
+    rules = []
+    for rank in range(12):
+        counts = Counter()
+        for syms, cnt in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += cnt
+        if not counts:
+            break
+        (left, right), best = min(counts.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))
+        rules.append((rank, left, right, best))
+        nxt = Counter()
+        for syms, cnt in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += cnt
+        words = nxt
+    expect = pd.DataFrame(rules,
+                          columns=["rank", "left", "right", "count"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        expect.astype({"rank": "int64", "count": "int64"}))
 
 
 def test_pagerank_empty_edges_returns_typed_empty(ray_session):
