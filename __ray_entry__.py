@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_by_label": ann.centroid_by_label,
         "corpus_shuffle_shards": text.corpus_shuffle_shards,
         "bpe_merges": text.bpe_merges,
+        "bpe_encode": text.bpe_encode,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
+        "semantic_dedup": dedup.semantic_dedup,
         # similarity search
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -182,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_bloom_violations":
             checks.contamination_bloom_violations,
         "cms_accuracy_violations": checks.cms_accuracy_violations,
+        "bpe_encode_violations": checks.bpe_encode_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -1044,6 +1047,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS VARCHAR) AS token,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE
+        """,
+        "bpe_encode_violations": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE
+        """,
+        # SemDeDup within precomputed clusters: removal = EXISTS a
+        # smaller-id same-cluster vector within the cosine threshold —
+        # the anti-join shape, so the full output is SQL-expressible
+        "semantic_dedup": """
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+                   CAST(a.label AS BIGINT) AS label
+            FROM embeddings a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings b
+                WHERE b.label = a.label AND b.vec_id < a.vec_id
+                  AND list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.30)
+            ORDER BY vec_id
         """,
         # the Bloom twin shares the exact gate's oracle: superset-only
         # by contract, but at these gram counts the 2^22-bit filter's

@@ -674,3 +674,60 @@ def cms_accuracy_violations(sf_dir: str, slack: float = 3.0) -> pd.DataFrame:
     return finish(pd.DataFrame({
         "token": pd.Series(bad_tok, dtype="str"),
         "kind": pd.Series(bad_kind, dtype="str")}), ["token", "kind"])
+
+
+def bpe_encode_violations(sf_dir: str, n_merges: int = 12,
+                          n_sample: int = 32) -> pd.DataFrame:
+    """``bpe_encode`` computes per-doc token counts via the trained
+    word→length dictionary (merges applied once to the vocabulary).
+    Independent recheck: for a deterministic sample of documents,
+    re-encode each doc FROM SCRATCH — greedy left-to-right application
+    of the published merge rules to every word, per document, without
+    the dictionary shortcut — and require identical (n_words, n_tokens);
+    additionally every doc must satisfy n_tokens >= n_words (merges
+    never cross word boundaries) and n_tokens <= total word chars.
+    Returns violating doc_ids — expected empty."""
+    import hashlib
+    import re
+
+    import pyarrow.compute as pc
+
+    from .text import _bpe_merge_word, bpe_encode, bpe_merges
+
+    enc = bpe_encode(sf_dir, n_merges=n_merges)
+    rules = bpe_merges(sf_dir, n_merges=n_merges)
+    merges = list(zip(rules["left"], rules["right"]))
+
+    bad: list[int] = []
+    nt = enc["n_tokens"].to_numpy()
+    nw = enc["n_words"].to_numpy()
+    bad.extend(enc.loc[nt < nw, "doc_id"].tolist())
+
+    # deterministic md5-order doc sample, text fetched by id
+    ranked = sorted(
+        enc["doc_id"].tolist(),
+        key=lambda d: hashlib.md5(str(d).encode()).hexdigest())
+    sample = set(ranked[:n_sample])
+    docs = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["doc_id"], pa.int64()), value_set=pa.array(
+                sorted(sample), pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    by_id = enc.set_index("doc_id")
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = [w for w in re.split(r"\W+", text.lower()) if w]
+        total = 0
+        for w in words:
+            syms = tuple(w)
+            for left, right in merges:
+                syms = _bpe_merge_word(syms, left, right)
+            total += len(syms)
+        row = by_id.loc[int(doc_id)]
+        if int(row["n_words"]) != len(words) or int(row["n_tokens"]) != total:
+            bad.append(int(doc_id))
+        if int(row["n_tokens"]) > sum(len(w) for w in words):
+            bad.append(int(doc_id))
+    if not bad:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    out = pd.DataFrame({"doc_id": sorted(set(bad))})
+    return finish(out.astype({"doc_id": "int64"}), ["doc_id"])

@@ -1060,3 +1060,55 @@ def substring_dup_stats(sf_dir: str, k: int = 5,
     from .common import r4
     out["dup_frac"] = (out["n_dup"] / out["n_grams"]).map(r4)
     return finish(out, ["doc_id"])
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.30) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): within each embedding CLUSTER, drop every vector
+    that has a smaller-id neighbor with cosine similarity >= threshold;
+    return the kept (vec_id, label) rows. Clusters are the precomputed
+    ``label`` column (the role ``kmeans_embeddings`` fills when labels
+    are not given), which is what keeps the O(N²) cosine work bounded:
+    pairs are only ever formed INSIDE a cluster.
+
+    Semantics: a vector is removed iff ANY smaller-id vector in its
+    cluster is within the threshold (compared against all predecessors,
+    not just kept ones — the anti-join shape, exactly SQL's NOT EXISTS,
+    so the DuckDB oracle is a full equality check rather than a
+    one-sided invariant).
+
+    Scale shape: one ``grouped_apply`` sort keyed on the cluster label;
+    each cluster's G×G float64 matmul runs where its rows land, G
+    bounded by cluster size (a kmeans prior caps G ≈ N/k; SemDeDup's
+    own recipe uses k ~ sqrt(N), making per-cluster work ~N). Nothing
+    corpus-sized is broadcast or collected on the driver.
+    """
+
+    def kept_in_cluster(g: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(g["vec_id"], pa.int64()))
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        v = np.asarray(g["embedding"].to_pylist(), dtype=np.float64)[order]
+        n = np.linalg.norm(v, axis=1)
+        n[n == 0] = 1.0
+        vn = v / n[:, None]
+        sims = vn @ vn.T
+        close = sims >= threshold
+        # removed iff any strictly-earlier row is close
+        removed = np.triu(close, 1).any(axis=0)
+        keep = ~removed
+        lab = np.asarray(pc.cast(g["label"], pa.int64()))[order]
+        return pa.table({
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "label": pa.array(lab[keep], pa.int64()),
+        })
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+    out = grouped_apply(
+        read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        ["label"], kept_in_cluster, empty).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "label": pd.Series([], dtype="int64")})
+    return finish(out.astype("int64"), ["vec_id"])

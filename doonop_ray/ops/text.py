@@ -1461,6 +1461,17 @@ def bpe_merges(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
     left-to-right. Pinned against an independent naive reference in
     tests (rows-only for the driver — merge choices depend on corpus
     statistics, not SQL-expressible)."""
+    rules, _ = _bpe_train(sf_dir, n_merges)
+    out = pd.DataFrame(rules, columns=["rank", "left", "right", "count"])
+    return finish(out.astype({"rank": "int64", "count": "int64"}), ["rank"])
+
+
+def _bpe_train(sf_dir: str, n_merges: int):
+    """Distributed word-count pass + vocabulary merge loop. Returns
+    (rules, words) where ``words`` maps each distinct corpus word's
+    final symbol tuple to its corpus count — since merging only ever
+    concatenates adjacent symbols, ``"".join(syms)`` reconstructs the
+    original word, so the dict doubles as word → encoded length."""
     from .common import grouped_aggregate, table_rows
 
     def wc_partial(t: pa.Table) -> pa.Table:
@@ -1494,5 +1505,61 @@ def bpe_merges(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
             ns = _bpe_merge_word(syms, left, right)
             merged[ns] = merged.get(ns, 0) + cnt
         words = merged
-    out = pd.DataFrame(rules, columns=["rank", "left", "right", "count"])
-    return finish(out.astype({"rank": "int64", "count": "int64"}), ["rank"])
+    return rules, words
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """Tokenizer APPLICATION — encode every document with the BPE vocab
+    ``bpe_merges`` trains, returning (doc_id, n_words, n_tokens): the
+    per-doc token count a sequence-packing / training-budget step
+    consumes.
+
+    Scale shape: the merge rules are applied ONCE to the distinct-word
+    dictionary during training (encoded length = final symbol count per
+    word — no per-document merge loops anywhere); the corpus pass is a
+    single map_batches that dictionary-encodes each batch's tokens and
+    looks up only the batch's DISTINCT words in the broadcast
+    word→length dict (``ray.put`` once, per-worker cached via
+    ``bcast_get``), then bincounts per-row sums. No OOV handling is
+    needed: the vocabulary is built from the same corpus, so every
+    token is present by construction. Rows-only for the driver (merge
+    choices aren't SQL-expressible); ``bpe_encode_violations`` re-checks
+    a deterministic doc sample against an independent per-document
+    greedy apply of the rules, and tests pin the full output at small
+    scale the same way."""
+    import ray
+
+    from .common import bcast_get
+
+    _, words = _bpe_train(sf_dir, n_merges)
+    n_tok = {"".join(syms): len(syms) for syms in words}
+    ref = ray.put(n_tok)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        lut = bcast_get(ref)
+        flat, parent = _doc_tokens(t)
+        nrows = len(t)
+        parent_np = np.asarray(parent)
+        enc = pc.dictionary_encode(flat.combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        per_uniq = np.array([lut[w] for w in uniq], dtype=np.int64)
+        tok_len = per_uniq[np.asarray(enc.indices)] if uniq else \
+            np.zeros(0, dtype=np.int64)
+        n_words = np.bincount(parent_np, minlength=nrows).astype(np.int64)
+        n_tokens = np.bincount(
+            parent_np, weights=tok_len, minlength=nrows).astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+        })
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_words": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64")})
+    return finish(out.astype("int64"), ["doc_id"])

@@ -71,6 +71,7 @@ SQL_QUERIES = [
     "contamination_check_bloom", "contamination_bloom_violations",
     "cms_accuracy_violations", "substring_dup_stats",
     "centroid_by_label", "corpus_shuffle_shards",
+    "semantic_dedup", "bpe_encode_violations",
 ]
 
 
@@ -697,6 +698,67 @@ def test_bpe_merges_match_naive_reference(entrymod, ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True),
         expect.astype({"rank": "int64", "count": "int64"}))
+
+
+def test_bpe_encode_matches_per_doc_naive_apply(entrymod, ray_session):
+    """bpe_encode counts tokens via the word->length dictionary built
+    during training; an independent per-document greedy apply of the
+    published merge rules (no dictionary shortcut) must produce the
+    identical (n_words, n_tokens) for every document."""
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from doonop_ray.ops.text import _bpe_merge_word
+
+    got = entrymod.queries()["bpe_encode"](SF)
+    rules = entrymod.queries()["bpe_merges"](SF)
+    merges = list(zip(rules["left"], rules["right"]))
+
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(),
+                            tbl["text"].to_pylist()):
+        words = re.findall(r"\w+", text.lower())
+        total = 0
+        for w in words:
+            syms = tuple(w)
+            for left, right in merges:
+                syms = _bpe_merge_word(syms, left, right)
+            total += len(syms)
+        rows.append((doc_id, len(words), total))
+    expect = pd.DataFrame(rows, columns=["doc_id", "n_words", "n_tokens"]) \
+        .sort_values("doc_id").reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), expect)
+
+
+def test_semantic_dedup_matches_brute_force(entrymod, ray_session):
+    """semantic_dedup (grouped_apply per cluster) must keep exactly the
+    vectors with no smaller-id same-label neighbor at cosine >= 0.30,
+    recomputed here with a full driver-side N x N float64 matrix."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    got = entrymod.queries()["semantic_dedup"](SF)
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    labels = np.asarray(tbl["label"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, labels, mat = ids[order], labels[order], mat[order]
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    vn = mat / n[:, None]
+    sims = vn @ vn.T
+    same_label = labels[:, None] == labels[None, :]
+    earlier = ids[:, None] < ids[None, :]
+    removed = ((sims >= 0.30) & same_label & earlier).any(axis=0)
+    keep_ids = set(ids[~removed].tolist())
+    assert set(got["vec_id"]) == keep_ids
+    assert list(got["vec_id"]) == sorted(keep_ids)
 
 
 def test_pagerank_empty_edges_returns_typed_empty(ray_session):
