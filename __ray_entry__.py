@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_shuffle_shards": text.corpus_shuffle_shards,
         "bpe_merges": text.bpe_merges,
         "bpe_encode": text.bpe_encode,
+        "char_entropy": text.char_entropy,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -202,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": windows.events_last_order,
         "event_value_median": windows.event_value_median,
         "events_rolling_avg": windows.events_rolling_avg,
+        "events_ntile": windows.events_ntile,
+        "user_modal_event_type": windows.user_modal_event_type,
         "events_windowed_p90": windows.events_windowed_p90,
         "orders_cumulative_revenue": windows.orders_cumulative_revenue,
         "top_orders_per_customer": relational.top_orders_per_customer,
@@ -1050,6 +1053,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_encode_violations": """
             SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE
+        """,
+        "char_entropy": """
+            WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                        FROM documents),
+            f AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+            tot AS (SELECT doc_id, length(text) AS n FROM documents),
+            e AS (SELECT f.doc_id,
+                         -SUM((cnt::DOUBLE / n) * log2(cnt::DOUBLE / n))
+                             AS ent
+                  FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id)
+            SELECT d.doc_id, ROUND(COALESCE(e.ent, 0.0), 4) AS entropy
+            FROM documents d LEFT JOIN e USING (doc_id) ORDER BY d.doc_id
+        """,
+        "events_ntile": """
+            SELECT event_id, user_id,
+                   CAST(NTILE(4) OVER (PARTITION BY user_id
+                                       ORDER BY value, event_id)
+                        AS BIGINT) AS tile
+            FROM events ORDER BY event_id
+        """,
+        "user_modal_event_type": """
+            SELECT user_id, event_type, cnt FROM (
+                SELECT user_id, event_type, count(*) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC,
+                                                   event_type) AS rn
+                FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id
         """,
         # SemDeDup within precomputed clusters: removal = EXISTS a
         # smaller-id same-cluster vector within the cosine threshold —

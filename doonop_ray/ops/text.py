@@ -1563,3 +1563,47 @@ def bpe_encode(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
                              "n_words": pd.Series([], dtype="int64"),
                              "n_tokens": pd.Series([], dtype="int64")})
     return finish(out.astype("int64"), ["doc_id"])
+
+
+def char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic gibberish/binary-junk quality gate (low-entropy docs are
+    repeated filler, very-high-entropy docs are random bytes; CCNet/
+    Gopher-style curation thresholds both tails).
+
+    Scale shape: pure map — one pass, no exchange. The whole batch is
+    vectorized: texts concatenate into ONE utf-32 codepoint array,
+    per-(doc, codepoint) counts come from a single ``np.unique`` over a
+    packed (doc_idx << 32 | codepoint) key, and the entropy sum per doc
+    is one ``np.bincount`` — no per-row Python in the hot loop.
+    Rounded to 4 decimals on both sides (float sum order)."""
+    from .common import r4
+
+    def ent(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = pc.cast(t["doc_id"], pa.int64())
+        lens = np.array([len(s) for s in texts], dtype=np.int64)
+        total = int(lens.sum())
+        out = np.zeros(len(texts), dtype=np.float64)
+        if total:
+            cps = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32)
+            doc_idx = np.repeat(
+                np.arange(len(texts), dtype=np.uint64), lens)
+            key = (doc_idx << np.uint64(32)) | cps.astype(np.uint64)
+            uniq, counts = np.unique(key, return_counts=True)
+            u_doc = (uniq >> np.uint64(32)).astype(np.int64)
+            p = counts / lens[u_doc]
+            out = np.bincount(u_doc, weights=-p * np.log2(p),
+                              minlength=len(texts))
+        return pa.table({
+            "doc_id": ids,
+            "entropy": pa.array([r4(v) for v in out], pa.float64()),
+        })
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ent, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "entropy": pd.Series([], dtype="float64")})
+    return finish(out, ["doc_id"])

@@ -377,3 +377,92 @@ def orders_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
     out = grouped_apply(ds, "o_custkey", cum, empty).to_pandas()
     return finish(out, ["o_custkey", "o_orderkey"])
+
+
+def events_ntile(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
+    """NTILE(tiles) per user over event value — the rank-to-bucket
+    window shape (quartile assignment feeding stratified sampling or
+    outlier trims). Exact SQL NTILE semantics: with n rows and k tiles,
+    the first n % k tiles get one extra row; order is (value, event_id)
+    for determinism.
+
+    Scale shape: one ``grouped_apply`` sort keyed on user_id; the
+    bucket arithmetic inside each group is closed-form over the sorted
+    positions (no second pass). Assumes one user's events fit a group —
+    the same stated assumption as every per-user window here."""
+    from .common import grouped_apply
+
+    def bucket(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("value", "ascending"),
+                                            ("event_id", "ascending")])
+        g = g.take(idx)
+        n = len(g)
+        q, r = divmod(n, tiles)
+        pos = np.arange(n, dtype=np.int64)
+        cut = r * (q + 1)
+        tile = np.where(
+            pos < cut,
+            pos // max(q + 1, 1),
+            r + (pos - cut) // max(q, 1),
+        ) + 1
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "tile": pa.array(tile, pa.int64()),
+        })
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "tile": pa.array([], pa.int64())})
+    ds = read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = grouped_apply(ds, "user_id", bucket, empty).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "user_id": pd.Series([], dtype="int64"),
+                             "tile": pd.Series([], dtype="int64")})
+    return finish(out.astype("int64"), ["event_id"])
+
+
+def user_modal_event_type(sf_dir: str) -> pd.DataFrame:
+    """MODE aggregate: each user's most frequent event_type (ties break
+    on the lexicographically smallest type) with its count — the
+    argmax-per-group shape.
+
+    Scale shape: per-batch (user, type) C++ group_by partials →
+    ``grouped_aggregate`` merge (the only exchange, keyed on the pair)
+    → per-user argmax via ``grouped_apply`` over the tiny merged table
+    (rows bounded by users × distinct types, not events)."""
+    from .common import grouped_aggregate, grouped_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt = pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"]
+        }).group_by(["user_id", "event_type"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return cnt.rename_columns(["user_id", "event_type", "c"])
+
+    merged = grouped_aggregate(
+        read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("c", "sum")])
+
+    def argmax(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("c_sum", "descending"),
+                          ("event_type", "ascending")])
+        top = g.take(idx.slice(0, 1))
+        return pa.table({
+            "user_id": top["user_id"],
+            "event_type": top["event_type"],
+            "cnt": pc.cast(top["c_sum"], pa.int64()),
+        })
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "event_type": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    out = grouped_apply(merged, "user_id", argmax, empty).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "event_type": pd.Series([], dtype="str"),
+                             "cnt": pd.Series([], dtype="int64")})
+    return finish(out, ["user_id"])

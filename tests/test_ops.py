@@ -72,6 +72,7 @@ SQL_QUERIES = [
     "cms_accuracy_violations", "substring_dup_stats",
     "centroid_by_label", "corpus_shuffle_shards",
     "semantic_dedup", "bpe_encode_violations",
+    "char_entropy", "events_ntile", "user_modal_event_type",
 ]
 
 
@@ -910,3 +911,39 @@ def test_connected_components_bucketed_matches_cogroup(ray_session):
     comp17 = cog.loc[cog["node"] == 17, "component"].iloc[0]
     assert (cog.loc[cog["node"].isin([600, 601]),
                     "component"] == comp17).all()
+
+
+def test_events_ntile_small_groups_match_duckdb(tmp_path, ray_session):
+    """NTILE bucket-size arithmetic on groups SMALLER than the tile
+    count and on every n % tiles residue (the sf0.001 corpus only
+    exercises large groups): craft users with 1..9 events and compare
+    against DuckDB's NTILE on the same file."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doonop_ray.ops.windows import events_ntile
+
+    rows = []
+    eid = 0
+    for user, n in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9]):
+        for i in range(n):
+            rows.append((eid, user, float((i * 7) % n)))
+            eid += 1
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = events_ntile(str(tmp_path))
+    con = duckdb.connect()
+    expect = con.sql(f"""
+        SELECT event_id, user_id,
+               CAST(NTILE(4) OVER (PARTITION BY user_id
+                                   ORDER BY value, event_id)
+                    AS BIGINT) AS tile
+        FROM '{tmp_path}/events.parquet' ORDER BY event_id""").df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  expect.astype("int64"))
