@@ -47,6 +47,21 @@ def _queries(sf_dir: str, n_queries: int):
     return qids, q / qn[:, None]
 
 
+def _no_embeddings(sf_dir: str) -> bool:
+    """Metadata-only empty-table check (no data read) — the ANN/kmeans
+    entry points early-return typed empty results on an empty corpus
+    instead of crashing in the matrix builders (empty-world sweep)."""
+    from .common import table_rows
+
+    return table_rows(sf_dir, "embeddings") == 0
+
+
+def _ann_empty() -> pd.DataFrame:
+    return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                         "rank": pd.Series([], dtype="int64"),
+                         "neighbor_id": pd.Series([], dtype="int64")})
+
+
 def ann_topk_cosine(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
     """Exact top-k cosine neighbors of the first ``n_queries`` vec_ids.
 
@@ -55,6 +70,8 @@ def ann_topk_cosine(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFram
     """
     import ray
 
+    if _no_embeddings(sf_dir):
+        return _ann_empty()
     qids, qmat = _queries(sf_dir, n_queries)
     ref = ray.put((qids, qmat))
 
@@ -149,6 +166,8 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_queries: int = 5,
     import ray
     import ray.data as rd
 
+    if _no_embeddings(sf_dir):
+        return _ann_empty()
     idx_dir = _index_dir("lsh", sf_dir, (n_planes, seed))
     if not os.path.isdir(idx_dir):
         os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
@@ -379,6 +398,10 @@ def kmeans_embeddings(sf_dir: str, k: int = 16,
 
     from .common import bcast_get
 
+    if _no_embeddings(sf_dir):
+        return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                             "n_vectors": pd.Series([], dtype="int64"),
+                             "mean_sim": pd.Series([], dtype="float64")})
     cents = _kmeans_train(sf_dir, k, kmeans_iters)
     ref = ray.put(cents)
 
@@ -468,6 +491,8 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_queries: int = 5,
 
     import ray.data as rd
 
+    if _no_embeddings(sf_dir):
+        return _ann_empty()
     idx_dir = _index_dir("ivf", sf_dir, (n_cells, kmeans_iters, seed))
     if not os.path.isdir(idx_dir):
         os.makedirs(os.path.dirname(idx_dir), exist_ok=True)
@@ -581,6 +606,8 @@ def ann_topk_pq(sf_dir: str, k: int = 10, n_queries: int = 5,
     ``ann_pq_recall_violations`` check."""
     import ray
 
+    if _no_embeddings(sf_dir):
+        return _ann_empty()
     qids, qmat = _queries(sf_dir, n_queries)
     books = _pq_codebooks(_pq_train_sample(sf_dir, n_train), m, ks)
     d = qmat.shape[1]

@@ -38,6 +38,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -128,6 +129,13 @@ def bucket_table(src: str, key: str, n_buckets: int = 32,
     tmp = _stage_dir(out_dir)
     (ds.map_batches(add_bucket, batch_format="pyarrow")
        .write_parquet(tmp, partition_cols=["bucket"]))
+    if not os.path.isdir(tmp):
+        # write_parquet of an all-empty source creates no directory at
+        # all; publish an explicit typed empty bucket so downstream
+        # bucket reads return empty results instead of crashing
+        os.makedirs(os.path.join(tmp, "bucket=0"))
+        pq.write_table(schema.empty_table(),
+                       os.path.join(tmp, "bucket=0", "empty.parquet"))
     _publish_dir(tmp, out_dir)
     return out_dir
 
@@ -325,6 +333,10 @@ def order_revenue_by_segment_bucketed(sf_dir: str, n_buckets: int = 32):
     # bounded) — merge the tiny partial set driver-side; a distributed
     # grouped_aggregate here would pay a sort pipeline to merge ~160 rows
     part = _collect_blocks(joined.map_batches(partial, batch_format="pyarrow"))
+    if part is None:  # empty corpus: no partials at all
+        return pd.DataFrame({"segment": pd.Series([], dtype="str"),
+                             "total_revenue": pd.Series([], dtype="float64"),
+                             "n_orders": pd.Series([], dtype="int64")})
     g = part.group_by("segment", use_threads=False).aggregate(
         [("rev", "sum"), ("n", "sum")])
     df = g.to_pandas()

@@ -268,6 +268,9 @@ def hll_accuracy_violations(sf_dir: str,
         .aggregate(Sum("count_all", alias_name="n"))
         .to_pandas()
     )
+    if not len(exact_df.columns):
+        exact_df = pd.DataFrame({"event_type": pd.Series([], dtype="str"),
+                                 "n": pd.Series([], dtype="int64")})
     exact = exact_df.set_index("event_type")["n"]
     bad = []
     for _, row in approx.iterrows():
@@ -387,9 +390,12 @@ def ivf_index_violations(sf_dir: str, n_cells: int = 16,
     import ray
     import ray.data as rd
 
-    from .ann import _build_ivf_index, _index_dir
+    from .ann import _build_ivf_index, _index_dir, _no_embeddings
     from .common import bcast_get
 
+    if _no_embeddings(sf_dir):
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "kind": pd.Series([], dtype="str")})
     idx_dir = _index_dir("ivf", sf_dir, (n_cells, kmeans_iters, seed))
     if not os.path.isdir(idx_dir):
         os.makedirs(os.path.dirname(idx_dir), exist_ok=True)

@@ -17,6 +17,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..compat import install as _install_compat
+
+_install_compat()
+
 
 def read(sf_dir: str, table: str, columns: list[str] | None = None):
     """read_parquet with column pruning and a metadata-free projected
@@ -28,8 +32,15 @@ def read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
     path = f"{sf_dir}/{table}.parquet"
-    full = pq.read_schema(path).remove_metadata()
+    pf = pq.ParquetFile(path)
+    full = pf.schema_arrow.remove_metadata()
     schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    if pf.metadata.num_rows == 0:
+        # a zero-row read produces ZERO blocks: downstream map_batches
+        # never runs and to_pandas() silently drops every column (the
+        # empty-corpus crash class tools/empty_world_sweep.py hunts).
+        # One explicit typed empty block keeps the schema end-to-end.
+        return rd.from_arrow(schema.empty_table())
     return rd.read_parquet(path, columns=columns, schema=schema)
 
 
@@ -131,6 +142,28 @@ def _small_route(ds, size_hint=None):
     return mat, small
 
 
+def _empty_table_like(ds) -> pa.Table | None:
+    """Typed empty table carrying ``ds``'s schema, or None if the
+    (zero-block) dataset lost it. A zero-row Dataset materializes to NO
+    blocks, so any downstream ``map_batches``/``to_pandas`` silently
+    drops the schema — the empty-corpus crash class the empty-world
+    sweep (tools/empty_world_sweep.py) hunts."""
+    try:
+        sch = ds.schema(fetch_if_missing=False)
+    except Exception:
+        return None
+    if sch is None:
+        return None
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.empty_table()
+    try:
+        return pa.schema(
+            [(n, t) for n, t in zip(sch.names, sch.types)]).empty_table()
+    except Exception:
+        return None
+
+
 def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1,
                   size_hint=None):
     """Per-group apply for HIGH-CARDINALITY keys.
@@ -188,6 +221,12 @@ def grouped_apply(ds, keys, fn, empty: pa.Table, min_group_size: int = 1,
 
     mat, small = _small_route(ds, size_hint)
     if small:
+        import ray.data as rd
+
+        if mat.count() == 0:
+            # a zero-row Dataset has no blocks — map_batches would never
+            # run and the schema (hence the caller's columns) would drop
+            return rd.from_arrow(empty)
         sort_keys = [(k, "ascending") for k in keys]
         return mat.repartition(1).map_batches(
             lambda t: interior(t.sort_by(sort_keys), keep_edges=True),
@@ -272,6 +311,12 @@ def grouped_aggregate(ds, keys, aggs: list[tuple[str, str]],
 
     mat, small = _small_route(ds, size_hint)
     if small:
+        if mat.count() == 0:
+            et = _empty_table_like(mat)
+            if et is not None:
+                import ray.data as rd
+
+                return rd.from_arrow(block_agg(et))
         # single-task exact aggregate — no sort needed at all
         return mat.repartition(1).map_batches(
             block_agg, batch_format="pyarrow", batch_size=None)
@@ -292,6 +337,16 @@ def grouped_aggregate(ds, keys, aggs: list[tuple[str, str]],
     import ray.data as rd
 
     return interior_out.union(rd.from_arrow(edge_merge(edge_tbl)))
+
+
+def _ensure_cols(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
+    """An all-empty Ray-native groupby/map_groups result loses its
+    schema in to_pandas (zero output blocks carry no columns); rebuild a
+    typed empty frame so downstream column access and the oracle compare
+    see the declared schema. No-op whenever any column survived."""
+    if len(df.columns):
+        return df
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
 
 
 def finish(df: pd.DataFrame, sort_by: list[str] | None = None) -> pd.DataFrame:

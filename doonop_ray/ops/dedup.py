@@ -596,6 +596,9 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35,
 
     n_rows = pq_.ParquetFile(
         os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    if n_rows == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
     if n_rows > max_rows:
         import warnings
 
@@ -809,6 +812,9 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.35,
     import ray
 
     emb = read_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    if len(emb) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
     dim = len(emb["embedding"][0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands * band_bits, dim)).astype(np.float64)
@@ -916,6 +922,15 @@ def dedup_incremental(sf_dir: str, n_tokens: int = 3,
             batch_format="pyarrow")
         stage = _stage_dir(idx_dir)
         uniq.write_parquet(stage, partition_cols=["bucket"])
+        if not os.path.isdir(stage):
+            # empty corpus side: publish an explicit typed empty bucket
+            import pyarrow.parquet as pq_
+
+            os.makedirs(os.path.join(stage, "bucket=0"))
+            pq_.write_table(
+                pa.schema([("fp", pa.string()),
+                           ("dup_of", pa.int64())]).empty_table(),
+                os.path.join(stage, "bucket=0", "empty.parquet"))
         _publish_dir(stage, idx_dir)
 
     incoming = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(

@@ -25,13 +25,7 @@ from datetime import datetime
 from .common import bcast_get, finish, r4, read, read_arrow
 
 
-def _ensure_cols(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
-    """An all-empty Ray result loses its schema in to_pandas (empty
-    blocks carry no columns); rebuild a typed empty frame so downstream
-    column access and the oracle compare see the declared schema."""
-    if len(df.columns):
-        return df
-    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+from .common import _ensure_cols  # noqa: E402  (shared guard)
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -66,6 +60,10 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    out = _ensure_cols(out, {
+        "l_returnflag": "str", "l_linestatus": "str", "sum_qty": "float64",
+        "sum_base_price": "float64", "sum_disc_price": "float64",
+        "count_order": "int64"})
     out["avg_qty"] = r4(out["sum_qty"] / out["count_order"])
     out["avg_price"] = r4(out["sum_base_price"] / out["count_order"])
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
@@ -380,6 +378,9 @@ def events_by_type(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    out = _ensure_cols(out, {
+        "event_type": "str", "n": "int64", "sum_value": "float64",
+        "min_value": "float64", "max_value": "float64"})
     out["sum_value"] = r4(out["sum_value"])
     return finish(out, ["event_type"])
 
@@ -387,8 +388,8 @@ def events_by_type(sf_dir: str) -> pd.DataFrame:
 def distinct_segments(sf_dir: str) -> pd.DataFrame:
     """Distinct + sort (the seed clean_urls sort+dedup shape, M10)."""
     ds = read(sf_dir, "customer", ["c_mktsegment"])
-    vals = sorted(ds.unique("c_mktsegment"))
-    return pd.DataFrame({"c_mktsegment": vals})
+    vals = sorted(ds.unique("c_mktsegment") or [])
+    return pd.DataFrame({"c_mktsegment": pd.Series(vals, dtype="str")})
 
 
 def nation_customer_counts(sf_dir: str) -> pd.DataFrame:
@@ -413,6 +414,8 @@ def nation_customer_counts(sf_dir: str) -> pd.DataFrame:
                    Sum("c_acctbal", alias_name="sum_acctbal"))
         .to_pandas()
     )
+    out = _ensure_cols(out, {"n_name": "str", "n_customers": "int64",
+                             "sum_acctbal": "float64"})
     out["sum_acctbal"] = r4(out["sum_acctbal"])
     return finish(out, ["n_name"])
 
@@ -501,6 +504,8 @@ def region_customer_rollup(sf_dir: str) -> pd.DataFrame:
                    Sum("c_acctbal", alias_name="sum_acctbal"))
         .to_pandas()
     )
+    out = _ensure_cols(out, {"r_name": "str", "n_customers": "int64",
+                             "sum_acctbal": "float64"})
     out["sum_acctbal"] = r4(out["sum_acctbal"])
     return finish(out, ["r_name"])
 
@@ -559,6 +564,8 @@ def orders_monthly(sf_dir: str) -> pd.DataFrame:
                    Sum("o_totalprice_count", alias_name="n_orders"))
         .to_pandas()
     )
+    out = _ensure_cols(out, {"o_year": "int64", "o_month": "int64",
+                             "revenue": "float64", "n_orders": "int64"})
     out["revenue"] = r4(out["revenue"])
     return finish(out, ["o_year", "o_month"])
 
@@ -578,6 +585,9 @@ def brand_price_stats(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    out = _ensure_cols(out, {"p_brand": "str", "n_parts": "int64",
+                             "min_price": "float64", "max_price": "float64",
+                             "sum_price": "float64"})
     out["avg_price"] = r4(out["sum_price"] / out["n_parts"])
     out["sum_price"] = r4(out["sum_price"])
     return finish(out, ["p_brand"])
@@ -958,6 +968,8 @@ def revenue_by_order_priority(sf_dir: str) -> pd.DataFrame:
     # sf0.1 where the block-order summation error (~tens of ulps ≈ 1e-4)
     # straddles a 1e-4 rounding boundary with high probability — observed
     # as 2/5 rows off by exactly 0.0001 vs the DuckDB oracle
+    out = _ensure_cols(out, {"o_orderpriority": "str",
+                             "revenue": "float64"})
     rev = np.asarray(out["revenue"], dtype=np.float64)
     out["revenue"] = np.sign(rev) * np.floor(np.abs(rev) + 0.5)
     return finish(out, ["o_orderpriority"])
@@ -991,6 +1003,7 @@ def customer_order_counts_allshuffle(sf_dir: str) -> pd.DataFrame:
             "c_custkey": t["key"],
             "n_orders": pc.fill_null(t["n"], 0)}),
         batch_format="pyarrow").to_pandas()
+    out = _ensure_cols(out, {"c_custkey": "int64", "n_orders": "int64"})
     return finish(out, ["c_custkey"])
 
 
@@ -1013,13 +1026,18 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
         )
         f = t.filter(m)
         s = pc.sum(pc.multiply(f["l_extendedprice"], f["l_discount"]))
-        return pa.table({"part": pa.array([s.as_py() or 0.0], pa.float64())})
+        return pa.table({"part": pa.array([s.as_py() or 0.0], pa.float64()),
+                         "hits": pa.array([len(f)], pa.int64())})
 
     agg = (read(sf_dir, "lineitem",
                 ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
-           .aggregate(Sum("part", alias_name="revenue")))
-    return pd.DataFrame({"revenue": r4([agg["revenue"] or 0.0])})
+           .aggregate(Sum("part", alias_name="revenue"),
+                      Sum("hits", alias_name="hits")))
+    if not agg or not agg.get("hits"):
+        # SQL SUM over an empty set is NULL, not 0
+        return pd.DataFrame({"revenue": [float("nan")]})
+    return pd.DataFrame({"revenue": r4([agg["revenue"]])})
 
 
 def q4_order_priority_allshuffle(sf_dir: str) -> pd.DataFrame:

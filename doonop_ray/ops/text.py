@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .common import finish, r4, read
+from .common import _ensure_cols, finish, r4, read
 
 TOKEN_RE = r"\w+"
 
@@ -183,7 +183,10 @@ def deterministic_sample(sf_dir: str) -> pd.DataFrame:
             hashlib.md5(x.encode()).hexdigest()[0] in ("0", "1")
             for x in t["text"].to_pylist()
         ]
-        return t.filter(pa.array(keep)).select(["doc_id", "lang"])
+        # explicit bool type: pa.array([]) is null-typed and filter()
+        # rejects it on the zero-row batch an empty corpus produces
+        return t.filter(pa.array(keep, pa.bool_())).select(
+            ["doc_id", "lang"])
 
     out = (
         read(sf_dir, "documents", ["doc_id", "lang", "text"])
@@ -212,6 +215,7 @@ def doc_length_histogram(sf_dir: str, bucket: int = 100) -> pd.DataFrame:
         .aggregate(Sum("bucket_count", alias_name="n_docs"))
         .to_pandas()
     )
+    out = _ensure_cols(out, {"bucket": "int64", "n_docs": "int64"})
     return finish(out, ["bucket"])
 
 
@@ -386,6 +390,7 @@ def top_tokens_heavy_hitters(sf_dir: str, k: int = 20,
         .aggregate(Sum("count_all", alias_name="n"))
         .to_pandas()
     )
+    out = _ensure_cols(out, {"token": "str", "n": "int64"})
     out = out.sort_values(["n", "token"], ascending=[False, True],
                           kind="mergesort").head(k)
     return out.reset_index(drop=True)
@@ -428,9 +433,11 @@ def train_val_test_split(sf_dir: str) -> pd.DataFrame:
     coordination — a pure map over the stream."""
 
     def assign(t: pa.Table) -> pa.Table:
+        # explicit U1 dtype: an empty list would otherwise make a
+        # float64 array whose string comparison below raises
         first = np.array(
             [hashlib.md5(x.encode()).hexdigest()[0]
-             for x in t["text"].to_pylist()])
+             for x in t["text"].to_pylist()], dtype="U1")
         split = np.where(
             first <= "b", "train",
             np.where((first == "c") | (first == "d"), "val", "test"))
@@ -539,6 +546,8 @@ def boilerplate_segments(sf_dir: str, seg: int = 3,
         left_types={"n_segments": pa.int64()},
         right_types={"n_boiler": pa.int64()},
     ).to_pandas()
+    out = _ensure_cols(out, {"doc_id": "int64", "n_segments": "int64",
+                             "n_boiler": "int64"})
     out["n_boiler"] = out["n_boiler"].fillna(0).astype("int64")
     return finish(out.astype({"doc_id": "int64", "n_segments": "int64"}),
                   ["doc_id"])
@@ -1008,7 +1017,10 @@ def keyword_search_bm25(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     docs = read(sf_dir, "documents", ["doc_id", "text"])
     st = docs.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
-    n_docs = int(st["n_docs"].sum())
+    n_docs = int(st["n_docs"].sum()) if len(st.columns) else 0
+    if n_docs == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
     avgdl = float(st["n_tokens"].sum()) / n_docs
     idf = {t_: float(np.log(1.0 + (n_docs - int(st[f"df_{t_}"].sum()) + 0.5)
                             / (int(st[f"df_{t_}"].sum()) + 0.5)))
@@ -1151,6 +1163,20 @@ def pack_sequences(sf_dir: str, seq_len: int = 512, bucket_size: int = 256,
     packed = grouped_apply(ds, ["lang", "bucket"], pack_bucket, empty)
     packed.write_parquet(out_root)
 
+    import os
+
+    import pyarrow.parquet as pq_
+
+    shard_files = ([f for f in os.listdir(out_root) if f.endswith(".parquet")]
+                   if os.path.isdir(out_root) else [])
+    if not any("lang" in pq_.read_schema(os.path.join(out_root, f)).names
+               for f in shard_files):
+        # empty corpus: the write emits either nothing or a schema-less
+        # empty file — no shards to aggregate
+        return pd.DataFrame({"lang": pd.Series([], dtype="str"),
+                             "n_sequences": pd.Series([], dtype="int64"),
+                             "total_tokens": pd.Series([], dtype="int64")})
+
     out = (rd.read_parquet(out_root, columns=["lang", "n_tokens"])
            .groupby("lang")
            .aggregate(Count(alias_name="n_sequences"),
@@ -1257,6 +1283,7 @@ def lm_perplexity_scores(sf_dir: str,
         .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
+    counts = _ensure_cols(counts, {"bucket": "int64", "cnt": "int64"})
     uni = np.zeros(LM_BUCKETS_UNI, dtype=np.int64)
     big = np.zeros(LM_BUCKETS_BI, dtype=np.int64)
     b = counts["bucket"].to_numpy()
@@ -1322,6 +1349,12 @@ def mixture_weights(sf_dir: str) -> pd.DataFrame:
            .map_batches(partial, batch_format="pyarrow")
            .groupby("source").aggregate(Sum("n", alias_name="n_docs"))
            .to_pandas())
+    out = _ensure_cols(out, {"source": "str", "n_docs": "int64"})
+    if out.empty:
+        return pd.DataFrame({"source": pd.Series([], dtype="str"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "weight": pd.Series([], dtype="float64"),
+                             "sampling_rate": pd.Series([], dtype="float64")})
     total = int(out["n_docs"].sum())
     k = len(out)
     out["n_docs"] = out["n_docs"].astype("int64")

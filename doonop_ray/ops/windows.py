@@ -14,7 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .common import finish, r4, read
+from .common import _ensure_cols, finish, r4, read
 
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
@@ -38,6 +38,9 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
         .to_pandas()
     )
+    out = _ensure_cols(out, {
+        "event_type": "str", "hour": "datetime64[us]",
+        "n": "int64", "sum_value": "float64"})
     out["sum_value"] = r4(out["sum_value"])
     return finish(out, ["event_type", "hour"])
 
@@ -70,6 +73,8 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         .map_groups(sess, batch_format="pandas")
         .to_pandas()
     )
+    out = _ensure_cols(out, {"user_id": "int64", "n_sessions": "int64",
+                             "n_events": "int64"})
     return finish(out, ["user_id"])
 
 
@@ -87,6 +92,9 @@ def user_stats(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    out = _ensure_cols(out, {"user_id": "int64", "n_events": "int64",
+                             "first_ts": "datetime64[us]",
+                             "last_ts": "datetime64[us]"})
     return finish(out, ["user_id"])
 
 
@@ -121,6 +129,9 @@ def events_sliding_counts(sf_dir: str, window_hours: int = 2,
         .aggregate(Count(alias_name="n"))
         .to_pandas()
     )
+    out = _ensure_cols(out, {"event_type": "str",
+                             "window_start": "datetime64[us]",
+                             "n": "int64"})
     return finish(out, ["event_type", "window_start"])
 
 
@@ -180,6 +191,7 @@ def events_last_order(sf_dir: str) -> pd.DataFrame:
         .map_groups(asof, batch_format="pandas")
         .to_pandas()
     )
+    out = _ensure_cols(out, {"event_id": "int64", "o_orderkey": "Int64"})
     out["event_id"] = out["event_id"].astype("int64")
     out["o_orderkey"] = out["o_orderkey"].astype("Int64")
     return finish(out, ["event_id"])
@@ -202,6 +214,7 @@ def event_value_median(sf_dir: str) -> pd.DataFrame:
         .map_groups(med, batch_format="pandas")
         .to_pandas()
     )
+    out = _ensure_cols(out, {"event_type": "str", "median_value": "float64"})
     return finish(out, ["event_type"])
 
 
@@ -223,6 +236,8 @@ def events_rolling_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
         .map_groups(roll, batch_format="pandas")
         .to_pandas()
     )
+    out = _ensure_cols(out, {"event_id": "int64", "user_id": "int64",
+                             "rolling_avg": "float64"})
     out["event_id"] = out["event_id"].astype("int64")
     out["user_id"] = out["user_id"].astype("int64")
     return finish(out, ["event_id"])
@@ -249,6 +264,8 @@ def events_top_users_per_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .map_groups(topk, batch_format="pandas")
         .to_pandas()
     )
+    out = _ensure_cols(out, {"event_type": "str", "user_id": "int64",
+                             "sum_value": "float64", "rank": "int64"})
     out["sum_value"] = r4(out["sum_value"])
     return finish(out, ["event_type", "rank"])
 
@@ -303,8 +320,9 @@ def orders_events_range_join(sf_dir: str, days: int = 7) -> pd.DataFrame:
         .groupby("key")
         .map_groups(count_in_range, batch_format="pandas")
         .to_pandas()
-        .astype({"o_orderkey": "int64", "n_events": "int64"})
     )
+    out = _ensure_cols(out, {"o_orderkey": "int64", "n_events": "int64"})
+    out = out.astype({"o_orderkey": "int64", "n_events": "int64"})
     return finish(out, ["o_orderkey"])
 
 
