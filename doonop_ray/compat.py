@@ -91,11 +91,16 @@ def _make_schema_keeping_cls():
     return SchemaKeepingBlocksToBatches
 
 
-SchemaKeepingBlocksToBatches = _make_schema_keeping_cls()
+try:
+    SchemaKeepingBlocksToBatches = _make_schema_keeping_cls()
+except Exception:  # future-ray guard: degrade to the to_pandas wrapper
+    SchemaKeepingBlocksToBatches = None
 
 
 def _patch_blocks_to_batches() -> None:
     """(1) Swap the construction site to the schema-keeping subclass."""
+    if SchemaKeepingBlocksToBatches is None:
+        return
     from ray.data._internal.planner import plan_udf_map_op as pm
 
     pm.BlocksToBatchesMapTransformFn = SchemaKeepingBlocksToBatches

@@ -698,11 +698,13 @@ def bpe_encode_violations(sf_dir: str, n_merges: int = 12,
 
     import pyarrow.compute as pc
 
-    from .text import _bpe_merge_word, bpe_encode, bpe_merges
+    from .text import _bpe_merge_word, _bpe_train, bpe_encode
 
-    enc = bpe_encode(sf_dir, n_merges=n_merges)
-    rules = bpe_merges(sf_dir, n_merges=n_merges)
-    merges = list(zip(rules["left"], rules["right"]))
+    # train ONCE and share: bpe_encode re-training the identical vocab
+    # would double the corpus-sized word-count pass (review finding)
+    trained = _bpe_train(sf_dir, n_merges)
+    enc = bpe_encode(sf_dir, n_merges=n_merges, _trained=trained)
+    merges = [(left, right) for _, left, right, _ in trained[0]]
 
     bad: list[int] = []
     nt = enc["n_tokens"].to_numpy()
@@ -720,8 +722,11 @@ def bpe_encode_violations(sf_dir: str, n_merges: int = 12,
                 sorted(sample), pa.int64()))),
         batch_format="pyarrow").to_pandas()
     by_id = enc.set_index("doc_id")
+    # re.ASCII: Arrow's RE2 \W is ASCII-only, so the independent
+    # tokenizer must segment identically on non-ASCII words
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        words = [w for w in re.split(r"\W+", text.lower()) if w]
+        words = [w for w in re.split(r"\W+", text.lower(), flags=re.ASCII)
+                 if w]
         total = 0
         for w in words:
             syms = tuple(w)

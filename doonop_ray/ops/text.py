@@ -1541,7 +1541,7 @@ def _bpe_train(sf_dir: str, n_merges: int):
     return rules, words
 
 
-def bpe_encode(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+def bpe_encode(sf_dir: str, n_merges: int = 12, _trained=None) -> pd.DataFrame:
     """Tokenizer APPLICATION — encode every document with the BPE vocab
     ``bpe_merges`` trains, returning (doc_id, n_words, n_tokens): the
     per-doc token count a sequence-packing / training-budget step
@@ -1564,7 +1564,8 @@ def bpe_encode(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
 
     from .common import bcast_get
 
-    _, words = _bpe_train(sf_dir, n_merges)
+    _, words = _trained if _trained is not None \
+        else _bpe_train(sf_dir, n_merges)
     n_tok = {"".join(syms): len(syms) for syms in words}
     ref = ray.put(n_tok)
 

@@ -668,7 +668,7 @@ def test_bpe_merges_match_naive_reference(entrymod, ray_session):
                           columns=["text"])["text"].to_pylist()
     words = Counter()
     for text in texts:
-        for w in re.findall(r"\w+", text.lower()):
+        for w in re.findall(r"\w+", text.lower(), flags=re.ASCII):
             words[tuple(w)] += 1
     rules = []
     for rank in range(12):
@@ -722,7 +722,7 @@ def test_bpe_encode_matches_per_doc_naive_apply(entrymod, ray_session):
     rows = []
     for doc_id, text in zip(tbl["doc_id"].to_pylist(),
                             tbl["text"].to_pylist()):
-        words = re.findall(r"\w+", text.lower())
+        words = re.findall(r"\w+", text.lower(), flags=re.ASCII)
         total = 0
         for w in words:
             syms = tuple(w)

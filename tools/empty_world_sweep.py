@@ -63,9 +63,9 @@ def main() -> int:
                 err = compare(df, oracle)
                 if err is not None:
                     failures.append((name, f"oracle mismatch: {err}"))
-                    status += "  ORACLE-MISMATCH"
-                else:
-                    status += "  == oracle"
+                    print(f"MISMATCH {name}: {status}  ({err})", flush=True)
+                    continue
+                status += "  == oracle"
             print(f"ok   {name}: {status}", flush=True)
         except Exception:
             failures.append((name, traceback.format_exc().strip()
