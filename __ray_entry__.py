@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": text.bpe_merges,
         "bpe_encode": text.bpe_encode,
         "char_entropy": text.char_entropy,
+        "hybrid_search_rrf": text.hybrid_search_rrf,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -1072,6 +1073,60 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY value, event_id)
                         AS BIGINT) AS tile
             FROM events ORDER BY event_id
+        """,
+        # RRF fusion of the two retrieval legs' oracles: the lexical
+        # CTE chain is keyword_search_bm25's oracle (LIMIT 50), the
+        # vector CTE is ann_topk_cosine's with the single smallest
+        # vec_id as query; fused score = 1/(60+r_lex) + 1/(60+r_vec)
+        # summed in the same term order as the Ray side
+        "hybrid_search_rrf": r"""
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '\W+'), x -> x <> '') AS a
+                FROM documents),
+            toks AS (SELECT doc_id, unnest(a) AS w FROM arr),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                             (SELECT sum(dl) * 1.0
+                              / (SELECT count(*) FROM documents)
+                              FROM dl) AS avgdl),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+                   WHERE w IN ('merge', 'window', 'scan')
+                   GROUP BY doc_id, w),
+            df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+            sc AS (
+                SELECT tf.doc_id,
+                       SUM(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75
+                                             + 0.75 * dl.dl / stats.avgdl))
+                           ) AS s
+                FROM tf JOIN df USING (w)
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats
+                GROUP BY tf.doc_id),
+            lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                        ORDER BY s DESC, doc_id) AS BIGINT) AS r
+                    FROM sc ORDER BY s DESC, doc_id LIMIT 50),
+            q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                  ORDER BY vec_id LIMIT 1),
+            sim AS (SELECT e.vec_id AS doc_id,
+                           list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) AS sim
+                    FROM q, embeddings e WHERE e.vec_id <> q.qid),
+            vec AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                        ORDER BY sim DESC, doc_id) AS BIGINT) AS r
+                    FROM sim ORDER BY sim DESC, doc_id LIMIT 50),
+            fused AS (
+                SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                       COALESCE(1.0 / (60 + lex.r), 0.0)
+                       + COALESCE(1.0 / (60 + vec.r), 0.0) AS score
+                FROM lex FULL OUTER JOIN vec USING (doc_id))
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS "rank",
+                   doc_id, ROUND(score, 4) AS rrf
+            FROM fused ORDER BY score DESC, doc_id LIMIT 20
         """,
         "user_modal_event_type": """
             SELECT user_id, event_type, cnt FROM (

@@ -1641,3 +1641,49 @@ def char_entropy(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "entropy": pd.Series([], dtype="float64")})
     return finish(out, ["doc_id"])
+
+
+def hybrid_search_rrf(sf_dir: str, k: int = 20, nc: int = 50,
+                      rrf_k: int = 60) -> pd.DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    (Cormack et al. 2009) — the standard two-leg retrieval composite: a
+    BM25 keyword leg and an embedding-cosine leg each produce their
+    top-``nc`` candidates, and a document's fused score is
+    Σ 1/(rrf_k + rank) over the legs it appears in. Rank-based fusion
+    needs no score normalization across legs, which is why it is the
+    default in production hybrid search.
+
+    Composition: the lexical leg IS ``keyword_search_bm25`` (two
+    streaming passes, per-block partial top-k) and the vector leg IS
+    ``ann_topk_cosine`` with the single smallest-vec_id query — both
+    already distributed and oracle-matched; the fusion itself touches
+    only the two nc-sized toplists on the driver (O(nc), corpus-
+    independent). Returns the top-``k`` (rank, doc_id, rrf) rows,
+    ties broken by doc_id ascending."""
+    from .ann import ann_topk_cosine
+
+    lex = keyword_search_bm25(sf_dir, k=nc)
+    vec = ann_topk_cosine(sf_dir, k=nc, n_queries=1)
+    lex_rank = {int(d): i + 1 for i, d in enumerate(lex["doc_id"])}
+    vec_rank = {int(d): int(r)
+                for d, r in zip(vec["neighbor_id"], vec["rank"])}
+    cands = sorted(set(lex_rank) | set(vec_rank))
+    if not cands:
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "rrf": pd.Series([], dtype="float64")})
+    # fixed term order (lex + vec) so the float64 sum is bit-identical
+    # to the SQL oracle's
+    rrf = {
+        d: (1.0 / (rrf_k + lex_rank[d]) if d in lex_rank else 0.0)
+           + (1.0 / (rrf_k + vec_rank[d]) if d in vec_rank else 0.0)
+        for d in cands
+    }
+    top = sorted(cands, key=lambda d: (-rrf[d], d))[:k]
+    from .common import r4
+
+    return pd.DataFrame({
+        "rank": pd.Series(np.arange(1, len(top) + 1), dtype="int64"),
+        "doc_id": pd.Series(top, dtype="int64"),
+        "rrf": pd.Series([r4(rrf[d]) for d in top], dtype="float64"),
+    })

@@ -73,6 +73,7 @@ SQL_QUERIES = [
     "centroid_by_label", "corpus_shuffle_shards",
     "semantic_dedup", "bpe_encode_violations",
     "char_entropy", "events_ntile", "user_modal_event_type",
+    "hybrid_search_rrf",
 ]
 
 
