@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q8_market_share_allshuffle,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
+        "sorted_range_shards": sketches.sorted_range_shards,
         "quantile_sketch": sketches.quantile_sketch,
         "cms_token_frequency": sketches.cms_token_frequency,
         # text analysis
@@ -316,6 +317,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS DOUBLE) AS q,
                    (SELECT MIN(value) FROM s WHERE rn >= CEIL(q * n)) AS value
             FROM (VALUES (0.5), (0.9), (0.99)) t(q) ORDER BY q
+        """,
+        "sorted_range_shards": """
+            WITH t AS (SELECT o_totalprice AS p,
+                              NTILE(8) OVER (ORDER BY o_totalprice,
+                                             o_orderkey) AS shard
+                       FROM orders)
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(p) AS min_price, MAX(p) AS max_price
+            FROM t GROUP BY shard ORDER BY shard
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count

@@ -63,6 +63,10 @@ OPS_BENCH = [
     # warm-up pays the one-time bucketing shuffles; the timed run is the
     # amortized bucket-aligned join every repeat query gets
     "order_revenue_by_segment_bucketed",
+    # round-3 continuation-4 additions
+    "semantic_dedup",
+    "char_entropy",
+    "hybrid_search_rrf",
 ]
 
 

@@ -13,6 +13,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .common import finish, read
 
@@ -437,3 +438,186 @@ def cms_token_frequency(sf_dir: str,
     est = cms_estimate(sk, probes)
     return pd.DataFrame({"token": pd.Series(probes, dtype="str"),
                          "est": pd.Series(est, dtype="int64")})
+
+
+def sorted_range_shards(sf_dir: str, shards: int = 8) -> pd.DataFrame:
+    """Balanced RANGE partitioning of orders by (o_totalprice,
+    o_orderkey) — the TeraSort partitioner shape: pick exact splitter
+    keys at the NTILE(shards) rank boundaries, then assign every row
+    its shard in one vectorized map. No global sort anywhere; this is
+    the primitive a 100 TB sorted-output writer or range-pruned layout
+    builds on.
+
+    Exact NTILE semantics (the SQL oracle): with n rows, the first
+    n % shards shards get one extra row; order is (price, orderkey).
+    Splitters are found by the same distributed selection-by-binning as
+    ``exact_quantiles`` (histogram partials -> candidate bins ->
+    collect (price, key) pairs of only those bins), so ties in price
+    resolve exactly by key. Returns per-shard (shard, n_rows,
+    min_price, max_price).
+
+    Scale shape: pass 1 = min/max/count aggregate; pass 2 = one
+    histogram partial scan (+ one refine scan per extra 4096× data
+    factor); pass 3 = candidate-bin collect (bounded by bin width);
+    pass 4 = assignment + per-shard (count,min,max) partials, merged
+    driver-side (O(shards)). Nothing corpus-sized leaves the workers.
+    """
+    import math
+
+    from ray.data.aggregate import Count, Max, Min
+
+    from .common import read, table_rows
+
+    n = table_rows(sf_dir, "orders")
+    empty = pd.DataFrame({"shard": pd.Series([], dtype="int64"),
+                          "n_rows": pd.Series([], dtype="int64"),
+                          "min_price": pd.Series([], dtype="float64"),
+                          "max_price": pd.Series([], dtype="float64")})
+    if n == 0:
+        return empty
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    g = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    gmin, gmax = float(g["min(o_totalprice)"]), float(g["max(o_totalprice)"])
+
+    # 1-based start rank of each shard s >= 2 (NTILE sizing)
+    q, r = divmod(n, shards)
+    cut_ranks = [(s - 1) * q + min(s - 1, r) + 1
+                 for s in range(2, shards + 1) if q or s - 1 <= r]
+
+    nbins, collect_cap = 4096, 65536
+    lo, hi = gmin, gmax
+
+    def hist(lo: float, hi: float) -> np.ndarray:
+        width = (hi - lo) / nbins
+
+        def partial(t: pa.Table) -> pa.Table:
+            v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+            vv = v[(v >= lo) & (v <= hi)]
+            if not len(vv):
+                return pa.table({"bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            b = np.minimum(((vv - lo) / width).astype(np.int64), nbins - 1)
+            counts = np.bincount(b, minlength=nbins)
+            nz = np.flatnonzero(counts)
+            return pa.table({"bin": pa.array(nz, pa.int64()),
+                             "cnt": pa.array(counts[nz], pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
+                .to_pandas())
+        dense = np.zeros(nbins, dtype=np.int64)
+        if len(rows.columns) and len(rows):
+            dense[rows["bin"].to_numpy()] = rows["cnt"].to_numpy()
+        return dense
+
+    # locate every cut rank's candidate bin (shared histogram; refine
+    # only while every cut sits in ONE oversized bin)
+    below = 0  # rows with price < lo
+    dense = None
+    for _ in range(4):
+        if hi <= lo:
+            break
+        dense = hist(lo, hi)
+        cum = np.cumsum(dense)
+        bins = [int(np.searchsorted(cum, rk - below)) for rk in cut_ranks]
+        if max(dense[b] for b in set(bins)) <= collect_cap or \
+                len(set(bins)) > 1:
+            break
+        # all cuts in ONE oversized bin: zoom into it
+        b = bins[0]
+        width = (hi - lo) / nbins
+        below += int(cum[b - 1]) if b else 0
+        lo, hi = lo + b * width, (hi if b == nbins - 1
+                                  else lo + (b + 1) * width)
+        dense = None
+
+    width = (hi - lo) / nbins if hi > lo else 1.0
+    if hi > lo:
+        if dense is None:
+            dense = hist(lo, hi)
+        cum = np.cumsum(dense)
+        cand_bins = sorted({int(np.searchsorted(cum, rk - below))
+                            for rk in cut_ranks})
+    else:
+        cand_bins = []
+        cum = np.cumsum(np.array([n]))
+
+    def collect(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        k = pc.cast(t["o_orderkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if hi > lo:
+            b = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
+            m = (v >= lo) & (v <= hi) & np.isin(b, cand_bins)
+            b = b[m]
+        else:
+            m = v == lo
+            b = np.zeros(int(m.sum()), dtype=np.int64)
+        return pa.table({"p": pa.array(v[m], pa.float64()),
+                         "k": pa.array(k[m], pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    cand = ds.map_batches(collect, batch_format="pyarrow",
+                          batch_size=65536).to_pandas()
+    cp = cand["p"].to_numpy() if len(cand.columns) else np.array([])
+    ck = cand["k"].to_numpy() if len(cand.columns) else np.array([])
+    cb = cand["b"].to_numpy() if len(cand.columns) else np.array([])
+    # (bin, p, k) sort == (p, k) sort (binning is monotone in p, and
+    # equal prices always share a bin), but counting the earlier-bin
+    # offset by BIN id matches the histogram's partition exactly even
+    # at ulp edges where a value compare against lo + b*width would not
+    order = np.lexsort((ck, cp, cb))
+    cp, ck, cb = cp[order], ck[order], cb[order]
+    # exact splitter per cut rank: local index inside its candidate bin
+    bps, bks = [], []
+    for rk in cut_ranks:
+        if hi > lo:
+            b = int(np.searchsorted(cum, rk - below))
+            before_bin = below + (int(cum[b - 1]) if b else 0)
+            earlier = int(np.searchsorted(cb, b, side="left"))
+            idx = earlier + (rk - before_bin) - 1
+        else:
+            idx = rk - 1 - below
+        bps.append(float(cp[idx]))
+        bks.append(int(ck[idx]))
+    bps_a = np.array(bps, dtype=np.float64)
+    bks_a = np.array(bks, dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        k = pc.cast(t["o_orderkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # shard = 1 + #{splitters <= (p, k)} (composite lexicographic)
+        s = np.searchsorted(bps_a, v, side="left").astype(np.int64)
+        for j in range(len(bps_a)):
+            s += ((v == bps_a[j]) & (k >= bks_a[j])).astype(np.int64)
+        shard = s + 1
+        out = np.zeros((len(bps_a) + 1, 3), dtype=np.float64)
+        cnt = np.bincount(shard - 1, minlength=len(bps_a) + 1)
+        mn = np.full(len(bps_a) + 1, np.inf)
+        mx = np.full(len(bps_a) + 1, -np.inf)
+        np.minimum.at(mn, shard - 1, v)
+        np.maximum.at(mx, shard - 1, v)
+        del out
+        return pa.table({
+            "shard": pa.array(np.arange(1, len(bps_a) + 2), pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+            "mn": pa.array(mn, pa.float64()),
+            "mx": pa.array(mx, pa.float64()),
+        })
+
+    parts = ds.map_batches(assign, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    agg = parts.groupby("shard", as_index=False).agg(
+        n_rows=("n", "sum"), min_price=("mn", "min"), max_price=("mx", "max"))
+    agg = agg[agg["n_rows"] > 0]
+    out = pd.DataFrame({
+        "shard": agg["shard"].astype("int64"),
+        "n_rows": agg["n_rows"].astype("int64"),
+        "min_price": agg["min_price"].astype("float64"),
+        "max_price": agg["max_price"].astype("float64"),
+    })
+    return finish(out, ["shard"])

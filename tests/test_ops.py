@@ -73,7 +73,7 @@ SQL_QUERIES = [
     "centroid_by_label", "corpus_shuffle_shards",
     "semantic_dedup", "bpe_encode_violations",
     "char_entropy", "events_ntile", "user_modal_event_type",
-    "hybrid_search_rrf",
+    "hybrid_search_rrf", "sorted_range_shards",
 ]
 
 
@@ -948,3 +948,41 @@ def test_events_ntile_small_groups_match_duckdb(tmp_path, ray_session):
     import pandas as pd
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   expect.astype("int64"))
+
+
+def test_sorted_range_shards_ties_and_odd_counts(tmp_path, ray_session):
+    """Exact NTILE partitioning on a tie-heavy table (many duplicate
+    prices, so splitters must resolve by orderkey) and a shard count
+    that doesn't divide n — compared against a driver-side reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doonop_ray.ops.sketches import sorted_range_shards
+
+    rng = np.random.default_rng(5)
+    n, shards = 1003, 7
+    prices = np.round(rng.uniform(10, 20, n), 1)  # heavy ties
+    keys = rng.permutation(n).astype(np.int64)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+    }), tmp_path / "orders.parquet")
+
+    got = sorted_range_shards(str(tmp_path), shards=shards)
+
+    order = np.lexsort((keys, prices))
+    sp, _ = prices[order], keys[order]
+    q, r = divmod(n, shards)
+    rows = []
+    start = 0
+    for s in range(1, shards + 1):
+        size = q + (1 if s <= r else 0)
+        seg = sp[start:start + size]
+        rows.append((s, size, float(seg.min()), float(seg.max())))
+        start += size
+    expect = pd.DataFrame(
+        rows, columns=["shard", "n_rows", "min_price", "max_price"]
+    ).astype({"shard": "int64", "n_rows": "int64"})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), expect)
