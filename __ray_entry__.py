@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_avg": windows.events_rolling_avg,
         "events_ntile": windows.events_ntile,
         "user_modal_event_type": windows.user_modal_event_type,
+        "events_pivot": windows.events_pivot,
+        "user_funnel": windows.user_funnel,
+        "retention_cohorts": windows.retention_cohorts,
         "events_windowed_p90": windows.events_windowed_p90,
         "orders_cumulative_revenue": windows.orders_cumulative_revenue,
         "top_orders_per_customer": relational.top_orders_per_customer,
@@ -1138,6 +1141,57 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS "rank",
                    doc_id, ROUND(score, 4) AS rrf
             FROM fused ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "user_funnel": """
+            WITH v AS (SELECT user_id,
+                              min(ts) FILTER (WHERE event_type = 'view')
+                                  AS t1
+                       FROM events GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND v.t1 IS NOT NULL
+                        AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id)
+            SELECT stage, n_users FROM (
+                SELECT 'view' AS stage, CAST(count(*) FILTER (
+                           WHERE t1 IS NOT NULL) AS BIGINT) AS n_users, 0 AS o
+                FROM v
+                UNION ALL
+                SELECT 'click', CAST(count(*) AS BIGINT), 1 FROM c
+                UNION ALL
+                SELECT 'purchase', CAST(count(*) AS BIGINT), 2 FROM p)
+            ORDER BY o
+        """,
+        "retention_cohorts": """
+            WITH w AS (SELECT user_id,
+                              epoch_us(ts) // 604800000000 AS week
+                       FROM events),
+            u AS (SELECT user_id, week,
+                         min(week) OVER (PARTITION BY user_id)
+                             AS cohort_week
+                  FROM w)
+            SELECT cohort_week,
+                   week - cohort_week AS week_offset,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM u GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "user_modal_event_type": """
             SELECT user_id, event_type, cnt FROM (

@@ -484,3 +484,146 @@ def user_modal_event_type(sf_dir: str) -> pd.DataFrame:
                              "event_type": pd.Series([], dtype="str"),
                              "cnt": pd.Series([], dtype="int64")})
     return finish(out, ["user_id"])
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT reshape: one row per user with a count column per event
+    type (long→wide, the feature-matrix shape). The type set is the
+    table's closed enum, so the pivot is a fixed projection, not a
+    dynamic schema.
+
+    Scale shape: each batch bincounts its (user, type) pairs into the
+    five fixed columns (C++ dictionary encode + bincount, no Python per
+    row), then ONE ``grouped_aggregate`` keyed on user sums the
+    partials — a single narrow exchange of 6 ints per distinct
+    (user, batch)."""
+    from .common import _ensure_cols, grouped_aggregate
+
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+    type_idx = {t: i for i, t in enumerate(EVENT_TYPES)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        users = pc.cast(t["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        tmap = np.array([type_idx.get(v, -1)
+                         for v in enc.dictionary.to_pylist()], dtype=np.int64)
+        ti = tmap[np.asarray(enc.indices)] if len(t) else \
+            np.zeros(0, dtype=np.int64)
+        uniq, uinv = np.unique(users, return_inverse=True)
+        out = {"user_id": pa.array(uniq, pa.int64())}
+        for i, c in enumerate(cols):
+            out[c] = pa.array(
+                np.bincount(uinv[ti == i], minlength=len(uniq)), pa.int64())
+        return pa.table(out)
+
+    merged = grouped_aggregate(
+        read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow"),
+        "user_id", [(c, "sum") for c in cols]).to_pandas()
+    merged = _ensure_cols(
+        merged, {"user_id": "int64", **{f"{c}_sum": "int64" for c in cols}})
+    out = pd.DataFrame({"user_id": merged["user_id"].astype("int64"),
+                        **{c: merged[f"{c}_sum"].astype("int64")
+                           for c in cols}})
+    return finish(out, ["user_id"])
+
+
+def user_funnel(sf_dir: str) -> pd.DataFrame:
+    """Strict sequential funnel view → click → purchase: a user reaches
+    a stage only via its first view, then the first click strictly
+    after it, then the first purchase strictly after that. Returns
+    (stage, n_users) for the three stages — the conversion table.
+
+    Scale shape: one ``grouped_apply`` sort keyed on user_id; each
+    user's stage timestamps come from three vectorized min-reductions
+    inside the group. Output is O(3)."""
+    from .common import grouped_apply
+
+    def stages(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        hit = np.zeros(3, dtype=np.int64)
+        tv = ts[et == "view"]
+        if len(tv):
+            hit[0] = 1
+            t1 = tv.min()
+            tc = ts[(et == "click") & (ts > t1)]
+            if len(tc):
+                hit[1] = 1
+                t2 = tc.min()
+                tp = ts[(et == "purchase") & (ts > t2)]
+                if len(tp):
+                    hit[2] = 1
+        return pa.table({
+            "stage": pa.array(["view", "click", "purchase"], pa.string()),
+            "n": pa.array(hit, pa.int64()),
+        })
+
+    empty = pa.table({"stage": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    parts = grouped_apply(
+        read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        "user_id", stages, empty).to_pandas()
+    stages_order = {"view": 0, "click": 1, "purchase": 2}
+    if parts.empty or not len(parts.columns):
+        # SQL's ungrouped aggregates yield one zero-count row per stage
+        # even over an empty table
+        return pd.DataFrame({
+            "stage": pd.Series(["view", "click", "purchase"], dtype="str"),
+            "n_users": pd.Series([0, 0, 0], dtype="int64")})
+    agg = parts.groupby("stage", as_index=False).agg(n_users=("n", "sum"))
+    agg["ord"] = agg["stage"].map(stages_order)
+    agg = agg.sort_values("ord").drop(columns="ord")
+    return agg.astype({"n_users": "int64"}).reset_index(drop=True)
+
+
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: cohort = a user's first absolute epoch
+    week (floor(epoch_us / 1 week)), offset = event week − cohort week;
+    cell = distinct users from that cohort active at that offset — the
+    standard growth-analytics rollup, on integer week arithmetic so
+    both engines agree exactly (no week-start locale semantics).
+
+    Scale shape: one ``grouped_apply`` sort keyed on user_id emits each
+    user's distinct (cohort, offset) rows (vectorized np.unique inside
+    the group), then a ``grouped_aggregate`` counts users per cell —
+    two narrow exchanges, nothing corpus-sized on the driver."""
+    from .common import grouped_aggregate, grouped_apply
+
+    WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        weeks = ts // WEEK_US
+        cohort = int(weeks.min())
+        offs = np.unique(weeks - cohort)
+        return pa.table({
+            "cohort_week": pa.array(np.full(len(offs), cohort, np.int64)),
+            "week_offset": pa.array(offs, pa.int64()),
+            "one": pa.array(np.ones(len(offs), np.int64)),
+        })
+
+    empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                      "week_offset": pa.array([], pa.int64()),
+                      "one": pa.array([], pa.int64())})
+    cells = grouped_apply(
+        read(sf_dir, "events", ["user_id", "ts"]),
+        "user_id", per_user, empty)
+    out = grouped_aggregate(
+        cells, ["cohort_week", "week_offset"], [("one", "sum")]).to_pandas()
+    from .common import _ensure_cols
+
+    out = _ensure_cols(out, {"cohort_week": "int64", "week_offset": "int64",
+                             "one_sum": "int64"})
+    out = pd.DataFrame({
+        "cohort_week": out["cohort_week"].astype("int64"),
+        "week_offset": out["week_offset"].astype("int64"),
+        "n_users": out["one_sum"].astype("int64"),
+    })
+    return finish(out, ["cohort_week", "week_offset"])

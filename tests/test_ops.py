@@ -74,6 +74,7 @@ SQL_QUERIES = [
     "semantic_dedup", "bpe_encode_violations",
     "char_entropy", "events_ntile", "user_modal_event_type",
     "hybrid_search_rrf", "sorted_range_shards",
+    "events_pivot", "user_funnel", "retention_cohorts",
 ]
 
 
