@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             checks.contamination_bloom_violations,
         "cms_accuracy_violations": checks.cms_accuracy_violations,
         "bpe_encode_violations": checks.bpe_encode_violations,
+        "image_dedup_violations": checks.image_dedup_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -222,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_host_budgets": flagship.frontier_host_budgets,
         "image_validate": flagship.image_validate,
         "image_phash_neardup": flagship.image_phash_neardup,
+        "image_dedup_corpus": flagship.image_dedup_corpus,
         "build_training_dataset": flagship.build_training_dataset,
         "training_dataset_stats": flagship.training_dataset_stats,
     }
@@ -1068,6 +1070,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_encode_violations": """
             SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE
+        """,
+        "image_dedup_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
         """,
         "char_entropy": """
             WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c

@@ -742,3 +742,74 @@ def bpe_encode_violations(sf_dir: str, n_merges: int = 12,
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
     out = pd.DataFrame({"doc_id": sorted(set(bad))})
     return finish(out.astype({"doc_id": "int64"}), ["doc_id"])
+
+
+def image_dedup_violations(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """``image_dedup_corpus`` invariants, recomputed with independent
+    arithmetic against the world's own phash column:
+
+    - DEGREE: every REMOVED image must have at least one OTHER image
+      within ``max_hamming`` (an image is only removed when an exact-
+      verified near-dup edge connected it into a cluster) — rechecked
+      by a direct chunked popcount of each removed phash against the
+      full column (bounded by removed-count × corpus, vectorized);
+    - CONSERVATION: survivors + removed == all images, no duplicate
+      survivor ids, and every cluster_size >= 1 with
+      Σ cluster_size == corpus size.
+
+    Returns (image_id, kind) violation rows — expected empty."""
+    import numpy as np
+
+    from ..pipelines.flagship import image_dedup_corpus, world_for
+
+    surv = image_dedup_corpus(sf_dir, max_hamming)
+    w = world_for(sf_dir)
+    ids = w.images.column("image_id").to_pylist()
+    ph = w.images.column("phash").to_numpy().view(np.uint64)
+
+    bad_id: list[str] = []
+    bad_kind: list[str] = []
+    surv_ids = list(surv["image_id"])
+    if len(set(surv_ids)) != len(surv_ids):
+        seen: set = set()
+        for s in surv_ids:
+            if s in seen:
+                bad_id.append(s)
+                bad_kind.append("dup_survivor")
+            seen.add(s)
+    if len(surv) and int(surv["cluster_size"].sum()) != len(ids):
+        bad_id.append("_total_")
+        bad_kind.append("size_conservation")
+    if (len(surv) and (surv["cluster_size"] < 1).any()) or \
+            len(surv) > len(ids):
+        bad_id.append("_total_")
+        bad_kind.append("bad_sizes")
+
+    surv_set = set(surv_ids)
+    removed_idx = np.array(
+        [i for i, s in enumerate(ids) if s not in surv_set], dtype=np.int64)
+    if len(removed_idx):
+        pop = np.zeros(len(removed_idx), dtype=np.int64)
+        # chunked popcount: removed × corpus, vectorized via uint64 xor
+        for lo in range(0, len(removed_idx), 512):
+            blk = removed_idx[lo:lo + 512]
+            x = ph[blk][:, None] ^ ph[None, :]
+            bits = np.zeros(x.shape, dtype=np.int64)
+            for shift in range(0, 64, 8):
+                bits += _POPCOUNT8[(x >> np.uint64(shift))
+                                   & np.uint64(0xFF)]
+            bits[np.arange(len(blk)), blk] = 64  # exclude self
+            pop[lo:lo + 512] = bits.min(axis=1)
+        for j in np.flatnonzero(pop > max_hamming):
+            bad_id.append(ids[int(removed_idx[j])])
+            bad_kind.append("removed_without_neighbor")
+
+    if not bad_id:
+        return pd.DataFrame({"image_id": pd.Series([], dtype="str"),
+                             "kind": pd.Series([], dtype="str")})
+    return finish(pd.DataFrame({"image_id": bad_id, "kind": bad_kind}),
+                  ["image_id", "kind"])
+
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)],
+                      dtype=np.int64)

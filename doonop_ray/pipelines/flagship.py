@@ -667,3 +667,83 @@ def training_dataset_stats(sf_dir: str) -> pd.DataFrame:
         assert int(out["n_rows"].sum()) == manifest_rows, \
             "training dataset rows != manifest rows"
     return out.sort_values("fmt", kind="mergesort").reset_index(drop=True)
+
+
+def image_dedup_corpus(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """End-to-end IMAGE near-duplicate corpus dedup — the image-side
+    twin of ``neardup_dedup_corpus``: phash-banded near-dup pairs →
+    distributed connected components → keep ONE representative per
+    cluster (the numerically smallest image id) → emit the surviving
+    images with their cluster size.
+
+    Scale shape: pairs come from the banded ``image_phash_neardup``
+    (grouped_apply buckets, nothing corpus-sized on the driver);
+    components run on int node ids (the image id's numeric suffix —
+    bijective by construction) via ``ops.graph.connected_components``
+    (auto-routes to the edge-pinned bucketed path above the node
+    threshold); survivors ride a value_set filter over a streaming
+    map_batches of the id table (swap for a semi ``bucketed_join`` when
+    the survivor set is corpus-sized). Rows-only for the driver;
+    pinned against an independent driver-side union-find in tests and
+    by the one-sided ``image_dedup_violations`` degree/conservation
+    recheck."""
+    import numpy as np
+    import pandas as pd_
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..ops.common import grouped_aggregate
+    from ..ops.graph import connected_components
+
+    pairs = image_phash_neardup(sf_dir, max_hamming)
+    w = world_for(sf_dir)
+    ids_tbl = w.images.select(["image_id"])
+
+    def suffix(col: pa.ChunkedArray) -> pa.Array:
+        # image ids are "<prefix>-<idx>" (synth.py); element 1 is idx
+        return pc.cast(pc.list_element(pc.split_pattern(col, "-"), 1),
+                       pa.int64())
+
+    nodes = rd.from_arrow(ids_tbl).map_batches(
+        lambda t: pa.table(
+            {"node": suffix(t["image_id"].combine_chunks())}),
+        batch_format="pyarrow")
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array([int(s.rsplit("-", 1)[1]) for s in pairs["a"]],
+                      pa.int64()),
+        "b": pa.array([int(s.rsplit("-", 1)[1]) for s in pairs["b"]],
+                      pa.int64()),
+    }))
+    comp = connected_components(nodes, edges)
+    sizes = grouped_aggregate(
+        comp.map_batches(
+            lambda t: pa.table({"component": t["component"],
+                                "one": pa.array(
+                                    np.ones(len(t), np.int64))}),
+            batch_format="pyarrow"),
+        "component", [("one", "sum")]).to_pandas()
+    from ..ops.common import _ensure_cols
+
+    sizes = _ensure_cols(sizes, {"component": "int64", "one_sum": "int64"})
+    size_of = dict(zip(sizes["component"].astype("int64"),
+                       sizes["one_sum"].astype("int64")))
+    comp_df = comp.to_pandas()
+    if not len(comp_df.columns):
+        comp_df = pd_.DataFrame({"node": pd_.Series([], dtype="int64"),
+                                 "component": pd_.Series([], dtype="int64")})
+    reps = comp_df.loc[comp_df["node"] == comp_df["component"], "node"]
+    keep = pa.array(reps.to_numpy(dtype="int64"), pa.int64())
+
+    out = rd.from_arrow(ids_tbl).map_batches(
+        lambda t: t.filter(pc.is_in(
+            suffix(t["image_id"].combine_chunks()), value_set=keep)),
+        batch_format="pyarrow").to_pandas()
+    if not len(out.columns):
+        out = pd_.DataFrame({"image_id": pd_.Series([], dtype="str")})
+    out["cluster_size"] = [
+        int(size_of.get(int(s.rsplit("-", 1)[1]), 1))
+        for s in out["image_id"]]
+    out = out.astype({"cluster_size": "int64"})
+    return out.sort_values("image_id", kind="mergesort").reset_index(
+        drop=True)

@@ -112,3 +112,44 @@ def test_build_training_dataset_rerun_is_idempotent(ray_session, tmp_path):
     assert files1 == files2
     assert list(m1["shard"]) == list(m2["shard"])
     assert int(m1["rows"].sum()) == int(m2["rows"].sum())
+
+
+def test_image_dedup_corpus_matches_union_find(ray_session):
+    """image_dedup_corpus (distributed CC over phash near-dup pairs)
+    must keep exactly the min-id representative of every cluster that
+    an independent driver-side union-find over the same emitted pairs
+    produces, with exact cluster sizes."""
+    from doonop_ray.pipelines.flagship import (image_dedup_corpus,
+                                               image_phash_neardup,
+                                               world_for)
+
+    SF = "/root/testdata/sf0.001"
+    got = image_dedup_corpus(SF)
+    pairs = image_phash_neardup(SF)
+    w = world_for(SF)
+    ids = w.images.column("image_id").to_pylist()
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by numeric id so the root IS the representative
+            lo, hi = sorted((ra, rb), key=lambda s: int(s.rsplit("-", 1)[1]))
+            parent[hi] = lo
+    clusters: dict[str, int] = {}
+    for i in ids:
+        clusters[find(i)] = clusters.get(find(i), 0) + 1
+
+    expect = sorted(clusters)
+    assert list(got["image_id"]) == expect
+    assert {i: int(s) for i, s in zip(got["image_id"],
+                                      got["cluster_size"])} == clusters
+    # and some dedup actually happened in this world
+    assert len(expect) < len(ids)
