@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": windows.events_pivot,
         "user_funnel": windows.user_funnel,
         "retention_cohorts": windows.retention_cohorts,
+        "events_percent_rank": windows.events_percent_rank,
+        "events_hourly_anomalies": windows.events_hourly_anomalies,
         "events_windowed_p90": windows.events_windowed_p90,
         "orders_cumulative_revenue": windows.orders_cumulative_revenue,
         "top_orders_per_customer": relational.top_orders_per_customer,
@@ -1199,6 +1201,32 @@ def oracle_sql() -> dict[str, str]:
                    week - cohort_week AS week_offset,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM u GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_percent_rank": """
+            SELECT event_id, user_id,
+                   ROUND(PERCENT_RANK() OVER (PARTITION BY user_id
+                                              ORDER BY value), 4)
+                       AS pct_rank,
+                   ROUND(CUME_DIST() OVER (PARTITION BY user_id
+                                           ORDER BY value), 4)
+                       AS cume_dist
+            FROM events ORDER BY event_id
+        """,
+        "events_hourly_anomalies": """
+            WITH c AS (SELECT event_type,
+                              date_trunc('hour', ts) AS hour,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type,
+                         avg(n) AS mu, stddev_samp(n) AS sd,
+                         count(*) AS hours
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type, c.hour, c.n,
+                   ROUND((c.n - s.mu) / s.sd, 4) AS zscore
+            FROM c JOIN s USING (event_type)
+            WHERE s.hours >= 2 AND s.sd > 0
+              AND abs((c.n - s.mu) / s.sd) > 2.0
+            ORDER BY c.event_type, c.hour
         """,
         "user_modal_event_type": """
             SELECT user_id, event_type, cnt FROM (

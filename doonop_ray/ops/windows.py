@@ -627,3 +627,101 @@ def retention_cohorts(sf_dir: str) -> pd.DataFrame:
         "n_users": out["one_sum"].astype("int64"),
     })
     return finish(out, ["cohort_week", "week_offset"])
+
+
+def events_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK + CUME_DIST of event value within each user — the
+    tie-aware rank-statistics window shapes (RANK() semantics: ties
+    share the min rank; CUME_DIST counts value <= v).
+
+    Scale shape: one ``grouped_apply`` sort keyed on user_id; inside a
+    group both statistics are two vectorized searchsorted calls over
+    the sorted values. Assumes one user's events fit a group (stated
+    for every per-user window here)."""
+    from .common import grouped_apply, r4
+
+    def ranks(g: pa.Table) -> pa.Table:
+        v = g["value"].to_numpy(zero_copy_only=False)
+        ids = pc.cast(g["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(v)
+        sv = np.sort(v)
+        lo = np.searchsorted(sv, v, side="left")   # rank-1 (ties -> min)
+        hi = np.searchsorted(sv, v, side="right")  # count(value <= v)
+        pr = lo / (n - 1) if n > 1 else np.zeros(n)
+        return pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": pc.cast(g["user_id"], pa.int64()),
+            "pct_rank": pa.array(r4(pr), pa.float64()),
+            "cume_dist": pa.array(r4(hi / n), pa.float64()),
+        })
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "pct_rank": pa.array([], pa.float64()),
+                      "cume_dist": pa.array([], pa.float64())})
+    out = grouped_apply(
+        read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        "user_id", ranks, empty).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "user_id": pd.Series([], dtype="int64"),
+                             "pct_rank": pd.Series([], dtype="float64"),
+                             "cume_dist": pd.Series([], dtype="float64")})
+    return finish(out, ["event_id"])
+
+
+def events_hourly_anomalies(sf_dir: str, z: float = 2.0) -> pd.DataFrame:
+    """Traffic-anomaly detection: hours whose per-type event count
+    deviates from that type's hourly mean by more than ``z`` sample
+    standard deviations — the monitoring rollup every ingest pipeline
+    runs. Returns (event_type, hour, n, zscore).
+
+    Scale shape: per-batch (type, hour) count partials →
+    ``grouped_aggregate`` (the only exchange); the per-type mean/stddev
+    reduce over hours-per-type rows (bounded by the time range, not the
+    corpus) on the driver."""
+    from .common import _ensure_cols, grouped_aggregate, r4
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        cnt = pa.table({
+            "event_type": t["event_type"], "hour": hour,
+        }).group_by(["event_type", "hour"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return cnt.rename_columns(["event_type", "hour", "c"])
+
+    counts = grouped_aggregate(
+        read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"], [("c", "sum")]).to_pandas()
+    counts = _ensure_cols(counts, {"event_type": "str",
+                                   "hour": "datetime64[us]",
+                                   "c_sum": "int64"})
+    if counts.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="str"),
+                             "hour": pd.Series([], dtype="datetime64[us]"),
+                             "n": pd.Series([], dtype="int64"),
+                             "zscore": pd.Series([], dtype="float64")})
+    out_rows = []
+    for et, g in counts.groupby("event_type"):
+        c = g["c_sum"].to_numpy(dtype=np.float64)
+        if len(c) < 2:
+            continue
+        mu = c.mean()
+        sd = c.std(ddof=1)
+        if sd == 0:
+            continue
+        zs = (c - mu) / sd
+        m = np.abs(zs) > z
+        for h, n_, zv in zip(g["hour"].to_numpy()[m], c[m], zs[m]):
+            out_rows.append((et, h, int(n_), float(r4(zv))))
+    out = pd.DataFrame(out_rows,
+                       columns=["event_type", "hour", "n", "zscore"])
+    if out.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="str"),
+                             "hour": pd.Series([], dtype="datetime64[us]"),
+                             "n": pd.Series([], dtype="int64"),
+                             "zscore": pd.Series([], dtype="float64")})
+    out["n"] = out["n"].astype("int64")
+    return finish(out, ["event_type", "hour"])

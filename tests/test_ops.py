@@ -75,7 +75,8 @@ SQL_QUERIES = [
     "char_entropy", "events_ntile", "user_modal_event_type",
     "hybrid_search_rrf", "sorted_range_shards",
     "events_pivot", "user_funnel", "retention_cohorts",
-    "image_dedup_violations",
+    "image_dedup_violations", "events_percent_rank",
+    "events_hourly_anomalies",
 ]
 
 
