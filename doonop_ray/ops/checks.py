@@ -777,11 +777,14 @@ def image_dedup_violations(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
                 bad_id.append(s)
                 bad_kind.append("dup_survivor")
             seen.add(s)
-    if len(surv) and int(surv["cluster_size"].sum()) != len(ids):
+    # unconditional: zero survivors over a NON-empty corpus must fail
+    # conservation (a `len(surv) and` guard would let total data loss
+    # pass the one-sided oracle silently — review finding)
+    total = int(surv["cluster_size"].sum()) if len(surv) else 0
+    if total != len(ids):
         bad_id.append("_total_")
         bad_kind.append("size_conservation")
-    if (len(surv) and (surv["cluster_size"] < 1).any()) or \
-            len(surv) > len(ids):
+    if (surv["cluster_size"] < 1).any() or len(surv) > len(ids):
         bad_id.append("_total_")
         bad_kind.append("bad_sizes")
 

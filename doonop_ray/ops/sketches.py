@@ -479,25 +479,47 @@ def sorted_range_shards(sf_dir: str, shards: int = 8) -> pd.DataFrame:
     g = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
     gmin, gmax = float(g["min(o_totalprice)"]), float(g["max(o_totalprice)"])
 
-    # 1-based start rank of each shard s >= 2 (NTILE sizing)
+    # 1-based start rank of each NON-EMPTY shard s >= 2 (NTILE sizing:
+    # size = q + 1 for s <= r, q otherwise — when q == 0 only the first
+    # r shards exist, so s must stop at r)
     q, r = divmod(n, shards)
     cut_ranks = [(s - 1) * q + min(s - 1, r) + 1
-                 for s in range(2, shards + 1) if q or s - 1 <= r]
+                 for s in range(2, shards + 1) if q or s <= r]
 
     nbins, collect_cap = 4096, 65536
-    lo, hi = gmin, gmax
 
-    def hist(lo: float, hi: float) -> np.ndarray:
-        width = (hi - lo) / nbins
+    # Selection levels: chain[d] = (lo_d, width_d, chosen_bin_d). A
+    # row's membership at the current depth is "its bin equals the
+    # chosen bin at every level" — bin ids are clipped floors of a
+    # monotone pure function of price, so the IDENTICAL arithmetic runs
+    # in the histogram, collect, and bookkeeping passes (a value
+    # compare against lo + b*width would disagree at float ulp edges
+    # and shift ranks by one).
+    chain: list[tuple[float, float, int]] = []
 
+    def level_params() -> tuple[float, float]:
+        if not chain:
+            return gmin, max((gmax - gmin) / nbins, 5e-324)
+        clo, cw, cb = chain[-1]
+        return clo + cb * cw, max(cw / nbins, 5e-324)
+
+    def select_and_bin(v: np.ndarray):
+        m = np.ones(len(v), dtype=bool)
+        for clo, cw, cb in chain:
+            b = np.clip(((v - clo) / cw).astype(np.int64), 0, nbins - 1)
+            m &= b == cb
+        lo_cur, w_cur = level_params()
+        bb = np.clip(((v - lo_cur) / w_cur).astype(np.int64), 0, nbins - 1)
+        return m, bb
+
+    def hist() -> np.ndarray:
         def partial(t: pa.Table) -> pa.Table:
             v = t["o_totalprice"].to_numpy(zero_copy_only=False)
-            vv = v[(v >= lo) & (v <= hi)]
-            if not len(vv):
+            m, bb = select_and_bin(v)
+            if not m.any():
                 return pa.table({"bin": pa.array([], pa.int64()),
                                  "cnt": pa.array([], pa.int64())})
-            b = np.minimum(((vv - lo) / width).astype(np.int64), nbins - 1)
-            counts = np.bincount(b, minlength=nbins)
+            counts = np.bincount(bb[m], minlength=nbins)
             nz = np.flatnonzero(counts)
             return pa.table({"bin": pa.array(nz, pa.int64()),
                              "cnt": pa.array(counts[nz], pa.int64())})
@@ -513,78 +535,63 @@ def sorted_range_shards(sf_dir: str, shards: int = 8) -> pd.DataFrame:
             dense[rows["bin"].to_numpy()] = rows["cnt"].to_numpy()
         return dense
 
-    # locate every cut rank's candidate bin (shared histogram; refine
-    # only while every cut sits in ONE oversized bin)
-    below = 0  # rows with price < lo
-    dense = None
-    for _ in range(4):
-        if hi <= lo:
-            break
-        dense = hist(lo, hi)
+    if not cut_ranks:  # n == 1 or shards == 1: everything is shard 1
+        bps_a = np.zeros(0, dtype=np.float64)
+        bks_a = np.zeros(0, dtype=np.int64)
+    else:
+        below = 0  # rows whose bin precedes the selected chain
+        dense = hist()
         cum = np.cumsum(dense)
-        bins = [int(np.searchsorted(cum, rk - below)) for rk in cut_ranks]
-        if max(dense[b] for b in set(bins)) <= collect_cap or \
-                len(set(bins)) > 1:
-            break
-        # all cuts in ONE oversized bin: zoom into it
-        b = bins[0]
-        width = (hi - lo) / nbins
-        below += int(cum[b - 1]) if b else 0
-        lo, hi = lo + b * width, (hi if b == nbins - 1
-                                  else lo + (b + 1) * width)
-        dense = None
-
-    width = (hi - lo) / nbins if hi > lo else 1.0
-    if hi > lo:
-        if dense is None:
-            dense = hist(lo, hi)
-        cum = np.cumsum(dense)
+        for _ in range(3):
+            bins = [int(np.searchsorted(cum, rk - below))
+                    for rk in cut_ranks]
+            worst = max(dense[b] for b in set(bins))
+            if worst <= collect_cap or len(set(bins)) > 1:
+                break
+            # every cut sits in ONE oversized bin: zoom into it
+            b = bins[0]
+            lo_cur, w_cur = level_params()
+            below += int(cum[b - 1]) if b else 0
+            chain.append((lo_cur, w_cur, b))
+            dense = hist()
+            cum = np.cumsum(dense)
+            if int(dense.max()) >= worst:  # all-equal values: no split
+                break
         cand_bins = sorted({int(np.searchsorted(cum, rk - below))
                             for rk in cut_ranks})
-    else:
-        cand_bins = []
-        cum = np.cumsum(np.array([n]))
 
-    def collect(t: pa.Table) -> pa.Table:
-        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
-        k = pc.cast(t["o_orderkey"], pa.int64()).to_numpy(
-            zero_copy_only=False)
-        if hi > lo:
-            b = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
-            m = (v >= lo) & (v <= hi) & np.isin(b, cand_bins)
-            b = b[m]
-        else:
-            m = v == lo
-            b = np.zeros(int(m.sum()), dtype=np.int64)
-        return pa.table({"p": pa.array(v[m], pa.float64()),
-                         "k": pa.array(k[m], pa.int64()),
-                         "b": pa.array(b, pa.int64())})
+        def collect(t: pa.Table) -> pa.Table:
+            v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+            k = pc.cast(t["o_orderkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m, bb = select_and_bin(v)
+            m &= np.isin(bb, cand_bins)
+            return pa.table({"p": pa.array(v[m], pa.float64()),
+                             "k": pa.array(k[m], pa.int64()),
+                             "b": pa.array(bb[m], pa.int64())})
 
-    cand = ds.map_batches(collect, batch_format="pyarrow",
-                          batch_size=65536).to_pandas()
-    cp = cand["p"].to_numpy() if len(cand.columns) else np.array([])
-    ck = cand["k"].to_numpy() if len(cand.columns) else np.array([])
-    cb = cand["b"].to_numpy() if len(cand.columns) else np.array([])
-    # (bin, p, k) sort == (p, k) sort (binning is monotone in p, and
-    # equal prices always share a bin), but counting the earlier-bin
-    # offset by BIN id matches the histogram's partition exactly even
-    # at ulp edges where a value compare against lo + b*width would not
-    order = np.lexsort((ck, cp, cb))
-    cp, ck, cb = cp[order], ck[order], cb[order]
-    # exact splitter per cut rank: local index inside its candidate bin
-    bps, bks = [], []
-    for rk in cut_ranks:
-        if hi > lo:
+        cand = ds.map_batches(collect, batch_format="pyarrow",
+                              batch_size=65536).to_pandas()
+        cp = cand["p"].to_numpy() if len(cand.columns) else np.array([])
+        ck = cand["k"].to_numpy() if len(cand.columns) else np.array([])
+        cb = cand["b"].to_numpy() if len(cand.columns) else np.array([])
+        # (bin, p, k) sort == (p, k) sort (binning is monotone in p and
+        # equal prices share a bin); the earlier-bin offset is counted
+        # by BIN id — the same partition the histogram used
+        order = np.lexsort((ck, cp, cb))
+        cp, ck, cb = cp[order], ck[order], cb[order]
+        # exact splitter per cut rank: local index inside its candidate
+        # bin
+        bps, bks = [], []
+        for rk in cut_ranks:
             b = int(np.searchsorted(cum, rk - below))
             before_bin = below + (int(cum[b - 1]) if b else 0)
             earlier = int(np.searchsorted(cb, b, side="left"))
             idx = earlier + (rk - before_bin) - 1
-        else:
-            idx = rk - 1 - below
-        bps.append(float(cp[idx]))
-        bks.append(int(ck[idx]))
-    bps_a = np.array(bps, dtype=np.float64)
-    bks_a = np.array(bks, dtype=np.int64)
+            bps.append(float(cp[idx]))
+            bks.append(int(ck[idx]))
+        bps_a = np.array(bps, dtype=np.float64)
+        bks_a = np.array(bks, dtype=np.int64)
 
     def assign(t: pa.Table) -> pa.Table:
         v = t["o_totalprice"].to_numpy(zero_copy_only=False)
@@ -595,13 +602,11 @@ def sorted_range_shards(sf_dir: str, shards: int = 8) -> pd.DataFrame:
         for j in range(len(bps_a)):
             s += ((v == bps_a[j]) & (k >= bks_a[j])).astype(np.int64)
         shard = s + 1
-        out = np.zeros((len(bps_a) + 1, 3), dtype=np.float64)
         cnt = np.bincount(shard - 1, minlength=len(bps_a) + 1)
         mn = np.full(len(bps_a) + 1, np.inf)
         mx = np.full(len(bps_a) + 1, -np.inf)
         np.minimum.at(mn, shard - 1, v)
         np.maximum.at(mx, shard - 1, v)
-        del out
         return pa.table({
             "shard": pa.array(np.arange(1, len(bps_a) + 2), pa.int64()),
             "n": pa.array(cnt, pa.int64()),

@@ -669,6 +669,24 @@ def training_dataset_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("fmt", kind="mergesort").reset_index(drop=True)
 
 
+def _image_suffix(image_id: str) -> int:
+    """Numeric node id of an image id ("<prefix>-<idx>", synth.py).
+    ONE convention everywhere — element 1 of a split on '-' — matching
+    ``_image_suffix_arr``; a prefix that ever grows a dash fails LOUDLY
+    (int() raises) instead of silently desynchronizing the id spaces."""
+    return int(image_id.split("-")[1])
+
+
+def _image_suffix_arr(col):
+    """Vectorized ``_image_suffix`` (same element-1 convention; a dashed
+    prefix fails the int cast loudly)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.list_element(pc.split_pattern(col, "-"), 1),
+                   pa.int64())
+
+
 def image_dedup_corpus(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
     """End-to-end IMAGE near-duplicate corpus dedup — the image-side
     twin of ``neardup_dedup_corpus``: phash-banded near-dup pairs →
@@ -700,22 +718,16 @@ def image_dedup_corpus(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
     w = world_for(sf_dir)
     ids_tbl = w.images.select(["image_id"])
 
-    def suffix(col: pa.ChunkedArray) -> pa.Array:
-        # image ids are "<prefix>-<idx>" (synth.py); element 1 is idx
-        return pc.cast(pc.list_element(pc.split_pattern(col, "-"), 1),
-                       pa.int64())
-
     nodes = rd.from_arrow(ids_tbl).map_batches(
         lambda t: pa.table(
-            {"node": suffix(t["image_id"].combine_chunks())}),
+            {"node": _image_suffix_arr(t["image_id"].combine_chunks())}),
         batch_format="pyarrow")
     edges = rd.from_arrow(pa.table({
-        "a": pa.array([int(s.rsplit("-", 1)[1]) for s in pairs["a"]],
-                      pa.int64()),
-        "b": pa.array([int(s.rsplit("-", 1)[1]) for s in pairs["b"]],
-                      pa.int64()),
+        "a": pa.array([_image_suffix(s) for s in pairs["a"]], pa.int64()),
+        "b": pa.array([_image_suffix(s) for s in pairs["b"]], pa.int64()),
     }))
     comp = connected_components(nodes, edges)
+    comp = comp.materialize()  # consumed twice below (sizes + reps)
     sizes = grouped_aggregate(
         comp.map_batches(
             lambda t: pa.table({"component": t["component"],
@@ -728,22 +740,27 @@ def image_dedup_corpus(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
     sizes = _ensure_cols(sizes, {"component": "int64", "one_sum": "int64"})
     size_of = dict(zip(sizes["component"].astype("int64"),
                        sizes["one_sum"].astype("int64")))
-    comp_df = comp.to_pandas()
-    if not len(comp_df.columns):
-        comp_df = pd_.DataFrame({"node": pd_.Series([], dtype="int64"),
-                                 "component": pd_.Series([], dtype="int64")})
-    reps = comp_df.loc[comp_df["node"] == comp_df["component"], "node"]
-    keep = pa.array(reps.to_numpy(dtype="int64"), pa.int64())
+    # representatives filter runs worker-side; only the (smaller) rep
+    # set reaches the driver, not the corpus-sized (node, component)
+    # table (at unbounded survivor scale, swap the value_set filter
+    # below for a semi bucketed_join — same contract as
+    # neardup_dedup_corpus)
+    reps_df = comp.map_batches(
+        lambda t: t.filter(pc.equal(t["node"], t["component"])),
+        batch_format="pyarrow").to_pandas()
+    if not len(reps_df.columns):
+        reps_df = pd_.DataFrame({"node": pd_.Series([], dtype="int64")})
+    keep = pa.array(reps_df["node"].to_numpy(dtype="int64"), pa.int64())
 
     out = rd.from_arrow(ids_tbl).map_batches(
         lambda t: t.filter(pc.is_in(
-            suffix(t["image_id"].combine_chunks()), value_set=keep)),
+            _image_suffix_arr(t["image_id"].combine_chunks()),
+            value_set=keep)),
         batch_format="pyarrow").to_pandas()
     if not len(out.columns):
         out = pd_.DataFrame({"image_id": pd_.Series([], dtype="str")})
     out["cluster_size"] = [
-        int(size_of.get(int(s.rsplit("-", 1)[1]), 1))
-        for s in out["image_id"]]
+        int(size_of.get(_image_suffix(s), 1)) for s in out["image_id"]]
     out = out.astype({"cluster_size": "int64"})
     return out.sort_values("image_id", kind="mergesort").reset_index(
         drop=True)
