@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bucket.order_revenue_by_segment_bucketed,
         "q9_profit_by_nation": relational.q9_profit_by_nation,
         "revenue_by_order_priority": relational.revenue_by_order_priority,
+        "orders_skyline": relational.orders_skyline,
         "q4_order_priority": relational.q4_order_priority,
         "customer_acct_outer": relational.customer_acct_outer,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
@@ -324,6 +325,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS DOUBLE) AS q,
                    (SELECT MIN(value) FROM s WHERE rn >= CEIL(q * n)) AS value
             FROM (VALUES (0.5), (0.9), (0.99)) t(q) ORDER BY q
+        """,
+        # skyline tie semantics: strict dominance — a point survives
+        # iff nothing is (<= date, >= price) with one strict; the
+        # window form is O(n log n): per-date max rows, then a running
+        # max over strictly earlier dates
+        "orders_skyline": """
+            WITH d AS (SELECT o_orderkey, o_orderdate, o_totalprice,
+                              MAX(o_totalprice) OVER (
+                                  PARTITION BY o_orderdate) AS same_max
+                       FROM orders),
+            e AS (SELECT o_orderdate, MAX(o_totalprice) AS dmax
+                  FROM orders GROUP BY 1),
+            prev AS (SELECT o_orderdate,
+                            MAX(dmax) OVER (ORDER BY o_orderdate
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+                     FROM e)
+            SELECT d.o_orderkey, d.o_orderdate, d.o_totalprice
+            FROM d JOIN prev USING (o_orderdate)
+            WHERE d.o_totalprice = d.same_max
+              AND (prev.prev_max IS NULL
+                   OR d.o_totalprice > prev.prev_max)
+            ORDER BY d.o_orderkey
         """,
         "sorted_range_shards": """
             WITH t AS (SELECT o_totalprice AS p,

@@ -2765,3 +2765,74 @@ def q8_market_share(sf_dir: str, target_nation: str = "NATION_3",
         rev=("rev", "sum"), rev_t=("rev_t", "sum"))
     agg["mkt_share"] = r4(agg["rev_t"] / agg["rev"])
     return finish(agg[["o_year", "mkt_share"]], ["o_year"])
+
+
+def _skyline_2d(dd: np.ndarray, pp: np.ndarray, kk: np.ndarray):
+    """Exact 2-D skyline (minimize date, maximize price) with strict
+    dominance: x survives iff no point has (date <=, price >=) with one
+    strict — equal (date, price) pairs all survive. O(n log n): sort by
+    (date asc, price desc), then one prefix max. Returns a keep mask in
+    the SORTED order plus the sort order."""
+    order = np.lexsort((kk, -pp, dd))
+    d_s, p_s = dd[order], pp[order]
+    pref = np.concatenate((
+        [-np.inf], np.maximum.accumulate(p_s)[:-1]))  # max over earlier rows
+    new_date = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+    first_idx = np.flatnonzero(new_date)[np.cumsum(new_date) - 1]
+    same_max = p_s[first_idx]  # per-date max (price desc within date)
+    keep = (p_s == same_max) & (p_s > pref[first_idx])
+    return order, keep
+
+
+def orders_skyline(sf_dir: str) -> pd.DataFrame:
+    """SKYLINE (Pareto-front) query: the orders no other order
+    dominates on (earlier-or-equal date, higher-or-equal price, one
+    strict) — the multi-criteria shortlist shape (Börzsönyi et al.
+    2001). Ties on both attributes all survive.
+
+    Scale shape: the classic distributed skyline — each block computes
+    its LOCAL skyline vectorized (global skyline ⊆ union of local
+    skylines: a globally non-dominated point is non-dominated in its
+    own block), and the driver re-runs the identical kernel over the
+    tiny candidate union. Candidate count is bounded by
+    blocks × block-distinct dates in the worst case, and in practice by
+    the skyline's own size (single digits here at every SF); for
+    adversarial anti-correlated data, cap with a second merge tier."""
+
+    def local(t: pa.Table) -> pa.Table:
+        dd = pc.cast(t["o_orderdate"], pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        pp = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        kk = pc.cast(t["o_orderkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if not len(dd):
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "d_us": pa.array([], pa.int64()),
+                             "o_totalprice": pa.array([], pa.float64())})
+        order, keep = _skyline_2d(dd, pp, kk)
+        sel = order[keep]
+        return pa.table({
+            "o_orderkey": pa.array(kk[sel], pa.int64()),
+            "d_us": pa.array(dd[sel], pa.int64()),
+            "o_totalprice": pa.array(pp[sel], pa.float64()),
+        })
+
+    cand = read(sf_dir, "orders",
+                ["o_orderkey", "o_orderdate", "o_totalprice"]).map_batches(
+        local, batch_format="pyarrow").to_pandas()
+    if cand.empty or not len(cand.columns):
+        return pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.Series([], dtype="float64")})
+    dd = cand["d_us"].to_numpy(dtype="int64")
+    pp = cand["o_totalprice"].to_numpy(dtype="float64")
+    kk = cand["o_orderkey"].to_numpy(dtype="int64")
+    order, keep = _skyline_2d(dd, pp, kk)
+    sel = order[keep]
+    out = pd.DataFrame({
+        "o_orderkey": kk[sel].astype("int64"),
+        "o_orderdate": pd.to_datetime(dd[sel], unit="us"),
+        "o_totalprice": pp[sel],
+    })
+    return finish(out, ["o_orderkey"])

@@ -76,7 +76,7 @@ SQL_QUERIES = [
     "hybrid_search_rrf", "sorted_range_shards",
     "events_pivot", "user_funnel", "retention_cohorts",
     "image_dedup_violations", "events_percent_rank",
-    "events_hourly_anomalies",
+    "events_hourly_anomalies", "orders_skyline",
 ]
 
 
@@ -989,3 +989,48 @@ def test_sorted_range_shards_ties_and_odd_counts(tmp_path, ray_session):
         rows, columns=["shard", "n_rows", "min_price", "max_price"]
     ).astype({"shard": "int64", "n_rows": "int64"})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), expect)
+
+
+def test_orders_skyline_strict_dominance_with_ties(tmp_path, ray_session):
+    """Skyline on crafted data exercising every tie case — equal
+    (date, price) pairs all survive, same-date lower price is
+    dominated, earlier-date equal price dominates — pinned against an
+    O(n^2) brute-force strict-dominance scan."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doonop_ray.ops.relational import orders_skyline
+
+    rng = np.random.default_rng(11)
+    n = 400
+    days = rng.integers(0, 40, n)          # heavy date ties
+    price = np.round(rng.uniform(10, 99, n), 0)  # heavy price ties
+    # force exact (date, price) duplicates
+    days[1], price[1] = days[0], price[0]
+    days[3], price[3] = days[2], price[2]
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(days, unit="D")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_orderdate": pa.array(ts.to_numpy()),
+        "o_totalprice": pa.array(price, pa.float64()),
+    }), tmp_path / "orders.parquet")
+
+    got = orders_skyline(str(tmp_path))
+
+    keep = []
+    for i in range(n):
+        dominated = False
+        for j in range(n):
+            if j == i:
+                continue
+            if days[j] <= days[i] and price[j] >= price[i] and (
+                    days[j] < days[i] or price[j] > price[i]):
+                dominated = True
+                break
+        if not dominated:
+            keep.append(i)
+    assert list(got["o_orderkey"]) == keep
+    # the forced duplicates agree: either both in or both out
+    assert (0 in keep) == (1 in keep)
