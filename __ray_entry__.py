@@ -331,23 +331,19 @@ def oracle_sql() -> dict[str, str]:
         # window form is O(n log n): per-date max rows, then a running
         # max over strictly earlier dates
         "orders_skyline": """
-            WITH d AS (SELECT o_orderkey, o_orderdate, o_totalprice,
-                              MAX(o_totalprice) OVER (
-                                  PARTITION BY o_orderdate) AS same_max
-                       FROM orders),
-            e AS (SELECT o_orderdate, MAX(o_totalprice) AS dmax
-                  FROM orders GROUP BY 1),
-            prev AS (SELECT o_orderdate,
+            WITH e AS (SELECT o_orderdate, MAX(o_totalprice) AS dmax
+                       FROM orders GROUP BY 1),
+            prev AS (SELECT o_orderdate, dmax,
                             MAX(dmax) OVER (ORDER BY o_orderdate
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND 1 PRECEDING) AS prev_max
                      FROM e)
-            SELECT d.o_orderkey, d.o_orderdate, d.o_totalprice
-            FROM d JOIN prev USING (o_orderdate)
-            WHERE d.o_totalprice = d.same_max
+            SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+            FROM orders o JOIN prev USING (o_orderdate)
+            WHERE o.o_totalprice = prev.dmax
               AND (prev.prev_max IS NULL
-                   OR d.o_totalprice > prev.prev_max)
-            ORDER BY d.o_orderkey
+                   OR o.o_totalprice > prev.prev_max)
+            ORDER BY o.o_orderkey
         """,
         "sorted_range_shards": """
             WITH t AS (SELECT o_totalprice AS p,

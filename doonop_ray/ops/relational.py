@@ -2794,10 +2794,13 @@ def orders_skyline(sf_dir: str) -> pd.DataFrame:
     its LOCAL skyline vectorized (global skyline ⊆ union of local
     skylines: a globally non-dominated point is non-dominated in its
     own block), and the driver re-runs the identical kernel over the
-    tiny candidate union. Candidate count is bounded by
-    blocks × block-distinct dates in the worst case, and in practice by
-    the skyline's own size (single digits here at every SF); for
-    adversarial anti-correlated data, cap with a second merge tier."""
+    tiny candidate union. Candidate count per block is bounded by that
+    block's skyline — in practice near the global skyline's size
+    (single digits here at every SF) — but duplicate (date, price)
+    ties at a date's max ALL survive locally, so a degenerate
+    all-identical corpus makes every row a candidate; for such
+    tie-heavy or anti-correlated data, add a tree of merge tiers
+    (each tier re-runs the same kernel) instead of one driver merge."""
 
     def local(t: pa.Table) -> pa.Table:
         dd = pc.cast(t["o_orderdate"], pa.timestamp("us")).cast(

@@ -1004,12 +1004,17 @@ def test_orders_skyline_strict_dominance_with_ties(tmp_path, ray_session):
     from doonop_ray.ops.relational import orders_skyline
 
     rng = np.random.default_rng(11)
-    n = 400
+    # > default map_batches batch size, so the candidate-union MERGE
+    # TIER is exercised (each ~1024-row batch computes its own local
+    # skyline), not just the single-kernel path
+    n = 4096
     days = rng.integers(0, 40, n)          # heavy date ties
     price = np.round(rng.uniform(10, 99, n), 0)  # heavy price ties
-    # force exact (date, price) duplicates
+    # force exact (date, price) duplicates — including one pair split
+    # across distant batches
     days[1], price[1] = days[0], price[0]
     days[3], price[3] = days[2], price[2]
+    days[4000], price[4000] = days[5], price[5]
     ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(days, unit="D")
     pq.write_table(pa.table({
         "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
