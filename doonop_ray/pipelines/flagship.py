@@ -687,70 +687,117 @@ def _image_suffix_arr(col):
                    pa.int64())
 
 
-def image_dedup_corpus(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+def image_dedup_corpus(sf_dir: str, max_hamming: int = 6,
+                       method: str = "auto",
+                       unionfind_max_edges: int = 2_000_000
+                       ) -> pd.DataFrame:
     """End-to-end IMAGE near-duplicate corpus dedup — the image-side
     twin of ``neardup_dedup_corpus``: phash-banded near-dup pairs →
-    distributed connected components → keep ONE representative per
-    cluster (the numerically smallest image id) → emit the surviving
-    images with their cluster size.
+    connected components → keep ONE representative per cluster (the
+    numerically smallest image id) → emit the surviving images with
+    their cluster size.
 
     Scale shape: pairs come from the banded ``image_phash_neardup``
-    (grouped_apply buckets, nothing corpus-sized on the driver);
-    components run on int node ids (the image id's numeric suffix —
-    bijective by construction) via ``ops.graph.connected_components``
-    (auto-routes to the edge-pinned bucketed path above the node
-    threshold); survivors ride a value_set filter over a streaming
-    map_batches of the id table (swap for a semi ``bucketed_join`` when
-    the survivor set is corpus-sized). Rows-only for the driver;
-    pinned against an independent driver-side union-find in tests and
-    by the one-sided ``image_dedup_violations`` degree/conservation
-    recheck."""
+    (grouped_apply buckets, nothing corpus-sized on the driver). The
+    EDGE set is dedup-output-sized, not corpus-sized, so components
+    size-route (``method="auto"``, same pattern as pagerank and the
+    O(N²) dedup twins): below ``unionfind_max_edges`` a driver-side
+    union-find over the already-driver-resident pairs is exact and
+    O(edges α) (~16 B/edge — phash chains give the propagation CC a
+    large diameter, measured 95 s → ~3 s at sf0.1); above it,
+    ``ops.graph.connected_components`` (min-label propagation,
+    edge-pinned bucketed path above the node threshold). Both paths
+    pinned equal in tests. Survivors ride a value_set filter over a
+    streaming map_batches of the id table (swap for a semi
+    ``bucketed_join`` when the survivor set is corpus-sized). Rows-only
+    for the driver; also rechecked by the one-sided
+    ``image_dedup_violations`` degree/conservation invariants."""
     import numpy as np
     import pandas as pd_
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from ..ops.common import grouped_aggregate
-    from ..ops.graph import connected_components
-
+    if method not in ("auto", "unionfind", "cc"):
+        raise ValueError(f"method={method!r}")
     pairs = image_phash_neardup(sf_dir, max_hamming)
     w = world_for(sf_dir)
     ids_tbl = w.images.select(["image_id"])
 
-    nodes = rd.from_arrow(ids_tbl).map_batches(
-        lambda t: pa.table(
-            {"node": _image_suffix_arr(t["image_id"].combine_chunks())}),
-        batch_format="pyarrow")
-    edges = rd.from_arrow(pa.table({
-        "a": pa.array([_image_suffix(s) for s in pairs["a"]], pa.int64()),
-        "b": pa.array([_image_suffix(s) for s in pairs["b"]], pa.int64()),
-    }))
-    comp = connected_components(nodes, edges)
-    comp = comp.materialize()  # consumed twice below (sizes + reps)
-    sizes = grouped_aggregate(
-        comp.map_batches(
-            lambda t: pa.table({"component": t["component"],
-                                "one": pa.array(
-                                    np.ones(len(t), np.int64))}),
-            batch_format="pyarrow"),
-        "component", [("one", "sum")]).to_pandas()
-    from ..ops.common import _ensure_cols
+    ea = np.array([_image_suffix(s) for s in pairs["a"]], dtype=np.int64)
+    eb = np.array([_image_suffix(s) for s in pairs["b"]], dtype=np.int64)
 
-    sizes = _ensure_cols(sizes, {"component": "int64", "one_sum": "int64"})
-    size_of = dict(zip(sizes["component"].astype("int64"),
-                       sizes["one_sum"].astype("int64")))
-    # representatives filter runs worker-side; only the (smaller) rep
-    # set reaches the driver, not the corpus-sized (node, component)
-    # table (at unbounded survivor scale, swap the value_set filter
-    # below for a semi bucketed_join — same contract as
-    # neardup_dedup_corpus)
-    reps_df = comp.map_batches(
-        lambda t: t.filter(pc.equal(t["node"], t["component"])),
-        batch_format="pyarrow").to_pandas()
-    if not len(reps_df.columns):
-        reps_df = pd_.DataFrame({"node": pd_.Series([], dtype="int64")})
-    keep = pa.array(reps_df["node"].to_numpy(dtype="int64"), pa.int64())
+    if method == "unionfind" or (
+            method == "auto" and len(ea) <= unionfind_max_edges):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(ea, eb):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # min-id root == representative
+        # nodes untouched by any edge are their own singleton clusters
+        touched = set(map(int, ea)) | set(map(int, eb))
+        size_of: dict[int, int] = {}
+        non_reps: list[int] = []
+        for x in touched:
+            r = find(x)
+            size_of[r] = size_of.get(r, 0) + 1
+            if r != x:
+                non_reps.append(x)
+        drop = pa.array(np.array(non_reps, dtype=np.int64), pa.int64())
+        reps_arr = rd.from_arrow(ids_tbl).map_batches(
+            lambda t: pa.table({"node": pc.filter(
+                (sfx := _image_suffix_arr(t["image_id"].combine_chunks())),
+                pc.invert(pc.is_in(sfx, value_set=drop)))}),
+            batch_format="pyarrow").to_pandas()
+        if not len(reps_arr.columns):
+            reps_arr = pd_.DataFrame({"node": pd_.Series([], dtype="int64")})
+        keep = pa.array(reps_arr["node"].to_numpy(dtype="int64"),
+                        pa.int64())
+    else:
+        from ..ops.common import _ensure_cols, grouped_aggregate
+        from ..ops.graph import connected_components
+
+        nodes = rd.from_arrow(ids_tbl).map_batches(
+            lambda t: pa.table(
+                {"node": _image_suffix_arr(t["image_id"].combine_chunks())}),
+            batch_format="pyarrow")
+        edges = rd.from_arrow(pa.table({
+            "a": pa.array(ea, pa.int64()),
+            "b": pa.array(eb, pa.int64()),
+        }))
+        comp = connected_components(nodes, edges)
+        comp = comp.materialize()  # consumed twice below (sizes + reps)
+        sizes = grouped_aggregate(
+            comp.map_batches(
+                lambda t: pa.table({"component": t["component"],
+                                    "one": pa.array(
+                                        np.ones(len(t), np.int64))}),
+                batch_format="pyarrow"),
+            "component", [("one", "sum")]).to_pandas()
+        sizes = _ensure_cols(sizes,
+                             {"component": "int64", "one_sum": "int64"})
+        size_of = dict(zip(sizes["component"].astype("int64"),
+                           sizes["one_sum"].astype("int64")))
+        # representatives filter runs worker-side; only the (smaller)
+        # rep set reaches the driver, not the corpus-sized
+        # (node, component) table
+        reps_df = comp.map_batches(
+            lambda t: t.filter(pc.equal(t["node"], t["component"])),
+            batch_format="pyarrow").to_pandas()
+        if not len(reps_df.columns):
+            reps_df = pd_.DataFrame({"node": pd_.Series([], dtype="int64")})
+        keep = pa.array(reps_df["node"].to_numpy(dtype="int64"),
+                        pa.int64())
 
     out = rd.from_arrow(ids_tbl).map_batches(
         lambda t: t.filter(pc.is_in(

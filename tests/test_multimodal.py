@@ -153,3 +153,9 @@ def test_image_dedup_corpus_matches_union_find(ray_session):
                                       got["cluster_size"])} == clusters
     # and some dedup actually happened in this world
     assert len(expect) < len(ids)
+    # both size-routed paths produce the identical frame
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        image_dedup_corpus(SF, method="unionfind"),
+        image_dedup_corpus(SF, method="cc"))
