@@ -190,6 +190,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_accuracy_violations": checks.cms_accuracy_violations,
         "bpe_encode_violations": checks.bpe_encode_violations,
         "image_dedup_violations": checks.image_dedup_violations,
+        "crawl_reachability_violations":
+            checks.crawl_reachability_violations,
+        "kmeans_violations": checks.kmeans_violations,
+        "bpe_merges_violations": checks.bpe_merges_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -1095,6 +1099,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_dedup_violations": """
             SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "crawl_reachability_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS url,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "kmeans_violations": """
+            SELECT CAST(NULL AS BIGINT) AS cluster,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "bpe_merges_violations": """
+            SELECT CAST(NULL AS BIGINT) AS rank,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE
         """,

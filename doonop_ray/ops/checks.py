@@ -816,3 +816,322 @@ def image_dedup_violations(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
 
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)],
                       dtype=np.int64)
+
+
+def crawl_reachability_violations(sf_dir: str) -> pd.DataFrame:
+    """End-to-end integrity of the flagship ORGANIC crawl (the engine
+    the reference implements — `workload.rs:92-131`): the set of URLs
+    the distributed crawler visits must equal the BFS-reachable set of
+    the world's link graph under the same dispatch rules, and per-URL
+    fetch outcomes must match the synthetic backend's deterministic
+    failure schedule.
+
+    The reference leg is a THIRD implementation (neither the
+    distributed frontier/seen-set machinery nor `oracle.run_oracle`'s
+    sequential engine): a plain breadth-first expansion over the pages
+    table using only the shared URL/filter/robots primitives —
+
+    - dispatch gate: robots longest-match allow (disallowed or
+      robots-fetch-error candidates are dropped silently and never
+      expand — `workload.rs:92-110`);
+    - expansion gate: links flow only from fetches that EVENTUALLY
+      succeed under the config's retry policy (fail_mode=="timeout"
+      succeeds iff fail_count < retry_count and retries are on;
+      "error" pages and unknown URLs never succeed — `retry.rs:38-55`);
+    - link validation: `make_absolute` + FilterSpec, the engine.rs:46-57
+      rules.
+
+    Violation kinds (expected empty):
+      visited_unreachable — the crawler fetched a URL no rule chain
+                            can reach (seen-set corruption / filter
+                            bypass);
+      reachable_unvisited — a reachable URL was never dispatched
+                            (frontier loss / early shutdown);
+      no_ok_visit         — an eventually-succeeding URL has no
+                            status=="ok" artifact row (retry lane lost
+                            the attempt);
+      ok_from_failing     — an ok row for a URL the failure schedule
+                            never lets succeed (attempt accounting).
+
+    Scale note: the reference BFS and the set compare run on the
+    driver over the URL universe — deliberate for a checker (the
+    checks module recomputes with independent arithmetic; cf. the
+    full-corpus popcount in ``image_dedup_violations``). The artifact
+    aggregate (url, any_ok) is reduced distributed first; the
+    production-scale crawl correctness story stays with the
+    conformance set-equality tests."""
+    import os
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ..filters import FilterSpec
+    from ..oracle import clean_seeds
+    from ..pipelines.flagship import (_crawl_cfg, flagship_crawl, tier_of,
+                                      world_for)
+    from ..robots import RobotsCache, make_table_fetcher
+    from ..url import host_of, make_absolute, path_of
+
+    w = world_for(sf_dir)
+    tier = tier_of(sf_dir)
+    cfg = _crawl_cfg(w, tier)
+
+    # distributed crawl into a dedicated dir (never reuse another
+    # query's output — a bulk-seeded run in a shared dir would visit
+    # allowed-but-unreachable pages and poison the compare)
+    out_dir = f"/tmp/doonop_out/flagship_reach_{tier}_{os.getpid()}"
+    flagship_crawl(sf_dir, out_dir=out_dir)
+
+    # (url, any_ok) — per-batch C++ group_by partials, merged on the
+    # driver (bounded by the URL universe, same as the reference BFS)
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.cast(pc.equal(t["status"], "ok"), pa.int64())
+        return (pa.table({"url": t["url"], "ok": ok})
+                .group_by("url", use_threads=False)
+                .aggregate([("ok", "max")]))
+
+    parts = (rd.read_parquet(out_dir, columns=["url", "status"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    if parts.empty:
+        visited: dict[str, bool] = {}
+    else:
+        agg = parts.groupby("url")["ok_max"].max()
+        visited = {u: bool(v) for u, v in agg.items()}
+
+    # reference BFS (independent of the crawler's frontier machinery)
+    filters = FilterSpec(tuple(cfg.ignore_regexes), cfg.allow_domains)
+    pages = {r["url"]: r for r in w.pages.to_pylist()}
+    robots = RobotsCache(make_table_fetcher(w.robots_map()))
+
+    def allowed(u: str) -> bool:
+        if not cfg.use_robots:
+            return True
+        return robots.is_allowed(cfg.robot, host_of(u), path_of(u)) is True
+
+    def ever_ok(u: str) -> bool:
+        p = pages.get(u)
+        if p is None:
+            return False
+        fm = p.get("fail_mode")
+        if not fm:
+            return True
+        if fm == "timeout":
+            return cfg.retry_policy != "no" \
+                and p["fail_count"] < cfg.retry_count
+        return p["fail_count"] <= 0
+
+    reached: set[str] = set()
+    frontier = [u for u in clean_seeds(cfg.seeds, filters) if allowed(u)]
+    reached.update(frontier)
+    while frontier:
+        nxt: list[str] = []
+        for u in frontier:
+            if not ever_ok(u):
+                continue
+            for href in pages[u]["links"]:
+                a = make_absolute(u, href)
+                if (a is None or a in reached or filters.is_ignored(a)
+                        or not allowed(a)):
+                    continue
+                reached.add(a)
+                nxt.append(a)
+        frontier = nxt
+
+    bad_url: list[str] = []
+    bad_kind: list[str] = []
+    for u in visited:
+        if u not in reached:
+            bad_url.append(u)
+            bad_kind.append("visited_unreachable")
+    for u in reached:
+        if u not in visited:
+            bad_url.append(u)
+            bad_kind.append("reachable_unvisited")
+    for u, any_ok in visited.items():
+        if ever_ok(u) and not any_ok:
+            bad_url.append(u)
+            bad_kind.append("no_ok_visit")
+        elif any_ok and not ever_ok(u):
+            bad_url.append(u)
+            bad_kind.append("ok_from_failing")
+
+    if not bad_url:
+        return pd.DataFrame({"url": pd.Series([], dtype="str"),
+                             "kind": pd.Series([], dtype="str")})
+    return finish(pd.DataFrame({"url": bad_url, "kind": bad_kind}),
+                  ["url", "kind"])
+
+
+def kmeans_violations(sf_dir: str, k: int = 16,
+                      kmeans_iters: int = 5) -> pd.DataFrame:
+    """``kmeans_embeddings`` invariants, recomputed with independent
+    aggregation arithmetic:
+
+    - STATS: per-cluster (n_vectors, mean_sim) must match a fresh
+      float64 assignment pass whose partials are reduced via pandas
+      groupby (the query reduces via np.bincount — different kernel,
+      same definition);
+    - CONSERVATION: Σ n_vectors == corpus row count;
+    - SIM_RANGE: every mean_sim in [-1, 1] (cosine bounds);
+    - OBJECTIVE: Lloyd iterations never regress — Σ best-sim against
+      the TRAINED centroids >= Σ best-sim against the deterministic
+      INIT centroids (the k smallest-vec_id vectors).
+
+    Returns (cluster, kind) violation rows — expected empty."""
+    import ray
+
+    from .ann import _kmeans_train, _no_embeddings, _queries
+    from .common import bcast_get, table_rows
+
+    empty = pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                          "kind": pd.Series([], dtype="str")})
+    if _no_embeddings(sf_dir):
+        return empty
+    from .ann import kmeans_embeddings
+
+    got = kmeans_embeddings(sf_dir, k, kmeans_iters)
+    cents = _kmeans_train(sf_dir, k, kmeans_iters)
+    _, init = _queries(sf_dir, k)
+    ref = ray.put((cents, init))
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents, init = bcast_get(ref)
+        v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        nn = np.linalg.norm(v, axis=1)
+        nn[nn == 0] = 1.0
+        vn = v / nn[:, None]
+        sims = vn @ cents.T
+        cell = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(v)), cell]
+        best0 = (vn @ init.T).max(axis=1)
+        df = pd.DataFrame({"cluster": cell, "sim": best})
+        g = df.groupby("cluster").agg(n=("sim", "size"),
+                                      sim_sum=("sim", "sum")).reset_index()
+        g["init_sum"] = 0.0
+        g.loc[0, "init_sum"] = float(best0.sum()) if len(g) else 0.0
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (read(sf_dir, "embeddings", ["embedding"])
+             .map_batches(partials, batch_format="pyarrow")
+             .to_pandas())
+    ref_stats = parts.groupby("cluster").agg(
+        n=("n", "sum"), sim_sum=("sim_sum", "sum")).reset_index()
+    init_total = float(parts["init_sum"].sum())
+    trained_total = float(ref_stats["sim_sum"].sum())
+
+    from .common import r4
+
+    bad_c: list[int] = []
+    bad_k: list[str] = []
+    n_total = table_rows(sf_dir, "embeddings")
+    if int(got["n_vectors"].sum()) != n_total:
+        bad_c.append(-1)
+        bad_k.append("conservation")
+    if len(got) and (got["mean_sim"].abs() > 1.0 + 1e-9).any():
+        bad_c.append(-1)
+        bad_k.append("sim_range")
+    if trained_total < init_total - 1e-6 * max(1.0, abs(init_total)):
+        bad_c.append(-1)
+        bad_k.append("objective_regressed")
+    want = {int(r["cluster"]): (int(r["n"]),
+                                float(np.asarray(
+                                    r4(r["sim_sum"] / r["n"])).reshape(())))
+            for _, r in ref_stats.iterrows() if r["n"] > 0}
+    have = {int(r["cluster"]): (int(r["n_vectors"]), float(r["mean_sim"]))
+            for _, r in got.iterrows()}
+    for c in sorted(set(want) | set(have)):
+        if want.get(c) != have.get(c):
+            bad_c.append(c)
+            bad_k.append("stats_mismatch")
+    if not bad_c:
+        return pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                             "kind": pd.Series([], dtype="str")})
+    return finish(pd.DataFrame({"cluster": np.asarray(bad_c, dtype="int64"),
+                                "kind": bad_k}), ["cluster", "kind"])
+
+
+def bpe_merges_violations(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """``bpe_merges`` merge-table invariants:
+
+    - RANK0: the first merge must be the corpus's true most-frequent
+      adjacent character pair under the documented tie-break
+      (max count, then lexicographically smallest pair) — rechecked by
+      an INDEPENDENT distributed pair-count pass that never builds the
+      word dictionary (per-batch python pair counting over the batch's
+      distinct words -> grouped_aggregate sum -> argmin over
+      (-count, left, right));
+    - MONOTONE: merge counts are non-increasing by rank (merging the
+      max-count pair can only create pairs with count <= it, and only
+      ever decreases existing pair counts);
+    - DERIVABLE: every merge's left/right symbol is a single character
+      or the concatenation produced by an earlier merge.
+
+    Returns (rank, kind) violation rows — expected empty."""
+    from .common import grouped_aggregate
+    from .text import _doc_tokens, bpe_merges
+
+    merges = bpe_merges(sf_dir, n_merges)
+    bad_r: list[int] = []
+    bad_k: list[str] = []
+
+    counts = merges["count"].tolist()
+    for i in range(1, len(counts)):
+        if counts[i] > counts[i - 1]:
+            bad_r.append(int(merges["rank"].iloc[i]))
+            bad_k.append("count_increased")
+
+    symbols: set[str] = set()
+    for _, row in merges.iterrows():
+        for side in (row["left"], row["right"]):
+            if len(side) > 1 and side not in symbols:
+                bad_r.append(int(row["rank"]))
+                bad_k.append("symbol_underivable")
+        symbols.add(row["left"] + row["right"])
+
+    if len(merges):
+        def pair_partial(t: pa.Table) -> pa.Table:
+            flat, _ = _doc_tokens(t)
+            wc = (pa.table({"w": flat}).group_by("w", use_threads=False)
+                  .aggregate([([], "count_all")]))
+            pcounts: dict[tuple[str, str], int] = {}
+            for w, c in zip(wc.column("w").to_pylist(),
+                            wc.column("count_all").to_pylist()):
+                for i in range(len(w) - 1):
+                    p = (w[i], w[i + 1])
+                    pcounts[p] = pcounts.get(p, 0) + c
+            ls, rs, cs = [], [], []
+            for (l, r), c in pcounts.items():
+                ls.append(l)
+                rs.append(r)
+                cs.append(c)
+            return pa.table({"pair": pa.array(
+                [a + "\x00" + b for a, b in zip(ls, rs)]),
+                "c": pa.array(cs, pa.int64())})
+
+        pairs = grouped_aggregate(
+            read(sf_dir, "documents", ["text"])
+            .map_batches(pair_partial, batch_format="pyarrow"),
+            "pair", [("c", "sum")]).to_pandas()
+        if pairs.empty:
+            bad_r.append(0)
+            bad_k.append("rank0_not_max")
+        else:
+            split = pairs["pair"].str.split("\x00", n=1, expand=True)
+            pairs = pairs.assign(left=split[0], right=split[1])
+            pairs = pairs.sort_values(
+                ["c_sum", "left", "right"],
+                ascending=[False, True, True], kind="mergesort")
+            top = pairs.iloc[0]
+            r0 = merges.iloc[0]
+            if (r0["left"], r0["right"], int(r0["count"])) != \
+                    (top["left"], top["right"], int(top["c_sum"])):
+                bad_r.append(0)
+                bad_k.append("rank0_not_max")
+
+    if not bad_r:
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                             "kind": pd.Series([], dtype="str")})
+    return finish(pd.DataFrame({"rank": np.asarray(bad_r, dtype="int64"),
+                                "kind": bad_k}), ["rank", "kind"])

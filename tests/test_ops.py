@@ -77,6 +77,8 @@ SQL_QUERIES = [
     "events_pivot", "user_funnel", "retention_cohorts",
     "image_dedup_violations", "events_percent_rank",
     "events_hourly_anomalies", "orders_skyline",
+    "crawl_reachability_violations", "kmeans_violations",
+    "bpe_merges_violations",
 ]
 
 
@@ -1039,3 +1041,94 @@ def test_orders_skyline_strict_dominance_with_ties(tmp_path, ray_session):
     assert list(got["o_orderkey"]) == keep
     # the forced duplicates agree: either both in or both out
     assert (0 in keep) == (1 in keep)
+
+
+def test_crawl_reachability_check_flags_tampered_artifacts(
+        ray_session, monkeypatch):
+    """The crawl integrity check must actually detect corruption: a
+    phantom ok-visit for a URL outside the world flags BOTH set
+    membership (visited_unreachable) and outcome (ok_from_failing)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import doonop_ray.pipelines.flagship as fl
+    from doonop_ray.ops.checks import crawl_reachability_violations
+
+    real = fl.flagship_crawl
+
+    def tampered(sf_dir, out_dir=None, **kw):
+        df = real(sf_dir, out_dir=out_dir, **kw)
+        extra = pa.table({
+            "url": pa.array(["http://phantom.example/x"]),
+            "depth": pa.array([0], pa.int32()),
+            "status": pa.array(["ok"]),
+            "image_id": pa.array([None], pa.string()),
+            "caption_ok": pa.array([None], pa.bool_()),
+            "pixel_ok": pa.array([None], pa.bool_()),
+            "psnr_db": pa.array([None], pa.float64()),
+        })
+        pq.write_table(extra, os.path.join(out_dir, "tamper.parquet"))
+        return df
+
+    monkeypatch.setattr(fl, "flagship_crawl", tampered)
+    bad = crawl_reachability_violations(SF)
+    kinds = set(zip(bad["url"], bad["kind"]))
+    assert ("http://phantom.example/x", "visited_unreachable") in kinds
+    assert ("http://phantom.example/x", "ok_from_failing") in kinds
+    # nothing else broke — the real crawl's rows are all clean
+    assert set(bad["url"]) == {"http://phantom.example/x"}
+
+
+def test_kmeans_check_flags_doctored_stats(ray_session, monkeypatch):
+    """Dropping a cluster row must trip conservation AND the per-cluster
+    stats recompute."""
+    import doonop_ray.ops.ann as ann
+    from doonop_ray.ops.checks import kmeans_violations
+
+    real = ann.kmeans_embeddings
+
+    def doctored(sf_dir, k=16, kmeans_iters=5):
+        out = real(sf_dir, k, kmeans_iters)
+        assert len(out) >= 2, "world too small for the injection"
+        return out.iloc[1:].reset_index(drop=True)
+
+    monkeypatch.setattr(ann, "kmeans_embeddings", doctored)
+    bad = kmeans_violations(SF)
+    assert "conservation" in set(bad["kind"])
+    assert "stats_mismatch" in set(bad["kind"])
+
+
+def test_kmeans_check_clean_on_real_output(ray_session):
+    from doonop_ray.ops.checks import kmeans_violations
+
+    assert kmeans_violations(SF).empty
+
+
+def test_bpe_merges_check_flags_doctored_table(ray_session, monkeypatch):
+    """A merge table with a wrong first merge, an increasing count, and
+    an underivable symbol trips all three kinds."""
+    import pandas as pd
+
+    import doonop_ray.ops.text as text
+    from doonop_ray.ops.checks import bpe_merges_violations
+
+    def doctored(sf_dir, n_merges=12):
+        return pd.DataFrame({
+            "rank": pd.Series([0, 1], dtype="int64"),
+            "left": ["zz", "a"],
+            "right": ["qq", "b"],
+            "count": pd.Series([1, 999], dtype="int64"),
+        })
+
+    monkeypatch.setattr(text, "bpe_merges", doctored)
+    bad = bpe_merges_violations(SF)
+    kinds = set(bad["kind"])
+    assert {"rank0_not_max", "count_increased", "symbol_underivable"} <= kinds
+
+
+def test_bpe_merges_check_clean_on_real_output(ray_session):
+    from doonop_ray.ops.checks import bpe_merges_violations
+
+    assert bpe_merges_violations(SF).empty
