@@ -194,6 +194,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             checks.crawl_reachability_violations,
         "kmeans_violations": checks.kmeans_violations,
         "bpe_merges_violations": checks.bpe_merges_violations,
+        "conformance_order_violations":
+            checks.conformance_order_violations,
+        "crawl_host_counts_violations":
+            checks.crawl_host_counts_violations,
+        "politeness_violations": checks.politeness_violations,
+        "frontier_budget_violations": checks.frontier_budget_violations,
+        "image_validate_violations": checks.image_validate_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -1114,6 +1121,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges_violations": """
             SELECT CAST(NULL AS BIGINT) AS rank,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "conformance_order_violations": """
+            SELECT CAST(NULL AS BIGINT) AS seq,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "crawl_host_counts_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS host,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "politeness_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS url,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "frontier_budget_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS host,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "image_validate_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE
         """,

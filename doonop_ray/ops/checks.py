@@ -1135,3 +1135,297 @@ def bpe_merges_violations(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
                              "kind": pd.Series([], dtype="str")})
     return finish(pd.DataFrame({"rank": np.asarray(bad_r, dtype="int64"),
                                 "kind": bad_k}), ["rank", "kind"])
+
+
+def conformance_order_violations(sf_dir: str) -> pd.DataFrame:
+    """``conformance_order`` must be byte-identical, POSITION BY
+    POSITION, to the sequential oracle engine's visit order
+    (`oracle.run_oracle` — a from-scratch reimplementation of the
+    reference's j=1 loop, `lib.rs:117-134`, sharing no operator classes
+    with `run_conformance`).  The tests pin this equality per world;
+    this query makes the same two-implementation compare
+    driver-visible.
+
+    Violation kinds (expected empty):
+      length_mismatch — the two engines visited different URL counts
+                        (seq = both lengths, one row each);
+      order_mismatch  — position ``seq`` holds different URLs.
+
+    Scale note: conformance mode is single-in-flight BY DEFINITION
+    (the reference's deterministic j=1 order) and pinned at the tiny
+    tier — this checker is test infrastructure, not a scale path."""
+    from ..oracle import run_oracle
+    from ..pipelines.flagship import _crawl_cfg, conformance_order, world_for
+
+    got = conformance_order(sf_dir)["url"].tolist()
+
+    w = world_for("sf0.001")  # the query pins the tiny tier; mirror it
+    cfg = _crawl_cfg(w, "0.001")
+    want = run_oracle(cfg, w.pages_by_url(), w.robots_map()).order
+
+    bad_s: list[int] = []
+    bad_k: list[str] = []
+    if len(got) != len(want):
+        bad_s.extend([len(got), len(want)])
+        bad_k.extend(["length_mismatch", "length_mismatch"])
+    for i, (a, b) in enumerate(zip(got, want)):
+        if a != b:
+            bad_s.append(i)
+            bad_k.append("order_mismatch")
+    if not bad_s:
+        return pd.DataFrame({"seq": pd.Series([], dtype="int64"),
+                             "kind": pd.Series([], dtype="str")})
+    return finish(pd.DataFrame({"seq": np.asarray(bad_s, dtype="int64"),
+                                "kind": bad_k}), ["seq", "kind"])
+
+
+def crawl_host_counts_violations(sf_dir: str) -> pd.DataFrame:
+    """``crawl_host_counts`` invariants, recomputed with independent
+    kernels over the SAME artifact directory the query aggregated:
+
+    - STATS: per-host (n_visits, n_ok) must match a fresh scan whose
+      host extraction is pandas ``str.extract`` and whose reduce is
+      pandas groupby partials merged on the driver (the query uses
+      pyarrow ``extract_regex`` + Ray's hash-shuffle groupby — same
+      definition, disjoint code);
+    - CONSERVATION: Σ n_visits == the directory's parquet-metadata row
+      count (read from file footers, no data scan);
+    - OK_BOUND: 0 <= n_ok <= n_visits per host;
+    - KNOWN_HOST: every host names a host of the synthetic world's
+      page table (a crawler can never fetch outside the world).
+
+    Returns (host, kind) violation rows — expected empty."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    from ..pipelines.flagship import crawl_host_counts, tier_of, world_for
+    from ..url import host_of
+
+    got = crawl_host_counts(sf_dir)
+    tier = tier_of(sf_dir)
+    out_dir = f"/tmp/doonop_out/flagship_{tier}_{os.getpid()}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["host"] = df["url"].str.extract(r"^https?://([^/]+)/")[0]
+        df["ok"] = (df["status"] == "ok").astype("int64")
+        g = df.groupby("host").agg(n=("ok", "size"),
+                                   n_ok=("ok", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (rd.read_parquet(out_dir, columns=["url", "status"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    if parts.empty:
+        want: dict[str, tuple[int, int]] = {}
+    else:
+        agg = parts.groupby("host").agg(n=("n", "sum"),
+                                        n_ok=("n_ok", "sum"))
+        want = {h: (int(r["n"]), int(r["n_ok"])) for h, r in agg.iterrows()}
+
+    total_rows = pads.dataset(out_dir, format="parquet").count_rows()
+    world_hosts = {host_of(u)
+                   for u in world_for(sf_dir).pages.column("url").to_pylist()}
+
+    have = {str(r["host"]): (int(r["n_visits"]), int(r["n_ok"]))
+            for _, r in got.iterrows()}
+    bad_h: list[str] = []
+    bad_k: list[str] = []
+    for h in sorted(set(want) | set(have)):
+        if want.get(h) != have.get(h):
+            bad_h.append(h)
+            bad_k.append("stats_mismatch")
+    if int(got["n_visits"].sum()) != total_rows:
+        bad_h.append("")
+        bad_k.append("conservation")
+    for _, r in got.iterrows():
+        if not (0 <= r["n_ok"] <= r["n_visits"]):
+            bad_h.append(str(r["host"]))
+            bad_k.append("ok_bound")
+        if r["host"] not in world_hosts:
+            bad_h.append(str(r["host"]))
+            bad_k.append("unknown_host")
+    if not bad_h:
+        return pd.DataFrame({"host": pd.Series([], dtype="str"),
+                             "kind": pd.Series([], dtype="str")})
+    return finish(pd.DataFrame({"host": bad_h, "kind": bad_k}),
+                  ["host", "kind"])
+
+
+def politeness_violations(sf_dir: str) -> pd.DataFrame:
+    """The north_rule's politeness contract: per-host token buckets
+    RESCHEDULE over-cap URLs, they never drop or invent work.  So a
+    politeness-throttled flagship crawl and an unrestricted one over the
+    same world must visit the SAME URL set with the SAME per-URL
+    eventual outcome (any attempt succeeded, yes/no) — only the
+    interleaving may differ.
+
+    Violation kinds (expected empty):
+      dropped_by_politeness — the free crawl visited it, polite never did;
+      extra_visit           — the polite crawl visited a URL the free
+                              crawl can't reach;
+      outcome_mismatch      — both visited it but disagree on whether
+                              any attempt returned ok.
+
+    Both crawls write dedicated /tmp dirs; the compare reduces each
+    artifact table to (url, any_ok) maps bounded by the URL universe."""
+    import os
+
+    from ..pipelines.flagship import crawl_polite, flagship_crawl, tier_of
+
+    tier = tier_of(sf_dir)
+    free = flagship_crawl(
+        sf_dir, out_dir=f"/tmp/doonop_out/polcheck_free_{tier}_{os.getpid()}")
+    polite = crawl_polite(sf_dir)
+
+    def any_ok(df: pd.DataFrame) -> dict[str, bool]:
+        if df.empty:
+            return {}
+        return (df["status"] == "ok").groupby(df["url"]).max().to_dict()
+
+    f, p = any_ok(free), any_ok(polite)
+    bad_u: list[str] = []
+    bad_k: list[str] = []
+    for u in f:
+        if u not in p:
+            bad_u.append(u)
+            bad_k.append("dropped_by_politeness")
+    for u in p:
+        if u not in f:
+            bad_u.append(u)
+            bad_k.append("extra_visit")
+        elif p[u] != f[u]:
+            bad_u.append(u)
+            bad_k.append("outcome_mismatch")
+    if not bad_u:
+        return pd.DataFrame({"url": pd.Series([], dtype="str"),
+                             "kind": pd.Series([], dtype="str")})
+    return finish(pd.DataFrame({"url": bad_u, "kind": bad_k}),
+                  ["url", "kind"])
+
+
+def frontier_budget_violations(sf_dir: str, per_host_budget: int = 64,
+                               salt_k: int = 8) -> pd.DataFrame:
+    """``frontier_host_budgets`` (the salted wave-expansion shuffle)
+    rechecked against a from-scratch driver-side expansion that never
+    salts and never shuffles — a single python pass over the world's
+    page table using only the shared URL primitives:
+
+    - COUNTS: per-host candidate counts must match exactly (salting +
+      two-level merge is a pure refactoring of one global count);
+    - BUDGET_RULE: budget == min(n_candidates, per_host_budget);
+    - SORT_ORDER: rows descend by n_candidates with host ascending as
+      the tie-break.
+
+    Scale note: the reference expansion is driver-side over the page
+    table — deliberate for a checker at test tiers; the distributed
+    path under test is the salted groupby itself."""
+    from ..pipelines.flagship import frontier_host_budgets, world_for
+    from ..url import host_of, make_absolute
+
+    got = frontier_host_budgets(sf_dir, per_host_budget, salt_k)
+
+    w = world_for(sf_dir)
+    counts: dict[str, int] = {}
+    for base, ls in zip(w.pages.column("url").to_pylist(),
+                        w.pages.column("links").to_pylist()):
+        for href in ls:
+            a = make_absolute(base, href)
+            if a is None:
+                continue
+            h = host_of(a)
+            if h:
+                counts[h] = counts.get(h, 0) + 1
+
+    have = {str(r["host"]): int(r["n_candidates"])
+            for _, r in got.iterrows()}
+    bad_h: list[str] = []
+    bad_k: list[str] = []
+    for h in sorted(set(counts) | set(have)):
+        if counts.get(h) != have.get(h):
+            bad_h.append(h)
+            bad_k.append("counts_mismatch")
+    for _, r in got.iterrows():
+        if int(r["budget"]) != min(int(r["n_candidates"]), per_host_budget):
+            bad_h.append(str(r["host"]))
+            bad_k.append("budget_rule")
+    keys = list(zip(-got["n_candidates"].astype(int), got["host"]))
+    for i in range(1, len(keys)):
+        if keys[i] < keys[i - 1]:
+            bad_h.append(str(got["host"].iloc[i]))
+            bad_k.append("sort_order")
+    if not bad_h:
+        return pd.DataFrame({"host": pd.Series([], dtype="str"),
+                             "kind": pd.Series([], dtype="str")})
+    return finish(pd.DataFrame({"host": bad_h, "kind": bad_k}),
+                  ["host", "kind"])
+
+
+def image_validate_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
+    """``image_validate`` (the Ray decode+validate slice) rechecked two
+    ways:
+
+    - ID_SET / DUP_ID: exactly one output row per world image_id;
+    - SAMPLE: for a deterministic stride-sample of ``sample`` ids, a
+      DRIVER-side recompute — raw ``codec.decode_image`` + fresh truth
+      pixels/caption from ``synth`` — must reproduce caption_ok,
+      pixel_ok, fmt, and psnr_db bit-for-bit (the query's path goes
+      through the Validator actor's zero-copy blob-view machinery; this
+      leg slices blobs from the Arrow table directly).
+
+    Returns (image_id, kind) violation rows — expected empty."""
+    from ..codec import decode_image, psnr
+    from ..pipelines.flagship import image_validate, world_for
+    from ..synth import expected_caption, expected_pixels
+
+    got = image_validate(sf_dir)
+    w = world_for(sf_dir)
+
+    bad_i: list[str] = []
+    bad_k: list[str] = []
+    world_ids = w.images.column("image_id").to_pylist()
+    out_ids = got["image_id"].tolist()
+    if len(out_ids) != len(set(out_ids)):
+        dups = pd.Series(out_ids)
+        for i in sorted(dups[dups.duplicated()].unique()):
+            bad_i.append(i)
+            bad_k.append("dup_id")
+    for i in sorted(set(world_ids) ^ set(out_ids)):
+        bad_i.append(i)
+        bad_k.append("id_set_mismatch")
+
+    ids_sorted = sorted(world_ids)
+    step = max(1, len(ids_sorted) // sample)
+    picked = set(ids_sorted[::step][:sample])
+    import pyarrow.compute as pcmp
+
+    pick_arr = pa.array(sorted(picked), pa.string())
+    meta = {r["image_id"]: r for r in w.images.filter(
+        pcmp.is_in(w.images.column("image_id"), value_set=pick_arr)
+    ).to_pylist()}
+    sub = got[got["image_id"].isin(picked)]
+    rows = {r["image_id"]: r for _, r in sub.iterrows()}
+    for iid in sorted(picked):
+        m, r = meta.get(iid), rows.get(iid)
+        if m is None or r is None:
+            continue  # already flagged by id_set_mismatch
+        pix = decode_image(m["bytes"], m["fmt"])
+        truth = expected_pixels(iid, w.params.seed,
+                                w.params.img_min, w.params.img_max)
+        p = psnr(truth, pix)
+        p = p if np.isfinite(p) else 999.0
+        ok_pix = p >= 40.0
+        ok_cap = m["caption"] == expected_caption(iid, w.params.seed)
+        if (r["fmt"], bool(r["caption_ok"]), bool(r["pixel_ok"])) != \
+                (m["fmt"], ok_cap, ok_pix) or r["psnr_db"] != p:
+            bad_i.append(iid)
+            bad_k.append("sample_mismatch")
+
+    if not bad_i:
+        return pd.DataFrame({"image_id": pd.Series([], dtype="str"),
+                             "kind": pd.Series([], dtype="str")})
+    return finish(pd.DataFrame({"image_id": bad_i, "kind": bad_k}),
+                  ["image_id", "kind"])

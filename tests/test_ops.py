@@ -78,7 +78,9 @@ SQL_QUERIES = [
     "image_dedup_violations", "events_percent_rank",
     "events_hourly_anomalies", "orders_skyline",
     "crawl_reachability_violations", "kmeans_violations",
-    "bpe_merges_violations",
+    "bpe_merges_violations", "conformance_order_violations",
+    "crawl_host_counts_violations", "politeness_violations",
+    "frontier_budget_violations", "image_validate_violations",
 ]
 
 
@@ -1132,3 +1134,117 @@ def test_bpe_merges_check_clean_on_real_output(ray_session):
     from doonop_ray.ops.checks import bpe_merges_violations
 
     assert bpe_merges_violations(SF).empty
+
+
+def test_conformance_order_check_flags_swapped_and_truncated(
+        ray_session, monkeypatch):
+    import doonop_ray.pipelines.flagship as fl
+    from doonop_ray.ops.checks import conformance_order_violations
+
+    real = fl.conformance_order
+
+    def doctored(sf_dir):
+        df = real(sf_dir).copy()
+        assert len(df) >= 3, "world too small for the injection"
+        u = df["url"].tolist()
+        u[0], u[1] = u[1], u[0]
+        df["url"] = u
+        return df.iloc[:-1]
+
+    monkeypatch.setattr(fl, "conformance_order", doctored)
+    bad = conformance_order_violations(SF)
+    kinds = set(bad["kind"])
+    assert {"order_mismatch", "length_mismatch"} <= kinds
+    assert {0, 1} <= set(bad[bad["kind"] == "order_mismatch"]["seq"])
+
+
+def test_crawl_host_counts_check_flags_doctored_rows(
+        ray_session, monkeypatch):
+    """Dropping one host's row and inventing a phantom host trips
+    stats_mismatch (both hosts), conservation, and unknown_host."""
+    import pandas as pd
+
+    import doonop_ray.pipelines.flagship as fl
+    from doonop_ray.ops.checks import crawl_host_counts_violations
+
+    real = fl.crawl_host_counts
+
+    def doctored(sf_dir):
+        df = real(sf_dir)
+        assert len(df) >= 2, "world too small for the injection"
+        dropped = df.iloc[1:].reset_index(drop=True)
+        phantom = pd.DataFrame({"host": ["phantom.example"],
+                                "n_visits": [7], "n_ok": [9]})
+        return pd.concat([dropped, phantom], ignore_index=True)
+
+    monkeypatch.setattr(fl, "crawl_host_counts", doctored)
+    bad = crawl_host_counts_violations(SF)
+    kinds = set(bad["kind"])
+    assert {"stats_mismatch", "conservation",
+            "unknown_host", "ok_bound"} <= kinds
+
+
+def test_politeness_check_flags_dropped_and_extra(ray_session, monkeypatch):
+    import pandas as pd
+
+    import doonop_ray.pipelines.flagship as fl
+    from doonop_ray.ops.checks import politeness_violations
+
+    real = fl.crawl_polite
+
+    def doctored(sf_dir):
+        df = real(sf_dir)
+        assert len(df) >= 2, "world too small for the injection"
+        victim = df["url"].iloc[0]
+        out = df[df["url"] != victim].reset_index(drop=True)
+        extra = pd.DataFrame([{**out.iloc[0].to_dict(),
+                               "url": "http://phantom.example/x"}])
+        return pd.concat([out, extra], ignore_index=True)
+
+    monkeypatch.setattr(fl, "crawl_polite", doctored)
+    bad = politeness_violations(SF)
+    kinds = set(zip(bad["url"], bad["kind"]))
+    assert ("http://phantom.example/x", "extra_visit") in kinds
+    assert "dropped_by_politeness" in set(bad["kind"])
+
+
+def test_frontier_budget_check_flags_doctored_table(
+        ray_session, monkeypatch):
+    import doonop_ray.pipelines.flagship as fl
+    from doonop_ray.ops.checks import frontier_budget_violations
+
+    real = fl.frontier_host_budgets
+
+    def doctored(sf_dir, per_host_budget=64, salt_k=8):
+        df = real(sf_dir, per_host_budget, salt_k)
+        assert len(df) >= 2, "world too small for the injection"
+        # corrupt one count (breaks counts + sort), one budget
+        df.loc[0, "n_candidates"] = -5
+        df.loc[1, "budget"] = per_host_budget + 99
+        return df
+
+    monkeypatch.setattr(fl, "frontier_host_budgets", doctored)
+    bad = frontier_budget_violations(SF)
+    kinds = set(bad["kind"])
+    assert {"counts_mismatch", "budget_rule", "sort_order"} <= kinds
+
+
+def test_image_validate_check_flags_flipped_sample(ray_session, monkeypatch):
+    """Flipping caption_ok on the smallest image_id (always sampled) and
+    dropping the largest trips sample_mismatch and id_set_mismatch."""
+    import doonop_ray.pipelines.flagship as fl
+    from doonop_ray.ops.checks import image_validate_violations
+
+    real = fl.image_validate
+
+    def doctored(sf_dir):
+        df = real(sf_dir)
+        assert len(df) >= 2, "world too small for the injection"
+        df.loc[df.index[0], "caption_ok"] = \
+            not bool(df["caption_ok"].iloc[0])
+        return df.iloc[:-1]
+
+    monkeypatch.setattr(fl, "image_validate", doctored)
+    bad = image_validate_violations(SF)
+    kinds = set(bad["kind"])
+    assert {"sample_mismatch", "id_set_mismatch"} <= kinds
