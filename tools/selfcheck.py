@@ -3,6 +3,12 @@ queries() entry via Ray and its oracle_sql() via DuckDB on the same
 sf dir, compare row count + column names + order-insensitive values.
 
 Usage: PYTHONPATH=/root/repo python tools/selfcheck.py [sf_dir] [names...]
+
+``--isolate`` runs every query in its OWN subprocess (fresh Ray session
+per query).  ~10x slower end-to-end, but a Ray-core fatal in one query
+(two one-off ``reference_count.cc:581`` crashes were seen in long
+single-session sweeps on 2026-08-18, neither reproducible) then fails
+only that query's row instead of killing the whole sweep.
 """
 
 from __future__ import annotations
@@ -59,9 +65,44 @@ def to_pandas(res) -> pd.DataFrame:
     return res.to_pandas()  # ray Dataset
 
 
+def run_isolated(sf_dir: str, only: set[str]) -> int:
+    """Process-per-query sweep: each query+oracle compare runs in a
+    fresh interpreter (its own Ray session), so a Ray-core fatal is
+    contained to one row of the report."""
+    import os
+    import subprocess
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    names = [n for n in e.queries() if not only or n in only]
+    me = os.path.abspath(__file__)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        r = subprocess.run([sys.executable, me, sf_dir, name],
+                           capture_output=True, text=True)
+        dt = time.time() - t0
+        tail = [ln for ln in r.stdout.strip().splitlines()
+                if ln.startswith(("ok ", "FAIL"))]
+        if r.returncode == 0 and tail:
+            print(f"{tail[0]}  [isolated {dt:.0f}s]")
+        else:
+            failures += 1
+            why = tail[0] if tail else \
+                f"subprocess died rc={r.returncode}: {r.stderr.strip()[-300:]}"
+            print(f"FAIL {name}: {why}")
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--isolate"]
+    isolate = "--isolate" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if isolate:
+        sys.exit(run_isolated(sf_dir, only))
 
     import ray
 
