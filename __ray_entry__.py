@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": relational.orders_skyline,
         "q4_order_priority": relational.q4_order_priority,
         "customer_acct_outer": relational.customer_acct_outer,
+        "bloom_semijoin_orders": relational.bloom_semijoin_orders,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
@@ -292,6 +293,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "bloom_semijoin_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'AUTOMOBILE')
+            ORDER BY o_orderkey
         """,
         "customer_acct_outer": """
             SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,

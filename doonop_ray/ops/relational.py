@@ -2839,3 +2839,92 @@ def orders_skyline(sf_dir: str) -> pd.DataFrame:
         "o_totalprice": pp[sel],
     })
     return finish(out, ["o_orderkey"])
+
+
+def _splitmix64(x: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — two calls with different seeds
+    give the independent 64-bit hashes double-hashed Bloom probing needs
+    (``pd.util.hash_array``'s hash_key only perturbs STRING hashing, so
+    integer keys would get h1 == h2 and degenerate probes)."""
+    z = x.astype(np.uint64) + np.uint64(seed)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _int_bloom_positions(keys: np.ndarray, m_bits: int,
+                         k: int) -> np.ndarray:
+    """(k, len(keys)) Bloom bit positions for int64 keys via double
+    hashing (integer twin of ``text._bloom_positions``)."""
+    h1 = _splitmix64(keys, 0x243F6A8885A308D3)
+    h2 = _splitmix64(keys, 0x13198A2E03707344) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)
+
+
+def bloom_semijoin_orders(sf_dir: str, segment: str = "AUTOMOBILE",
+                          m_bits: int = 1 << 20,
+                          k: int = 4) -> pd.DataFrame:
+    """Orders of customers in ``segment`` via a Bloom-prefiltered semi
+    join — the shuffle-reduction pattern for 100 TB fact scans: the
+    build side's keys are folded into a CONSTANT-size bitmap (128 KiB
+    here — independent of customer-table size, unlike the exact
+    value_set broadcast the plain semi join's batches would need), the
+    fact scan drops non-members BEFORE the exchange, and the exact
+    sort-cogroup semi join over the survivors removes the Bloom's rare
+    false positives.
+
+    The result is EXACT by construction: a Bloom filter has no false
+    negatives, so the prefilter pass-set is a superset of the true
+    match set and the final ``shuffle_join(how='semi')`` equals the
+    plain semi join (pinned in tests; full DuckDB ``IN`` oracle).
+    At TPC-H segment selectivity (~1/5) the prefilter cuts the
+    exchange ~5x; the win grows with fact:build skew."""
+    import ray
+
+    from .join import shuffle_join
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def key_bits(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["c_mktsegment"], segment))
+        if len(sub) == 0:
+            return pa.table({"p": pa.array([], pa.uint64())})
+        pos = _int_bloom_positions(sub["c_custkey"].to_numpy(), m_bits, k)
+        return pa.table({"p": pa.array(np.unique(pos), pa.uint64())})
+
+    pos_parts = cust.map_batches(key_bits, batch_format="pyarrow").to_pandas()
+    pos = np.unique(pos_parts["p"].to_numpy().astype(np.uint64))
+    bitmap = np.zeros(m_bits >> 3, dtype=np.uint8)
+    np.bitwise_or.at(bitmap, (pos >> 3).astype(np.int64),
+                     np.uint8(1) << (pos & 7).astype(np.uint8))
+    bref = ray.put(bitmap)
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bm = bcast_get(bref)
+        p = _int_bloom_positions(t["o_custkey"].to_numpy(), m_bits, k)
+        bits = (bm[(p >> np.uint64(3)).astype(np.int64)]
+                >> (p & np.uint64(7)).astype(np.uint8)) & 1
+        return t.filter(pa.array(bits.all(axis=0)))
+
+    survivors = orders.map_batches(prefilter, batch_format="pyarrow")
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["c_mktsegment"], segment))
+        return pa.table({"o_custkey": sub["c_custkey"]})
+
+    keys = cust.map_batches(seg_keys, batch_format="pyarrow")
+    out = shuffle_join(
+        survivors, keys, "o_custkey",
+        ["o_orderkey", "o_totalprice"], [], how="semi",
+        left_types={"o_orderkey": pa.int64(), "o_totalprice": pa.float64()},
+        right_types={},
+    ).to_pandas()
+    out = _ensure_cols(out, {"o_orderkey": "int64", "o_custkey": "int64",
+                             "o_totalprice": "float64"})
+    out = out[["o_orderkey", "o_custkey", "o_totalprice"]]
+    return finish(out.astype({"o_orderkey": "int64",
+                              "o_custkey": "int64"}), ["o_orderkey"])

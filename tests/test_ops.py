@@ -81,6 +81,7 @@ SQL_QUERIES = [
     "bpe_merges_violations", "conformance_order_violations",
     "crawl_host_counts_violations", "politeness_violations",
     "frontier_budget_violations", "image_validate_violations",
+    "bloom_semijoin_orders",
 ]
 
 
@@ -1248,3 +1249,50 @@ def test_image_validate_check_flags_flipped_sample(ray_session, monkeypatch):
     bad = image_validate_violations(SF)
     kinds = set(bad["kind"])
     assert {"sample_mismatch", "id_set_mismatch"} <= kinds
+
+
+def test_bloom_semijoin_equals_plain_semi_and_prefilter_is_superset(
+        ray_session):
+    """The bloom prefilter must be a SUPERSET of the true match set (no
+    false negatives) and the full operator must equal the plain shuffle
+    semi join with no bloom in front."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from doonop_ray.ops.common import read, read_arrow
+    from doonop_ray.ops.join import shuffle_join
+    from doonop_ray.ops.relational import (_int_bloom_positions,
+                                           bloom_semijoin_orders)
+
+    got = bloom_semijoin_orders(SF)
+
+    cust = read_arrow(SF, "customer", ["c_custkey", "c_mktsegment"])
+    seg = cust.filter(pc.equal(cust["c_mktsegment"], "AUTOMOBILE"))
+    keys = read(SF, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"o_custkey": t.filter(
+            pc.equal(t["c_mktsegment"], "AUTOMOBILE"))["c_custkey"]}),
+        batch_format="pyarrow")
+    plain = shuffle_join(
+        read(SF, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        keys, "o_custkey", ["o_orderkey", "o_totalprice"], [], how="semi",
+        left_types={"o_orderkey": pa.int64(), "o_totalprice": pa.float64()},
+        right_types={},
+    ).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    assert sorted(got["o_orderkey"]) == sorted(plain["o_orderkey"])
+
+    # superset property of the raw bitmap on the full orders scan
+    m_bits, k = 1 << 20, 4
+    pos = _int_bloom_positions(seg["c_custkey"].to_numpy(), m_bits, k)
+    bitmap = np.zeros(m_bits >> 3, dtype=np.uint8)
+    p = np.unique(pos)
+    np.bitwise_or.at(bitmap, (p >> 3).astype(np.int64),
+                     np.uint8(1) << (p & 7).astype(np.uint8))
+    orders = read_arrow(SF, "orders", ["o_custkey"])
+    q = _int_bloom_positions(orders["o_custkey"].to_numpy(), m_bits, k)
+    bits = (bitmap[(q >> np.uint64(3)).astype(np.int64)]
+            >> (q & np.uint64(7)).astype(np.uint8)) & 1
+    passed = set(orders["o_custkey"].to_numpy()[bits.all(axis=0)])
+    true_keys = set(seg["c_custkey"].to_pylist()) & \
+        set(orders["o_custkey"].to_pylist())
+    assert true_keys <= passed  # no false negatives, ever
