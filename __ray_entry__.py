@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
         "pagerank_customer_supplier": graph.pagerank_customer_supplier,
+        "part_copurchase_triangles": graph.part_copurchase_triangles,
+        "top_copurchased_parts": graph.top_copurchased_parts,
         "neardup_dedup_corpus": dedup.neardup_dedup_corpus,
         "dedup_incremental": dedup.dedup_incremental,
         "substring_dup_stats": dedup.substring_dup_stats,
@@ -501,6 +503,31 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 20 AND 30)
         """,
         "pagerank_customer_supplier": _pagerank_sql(),
+        "part_copurchase_triangles": """
+            WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+                 e AS (SELECT DISTINCT p1.l_partkey AS a,
+                              p2.l_partkey AS b
+                       FROM pp p1 JOIN pp p2
+                         ON p1.l_orderkey = p2.l_orderkey
+                        AND p1.l_partkey < p2.l_partkey)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "top_copurchased_parts": """
+            WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+                 pr AS (SELECT p1.l_partkey AS a, p2.l_partkey AS b,
+                               CAST(COUNT(*) AS BIGINT) AS n_orders
+                        FROM pp p1 JOIN pp p2
+                          ON p1.l_orderkey = p2.l_orderkey
+                         AND p1.l_partkey < p2.l_partkey
+                        GROUP BY 1, 2)
+            SELECT a, b, n_orders FROM pr
+            ORDER BY n_orders DESC, a, b LIMIT 20
+        """,
         "q12_priority_by_linestatus": """
             SELECT l_linestatus,
                    CAST(SUM(CASE WHEN o_orderpriority IN

@@ -81,7 +81,8 @@ SQL_QUERIES = [
     "bpe_merges_violations", "conformance_order_violations",
     "crawl_host_counts_violations", "politeness_violations",
     "frontier_budget_violations", "image_validate_violations",
-    "bloom_semijoin_orders",
+    "bloom_semijoin_orders", "part_copurchase_triangles",
+    "top_copurchased_parts",
 ]
 
 
@@ -1296,3 +1297,41 @@ def test_bloom_semijoin_equals_plain_semi_and_prefilter_is_superset(
     true_keys = set(seg["c_custkey"].to_pylist()) & \
         set(orders["o_custkey"].to_pylist())
     assert true_keys <= passed  # no false negatives, ever
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    """Degree-ordered distributed count vs an O(V^3)-free brute force:
+    adjacency-set intersection per canonical edge."""
+    from collections import defaultdict
+
+    import pyarrow.compute as pc
+
+    from doonop_ray.ops.common import read_arrow
+    from doonop_ray.ops.graph import part_copurchase_triangles
+
+    got = int(part_copurchase_triangles(SF)["n_triangles"][0])
+
+    li = read_arrow(SF, "lineitem", ["l_orderkey", "l_partkey"])
+    by_order = defaultdict(set)
+    for o, p in zip(li["l_orderkey"].to_pylist(),
+                    li["l_partkey"].to_pylist()):
+        by_order[o].add(p)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                adj[a].add(b)
+                adj[b].add(a)
+    # each triangle is counted once per edge (3x) by the brute force
+    want = sum(len(adj[a] & adj[b]) for a in adj for b in adj[a] if a < b)
+    assert want % 3 == 0
+    assert got == want // 3
+
+
+def test_triangle_broadcast_and_shuffle_paths_agree(ray_session):
+    from doonop_ray.ops.graph import part_copurchase_triangles
+
+    bc = part_copurchase_triangles(SF)  # default: broadcast route
+    sh = part_copurchase_triangles(SF, broadcast_edge_limit=0)  # shuffle
+    assert int(bc["n_triangles"][0]) == int(sh["n_triangles"][0]) > 0
