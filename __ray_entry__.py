@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q8_market_share_allshuffle,
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
+        "events_type_quantiles": sketches.events_type_quantiles,
         "sorted_range_shards": sketches.sorted_range_shards,
         "quantile_sketch": sketches.quantile_sketch,
         "cms_token_frequency": sketches.cms_token_frequency,
@@ -346,6 +347,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS DOUBLE) AS q,
                    (SELECT MIN(value) FROM s WHERE rn >= CEIL(q * n)) AS value
             FROM (VALUES (0.5), (0.9), (0.99)) t(q) ORDER BY q
+        """,
+        "events_type_quantiles": """
+            WITH s AS (SELECT event_type, value,
+                              ROW_NUMBER() OVER (PARTITION BY event_type
+                                                 ORDER BY value) rn,
+                              COUNT(*) OVER (PARTITION BY event_type) n
+                       FROM events)
+            SELECT t.event_type, CAST(q.q AS DOUBLE) AS q,
+                   (SELECT MIN(value) FROM s
+                    WHERE s.event_type = t.event_type
+                      AND rn >= CEIL(q.q * n)) AS value
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (VALUES (0.5), (0.9)) q(q)
+            ORDER BY t.event_type, q.q
         """,
         # skyline tie semantics: strict dominance — a point survives
         # iff nothing is (<= date, >= price) with one strict; the

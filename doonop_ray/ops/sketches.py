@@ -626,3 +626,161 @@ def sorted_range_shards(sf_dir: str, shards: int = 8) -> pd.DataFrame:
         "max_price": agg["max_price"].astype("float64"),
     })
     return finish(out, ["shard"])
+
+
+def events_type_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9),
+                          nbins: int = 4096,
+                          collect_cap: int = 65536) -> pd.DataFrame:
+    """EXACT per-group quantiles (events.value per event_type) — the
+    grouped twin of ``exact_quantiles``: the same distributed
+    selection-by-binning, with the refinement targets multiplexed over
+    (group, q) pairs so every round is still ONE pruned scan no matter
+    how many groups refine (a per-group scan loop would rescan the
+    corpus G times; grouped_apply would ship each group's whole value
+    column to one task — wrong at 10^11 rows / a handful of groups).
+
+    Rank definition matches ``exact_quantiles`` and the SQL oracle:
+    value at 1-based rank ceil(q * n_g) of the group's ascending sort.
+    Driver state is O(G × len(qs)); partials are O(active ranges ×
+    nbins) counts per batch."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def gstats(t: pa.Table) -> pa.Table:
+        return (pa.table({"g": t["event_type"], "value": t["value"]})
+                .group_by("g", use_threads=False)
+                .aggregate([("value", "min"), ("value", "max"),
+                            ([], "count_all")]))
+
+    parts = ds.map_batches(gstats, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="str"),
+            "q": pd.Series([], dtype="float64"),
+            "value": pd.Series([], dtype="float64")})
+    stats = parts.groupby("g").agg(mn=("value_min", "min"),
+                                   mx=("value_max", "max"),
+                                   n=("count_all", "sum"))
+    gmax_of = {g: float(r["mx"]) for g, r in stats.iterrows()}
+
+    st: dict[tuple[str, float], dict] = {}
+    for g, r in stats.iterrows():
+        for q in qs:
+            st[(g, q)] = {"lo": float(r["mn"]), "hi": float(r["mx"]),
+                          "r": int(math.ceil(q * int(r["n"]))),
+                          "val": None, "collect": False}
+
+    def _hist_multi(ranges: list[tuple[str, float, float, bool]]):
+        def partial(t: pa.Table) -> pa.Table:
+            gcol = t["event_type"].to_numpy(zero_copy_only=False)
+            v = t["value"].to_numpy(zero_copy_only=False)
+            bins_out, cnt_out = [], []
+            for j, (g, lo, hi, last) in enumerate(ranges):
+                width = (hi - lo) / nbins
+                m = (gcol == g) & (v >= lo) & \
+                    ((v <= hi) if last else (v < hi))
+                vv = v[m]
+                if not len(vv):
+                    continue
+                b = np.minimum(((vv - lo) / width).astype(np.int64),
+                               nbins - 1)
+                counts = np.bincount(b, minlength=nbins)
+                nz = np.flatnonzero(counts)
+                bins_out.append(nz + j * nbins)
+                cnt_out.append(counts[nz])
+            if not bins_out:
+                return pa.table({"bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({
+                "bin": pa.array(np.concatenate(bins_out), pa.int64()),
+                "cnt": pa.array(np.concatenate(cnt_out), pa.int64())})
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
+                .to_pandas())
+        dense = np.zeros((len(ranges), nbins), dtype=np.int64)
+        if len(rows):
+            b = rows["bin"].to_numpy()
+            dense[b // nbins, b % nbins] = rows["cnt"].to_numpy()
+        return dense
+
+    for _ in range(8):
+        act = [k for k, s in st.items()
+               if s["val"] is None and not s["collect"]]
+        for k in list(act):
+            s = st[k]
+            if s["hi"] <= s["lo"]:
+                s["val"] = s["lo"]
+                act.remove(k)
+        if not act:
+            break
+        uniq: dict[tuple[str, float, float], list] = {}
+        for k in act:
+            uniq.setdefault((k[0], st[k]["lo"], st[k]["hi"]), []).append(k)
+        keys = list(uniq)
+        dense = _hist_multi(
+            [(g, lo, hi, hi >= gmax_of[g]) for g, lo, hi in keys])
+        for j, (g, lo, hi) in enumerate(keys):
+            width = (hi - lo) / nbins
+            cum = np.cumsum(dense[j])
+            for k in uniq[(g, lo, hi)]:
+                s = st[k]
+                b = int(np.searchsorted(cum, s["r"]))
+                in_bin = int(dense[j][b])
+                s["r"] -= int(cum[b - 1]) if b else 0
+                s["lo"] = lo + b * width
+                s["hi"] = hi if b == nbins - 1 else lo + (b + 1) * width
+                if in_bin <= collect_cap:
+                    s["collect"] = True
+
+    need = [k for k, s in st.items() if s["val"] is None]
+    if need:
+        uniq = {}
+        for k in need:
+            s = st[k]
+            if s["hi"] <= s["lo"]:
+                s["val"] = s["lo"]
+            else:
+                uniq.setdefault((k[0], s["lo"], s["hi"]), []).append(k)
+        if uniq:
+            keys = list(uniq)
+            ranges = [(g, lo, hi, hi >= gmax_of[g]) for g, lo, hi in keys]
+
+            def keep(t: pa.Table) -> pa.Table:
+                gcol = t["event_type"].to_numpy(zero_copy_only=False)
+                v = t["value"].to_numpy(zero_copy_only=False)
+                out_j, out_v = [], []
+                for j, (g, lo, hi, last) in enumerate(ranges):
+                    m = (gcol == g) & (v >= lo) & \
+                        ((v <= hi) if last else (v < hi))
+                    vv = v[m]
+                    if len(vv):
+                        out_j.append(np.full(len(vv), j, dtype=np.int64))
+                        out_v.append(vv)
+                if not out_j:
+                    return pa.table({"j": pa.array([], pa.int64()),
+                                     "value": pa.array([], pa.float64())})
+                return pa.table({
+                    "j": pa.array(np.concatenate(out_j), pa.int64()),
+                    "value": pa.array(
+                        np.concatenate(out_v).astype(np.float64),
+                        pa.float64())})
+
+            df = ds.map_batches(keep, batch_format="pyarrow",
+                                batch_size=65536).to_pandas()
+            js = df["j"].to_numpy()
+            vs = df["value"].to_numpy()
+            for j, key in enumerate(keys):
+                vals = np.sort(vs[js == j])
+                for k in uniq[key]:
+                    st[k]["val"] = float(vals[st[k]["r"] - 1])
+
+    out = pd.DataFrame(
+        [(g, float(q), st[(g, q)]["val"])
+         for g in stats.index for q in qs],
+        columns=["event_type", "q", "value"])
+    return finish(out, ["event_type", "q"])

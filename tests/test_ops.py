@@ -82,7 +82,7 @@ SQL_QUERIES = [
     "crawl_host_counts_violations", "politeness_violations",
     "frontier_budget_violations", "image_validate_violations",
     "bloom_semijoin_orders", "part_copurchase_triangles",
-    "top_copurchased_parts",
+    "top_copurchased_parts", "events_type_quantiles",
 ]
 
 
@@ -1335,3 +1335,23 @@ def test_triangle_broadcast_and_shuffle_paths_agree(ray_session):
     bc = part_copurchase_triangles(SF)  # default: broadcast route
     sh = part_copurchase_triangles(SF, broadcast_edge_limit=0)  # shuffle
     assert int(bc["n_triangles"][0]) == int(sh["n_triangles"][0]) > 0
+
+
+def test_events_type_quantiles_tiny_refine_path(ray_session):
+    """Force multi-round refinement (collect_cap=1, nbins=4) so the
+    per-group binning arithmetic is exercised across rounds, and check
+    against numpy rank selection per group."""
+    import math
+
+    import numpy as np
+
+    from doonop_ray.ops.common import read_arrow
+    from doonop_ray.ops.sketches import events_type_quantiles
+
+    got = events_type_quantiles(SF, qs=(0.25, 0.5, 0.99),
+                                nbins=4, collect_cap=1)
+    ev = read_arrow(SF, "events", ["event_type", "value"]).to_pandas()
+    for (g, q), sub in got.set_index(["event_type", "q"]).iterrows():
+        vals = np.sort(ev[ev["event_type"] == g]["value"].to_numpy())
+        want = float(vals[math.ceil(q * len(vals)) - 1])
+        assert sub["value"] == want, (g, q)
