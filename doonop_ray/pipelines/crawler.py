@@ -469,19 +469,23 @@ class RayCrawler:
                     import shutil
 
                     shutil.rmtree(os.path.join(self.out_dir, d))
-        if start_wave == 0:
-            if self._seeds_ds is not None:
-                if self._seed_frontier_dataset(ray, self._seeds_ds) == 0:
-                    return self.stats
+        # seed on EVERY run (idempotent through the restored seen set) —
+        # same incremental-recrawl semantics as run_streaming: a resume
+        # whose cfg carries new seeds crawls exactly the unseen subset
+        if self._seeds_ds is not None:
+            if (self._seed_frontier_dataset(ray, self._seeds_ds) == 0
+                    and start_wave == 0):
+                return self.stats
+        else:
+            if (cfg.seeds_canonical and not cfg.ignore_regexes
+                    and cfg.allow_domains is None):
+                seeds = sorted(set(cfg.seeds))  # cfg.rs:338-342 minus the
+                # canonicalize pass (inputs already canonical)
             else:
-                if (cfg.seeds_canonical and not cfg.ignore_regexes
-                        and cfg.allow_domains is None):
-                    seeds = sorted(set(cfg.seeds))  # cfg.rs:338-342 minus the
-                    # canonicalize pass (inputs already canonical)
-                else:
-                    seeds = clean_seeds(cfg.seeds, self.filters)
-                if not seeds:
-                    return self.stats
+                seeds = clean_seeds(cfg.seeds, self.filters)
+            if not seeds and start_wave == 0:
+                return self.stats
+            if seeds:
                 self._seed_frontier(ray, seeds)
 
         pages_ref = self._pages_ref or ray.put(self.pages)
@@ -728,9 +732,11 @@ class RayCrawler:
                 self.frontier[f].push.remote(it) for f, it in per.items()
             ])
             pending = []
-        if self._stop_requested and cfg.checkpoint_dir and self.wave > 0:
-            # graceful-shutdown checkpoint (T12 analog, main.rs:41-48 /
-            # workload.rs:191-195: drain in-flight, persist, exit)
+        if cfg.checkpoint_dir and self.wave > 0:
+            # checkpoint on graceful shutdown (T12 analog, main.rs:41-48 /
+            # workload.rs:191-195) AND on normal completion — the
+            # finished run's seen/frontier state is the warm-start for a
+            # later incremental recrawl (resume=True with new seeds)
             self._write_checkpoint(ray, wave_done=self.wave - 1)
         self._write_metrics()
         if os.environ.get("DOONOP_WAVE_TIMING"):
@@ -796,33 +802,41 @@ class RayCrawler:
             run_idx, base_stats = self._restore_stream_checkpoint(ray)
         seed_thread = None
         seed_box: dict = {}
-        if run_idx == 0:
-            if self._seeds_ds is not None:
-                # OVERLAP bulk seeding with the crawl loop: the loop polls
-                # drains while seed batches are still pushing, so the first
-                # chunks execute during seeding instead of after it. The
-                # termination protocol below refuses to settle until the
-                # seeder has finished (a momentarily-empty frontier
-                # mid-seeding is not termination).
-                import threading
+        # Seed on EVERY run, not just run 0: seed pushes are idempotent
+        # through the seen set (restored from the checkpoint), so a
+        # resumed run re-pushing its original seeds visits nothing twice
+        # — and a resume whose cfg carries NEW seeds (sitemap refresh)
+        # crawls exactly the unseen subset: incremental recrawl.
+        if self._seeds_ds is not None:
+            # OVERLAP bulk seeding with the crawl loop: the loop polls
+            # drains while seed batches are still pushing, so the first
+            # chunks execute during seeding instead of after it. The
+            # termination protocol below refuses to settle until the
+            # seeder has finished (a momentarily-empty frontier
+            # mid-seeding is not termination).
+            import threading
 
-                def _seed():
-                    try:
-                        seed_box["n"] = self._seed_frontier_dataset(
-                            ray, self._seeds_ds)
-                    except BaseException as exc:  # surfaced in the main loop
-                        seed_box["err"] = exc
+            def _seed():
+                try:
+                    seed_box["n"] = self._seed_frontier_dataset(
+                        ray, self._seeds_ds)
+                except BaseException as exc:  # surfaced in the main loop
+                    seed_box["err"] = exc
 
-                seed_thread = threading.Thread(target=_seed, daemon=True)
-                seed_thread.start()
+            seed_thread = threading.Thread(target=_seed, daemon=True)
+            seed_thread.start()
+        else:
+            if (cfg.seeds_canonical and not cfg.ignore_regexes
+                    and cfg.allow_domains is None):
+                seeds = sorted(set(cfg.seeds))
             else:
-                if (cfg.seeds_canonical and not cfg.ignore_regexes
-                        and cfg.allow_domains is None):
-                    seeds = sorted(set(cfg.seeds))
-                else:
-                    seeds = clean_seeds(cfg.seeds, self.filters)
-                if not seeds:
-                    return self.stats
+                seeds = clean_seeds(cfg.seeds, self.filters)
+            if not seeds and run_idx == 0:
+                # nothing to do on a fresh run; a RESUME with no live
+                # seeds must still fall through to settle + report the
+                # restored stats
+                return self.stats
+            if seeds:
                 self._seed_frontier(ray, seeds)
 
         run_dir = os.path.join(self.out_dir, f"run={run_idx:03d}")
@@ -1058,7 +1072,12 @@ class RayCrawler:
         stats.collected = base_stats["collected"] + stream_stats["collected"]
         stats.errors = base_stats["errors"] + stream_stats["errors"]
         stats.retries = base_stats["retries"] + stream_stats["retries"]
-        if self._stop_requested and cfg.checkpoint_dir:
+        if cfg.checkpoint_dir:
+            # final checkpoint on BOTH graceful stop and normal
+            # completion: a finished run's seen/frontier state is what a
+            # later resume=True warm-starts from (incremental recrawl —
+            # re-seeded URLs dedup against the restored seen set, only
+            # genuinely new seeds expand)
             while True:
                 ingested = sum(ray.get(
                     [s_.flush.remote() for s_ in self.seen]))

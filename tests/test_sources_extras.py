@@ -350,3 +350,63 @@ def test_read_table_auto_formats_agree(ray_session, tmp_path):
     assert sniff_format(noext) == "jsonl"
     shutil.copy(pq_path, noext)
     assert sniff_format(noext) == "parquet"
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+def test_incremental_recrawl_from_completed_checkpoint(
+        ray_session, tmp_path, streaming):
+    """A COMPLETED run now writes a final checkpoint; resume=True on it
+    is the incremental-recrawl warm start: re-seeded URLs dedup against
+    the restored seen set, so (a) resuming with the SAME seeds visits
+    nothing new, and (b) resuming with a WIDENED seed list visits
+    exactly the unseen subset (union == from-scratch full crawl)."""
+    import pyarrow.parquet as pq
+
+    w = build_world(WorldParams(seed=33, n_hosts=6, pages_per_host=10,
+                                fanout=3))
+    all_seeds = sorted(w.seeds.column("url").to_pylist())
+    assert len(all_seeds) >= 2
+
+    def visited(out_dir) -> set:
+        import os
+        urls = set()
+        for dp, _, fs in os.walk(out_dir):
+            for f in fs:
+                if f.endswith(".parquet") and not f.startswith("_"):
+                    urls.update(pq.read_table(
+                        os.path.join(dp, f), columns=["url"]
+                    )["url"].to_pylist())
+        return urls
+
+    def mk(tag, seeds, ckpt):
+        cfg = CrawlConfig(seeds=seeds, retry_threshold_ms=0, engines=2,
+                          wave_budget=8, fetch_batch_size=4,
+                          streaming=streaming,
+                          checkpoint_dir=str(tmp_path / ckpt))
+        return RayCrawler(cfg, w.pages, w.images, w.robots_map(),
+                          str(tmp_path / f"o_{tag}"), world_seed=33)
+
+    # reference: full crawl from scratch
+    full = mk("full", all_seeds, "ck_full")
+    full_stats = full.run().as_dict()
+    full_set = visited(full.out_dir)
+
+    # (a) same-seed recrawl: nothing new
+    again = mk("full", all_seeds, "ck_full")
+    again_stats = again.run(resume=True).as_dict()
+    assert again_stats == full_stats
+    assert visited(again.out_dir) == full_set
+
+    # (b) widened-seed recrawl: first crawl half the seeds, then resume
+    # with all of them — the union must equal the from-scratch crawl
+    half = all_seeds[: len(all_seeds) // 2]
+    part = mk("part", half, "ck_part")
+    part.run()
+    part_set = visited(part.out_dir)
+
+    widened = mk("part", all_seeds, "ck_part")
+    wstats = widened.run(resume=True).as_dict()
+    assert visited(widened.out_dir) == full_set
+    assert wstats == full_stats
+    # and the second leg actually had work to do
+    assert part_set < full_set
