@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "politeness_violations": checks.politeness_violations,
         "frontier_budget_violations": checks.frontier_budget_violations,
         "image_validate_violations": checks.image_validate_violations,
+        "recrawl_violations": checks.recrawl_violations,
         # multimodal binary-column stages (actor pools; audio/video are
         # deterministic fakes — codec libs absent here; image path runs
         # the real synthetic codec over the crawl world's payload bytes)
@@ -1196,6 +1197,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_validate_violations": """
             SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "recrawl_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS url,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE
         """,

@@ -1429,3 +1429,80 @@ def image_validate_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
                              "kind": pd.Series([], dtype="str")})
     return finish(pd.DataFrame({"image_id": bad_i, "kind": bad_k}),
                   ["image_id", "kind"])
+
+
+def recrawl_violations(sf_dir: str) -> pd.DataFrame:
+    """The incremental-recrawl contract, driver-visible: a COMPLETED
+    flagship crawl writes a final checkpoint, and ``resume=True`` with
+    the same seed list warm-starts from it — the re-pushed seeds dedup
+    against the restored seen set, so the resumed run must add NOTHING:
+    identical visited set, identical artifacts, identical final stats.
+    (The widened-seed expansion variant is pinned in
+    ``tests/test_sources_extras.py`` on a crafted world with
+    disconnected seed subtrees; the tier worlds are fully cross-linked,
+    so any seed subset reaches everything and a widened resume would be
+    vacuous here.)
+
+    Violation kinds (expected empty):
+      missing_after_resume — a URL of the original run is absent after
+                             the resume (checkpoint lost artifacts);
+      extra_after_resume   — the resume visited something new (seen-set
+                             under-restore / double seeding);
+      stats_mismatch       — final counters differ (url='').
+
+    One crawl + one resume at the tier's scale; artifact sets reduce to
+    per-URL presence (bounded by the URL universe, same budget as
+    ``crawl_reachability_violations``)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from ..pipelines.crawler import RayCrawler
+    from ..pipelines.flagship import (_crawl_cfg, _refs_for, tier_of,
+                                      world_for)
+
+    tier = tier_of(sf_dir)
+    w = world_for(sf_dir)
+    pages_ref, images_ref = _refs_for(tier, w)
+    base = f"/tmp/doonop_out/recrawl_{tier}_{os.getpid()}"
+
+    def mk() -> RayCrawler:
+        cfg = _crawl_cfg(w, tier)
+        cfg.checkpoint_dir = f"{base}/ck"
+        return RayCrawler(cfg, w.pages, w.images, w.robots_map(),
+                          f"{base}/out", world_seed=w.params.seed,
+                          img_bounds=(w.params.img_min, w.params.img_max),
+                          pages_ref=pages_ref, images_ref=images_ref)
+
+    def visited(out_dir: str) -> set[str]:
+        try:
+            ds = pads.dataset(out_dir, format="parquet")
+        except FileNotFoundError:
+            return set()
+        return set(ds.to_table(columns=["url"])["url"].to_pylist())
+
+    first = mk()
+    first_stats = first.run().as_dict()
+    first_set = visited(first.out_dir)
+
+    again = mk()
+    again_stats = again.run(resume=True).as_dict()
+    again_set = visited(again.out_dir)
+
+    bad_u: list[str] = []
+    bad_k: list[str] = []
+    for u in sorted(first_set - again_set):
+        bad_u.append(u)
+        bad_k.append("missing_after_resume")
+    for u in sorted(again_set - first_set):
+        bad_u.append(u)
+        bad_k.append("extra_after_resume")
+    if again_stats != first_stats:
+        bad_u.append("")
+        bad_k.append("stats_mismatch")
+
+    if not bad_u:
+        return pd.DataFrame({"url": pd.Series([], dtype="str"),
+                             "kind": pd.Series([], dtype="str")})
+    return finish(pd.DataFrame({"url": bad_u, "kind": bad_k}),
+                  ["url", "kind"])

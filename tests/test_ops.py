@@ -83,6 +83,7 @@ SQL_QUERIES = [
     "frontier_budget_violations", "image_validate_violations",
     "bloom_semijoin_orders", "part_copurchase_triangles",
     "top_copurchased_parts", "events_type_quantiles",
+    "recrawl_violations",
 ]
 
 
@@ -1355,3 +1356,29 @@ def test_events_type_quantiles_tiny_refine_path(ray_session):
         vals = np.sort(ev[ev["event_type"] == g]["value"].to_numpy())
         want = float(vals[math.ceil(q * len(vals)) - 1])
         assert sub["value"] == want, (g, q)
+
+
+def test_recrawl_check_flags_lost_artifacts(ray_session, monkeypatch):
+    """Deleting an artifact file after the resume leg must surface as
+    missing_after_resume."""
+    import glob
+    import os
+
+    import doonop_ray.pipelines.crawler as cr
+    from doonop_ray.ops.checks import recrawl_violations
+
+    real = cr.RayCrawler.run
+
+    def sabotaged(self, max_waves=None, resume=False):
+        stats = real(self, max_waves=max_waves, resume=resume)
+        if resume:
+            files = sorted(glob.glob(
+                os.path.join(self.out_dir, "**", "*.parquet"),
+                recursive=True))
+            assert files, "resume leg wrote nothing to sabotage"
+            os.remove(files[0])
+        return stats
+
+    monkeypatch.setattr(cr.RayCrawler, "run", sabotaged)
+    bad = recrawl_violations(SF)
+    assert "missing_after_resume" in set(bad["kind"])
