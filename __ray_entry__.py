@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": multimodal.audio_features,
         "video_frame_means": multimodal.video_frame_means,
         "image_resize_means": multimodal.image_resize_means,
+        "curate_images": multimodal.curate_images,
+        "curate_images_violations": checks.curate_images_violations,
         # stream-shaped windows
         "events_hourly": windows.events_hourly,
         "user_sessions": windows.user_sessions,
@@ -1202,6 +1204,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "recrawl_violations": """
             SELECT CAST(NULL AS VARCHAR) AS url,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "curate_images_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE
         """,

@@ -1506,3 +1506,78 @@ def recrawl_violations(sf_dir: str) -> pd.DataFrame:
                              "kind": pd.Series([], dtype="str")})
     return finish(pd.DataFrame({"url": bad_u, "kind": bad_k}),
                   ["url", "kind"])
+
+
+def curate_images_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
+    """``curate_images`` invariants:
+
+    - ID_SET / DUP_ID: exactly one row per world image_id;
+    - RULE: every row's keep flag must equal the documented thresholds
+      applied to that row's OWN emitted features (vectorized recheck
+      over the full output — catches a drifted gate);
+    - SAMPLE: for a deterministic stride-sample, a DRIVER-side decode
+      (raw ``codec.decode_image`` straight off the Arrow table, not the
+      actor's blob-view machinery) must reproduce brightness/contrast/
+      aspect/min_side bit-for-bit;
+    - MIX: at least one kept AND one rejected image (world sizes span
+      16-40 px against the MIN_SIDE=20 gate; an all-true or all-false
+      gate means the rule went vacuous).
+
+    Returns (image_id, kind) violation rows — expected empty."""
+    from ..codec import decode_image
+    from ..ops.multimodal import ImageCurator, curate_images
+    from ..pipelines.flagship import world_for
+
+    got = curate_images(sf_dir)
+    w = world_for(sf_dir)
+
+    bad_i: list[str] = []
+    bad_k: list[str] = []
+    world_ids = w.images.column("image_id").to_pylist()
+    out_ids = got["image_id"].tolist()
+    dups = pd.Series(out_ids)
+    for i in sorted(dups[dups.duplicated()].unique()):
+        bad_i.append(i)
+        bad_k.append("dup_id")
+    for i in sorted(set(world_ids) ^ set(out_ids)):
+        bad_i.append(i)
+        bad_k.append("id_set_mismatch")
+
+    C = ImageCurator
+    rule = ((got["brightness"] >= C.BRIGHT_LO)
+            & (got["brightness"] <= C.BRIGHT_HI)
+            & (got["contrast"] >= C.CONTRAST_MIN)
+            & (got["min_side"] >= C.MIN_SIDE))
+    for i in sorted(got["image_id"][rule != got["keep"]]):
+        bad_i.append(i)
+        bad_k.append("rule_mismatch")
+    if len(got) and (got["keep"].all() or not got["keep"].any()):
+        bad_i.append("")
+        bad_k.append("gate_vacuous")
+
+    ids_sorted = sorted(world_ids)
+    step = max(1, len(ids_sorted) // sample)
+    picked = set(ids_sorted[::step][:sample])
+    import pyarrow.compute as pcmp
+
+    pick_arr = pa.array(sorted(picked), pa.string())
+    meta = {r["image_id"]: r for r in w.images.filter(
+        pcmp.is_in(w.images.column("image_id"), value_set=pick_arr)
+    ).to_pylist()}
+    rows = {r["image_id"]: r
+            for _, r in got[got["image_id"].isin(picked)].iterrows()}
+    for iid in sorted(picked):
+        m, r = meta.get(iid), rows.get(iid)
+        if m is None or r is None:
+            continue  # already flagged by id_set_mismatch
+        b, c, a, ms, k = C.stats_of(decode_image(m["bytes"], m["fmt"]))
+        if (r["brightness"], r["contrast"], r["aspect"],
+                int(r["min_side"]), bool(r["keep"])) != (b, c, a, ms, k):
+            bad_i.append(iid)
+            bad_k.append("sample_mismatch")
+
+    if not bad_i:
+        return pd.DataFrame({"image_id": pd.Series([], dtype="str"),
+                             "kind": pd.Series([], dtype="str")})
+    return finish(pd.DataFrame({"image_id": bad_i, "kind": bad_k}),
+                  ["image_id", "kind"])

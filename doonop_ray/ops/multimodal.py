@@ -342,3 +342,96 @@ def image_resize_means(sf_dir: str) -> pd.DataFrame:
         num_cpus=1,
     )
     return finish(ds.to_pandas(), ["image_id"])
+
+
+class ImageCurator:
+    """Actor-pool quality gate over the crawl world's REAL image
+    payloads — the image-side twin of ``text.curate_documents``: decode
+    (repo codec) once per image, emit deterministic quality features
+    (brightness = pixel mean / 255, contrast = population std / 255,
+    aspect = w/h, min_side) and the keep decision
+    ``0.05 <= brightness <= 0.95 and contrast >= 0.02 and
+    min(w, h) >= MIN_SIDE`` — the min-side rule is the discriminating
+    gate on this world (sizes span 16-40 px; the synthetic noise pixels
+    never fail the photometric thresholds, which exist for real-photo
+    corpora).  Broadcast image table deref'd once per actor in
+    __init__."""
+
+    BRIGHT_LO, BRIGHT_HI, CONTRAST_MIN = 0.05, 0.95, 0.02
+    MIN_SIDE = 20
+
+    def __init__(self, images_ref):
+        from ..codec import decode_image
+        from ..stages.fetch import _combined_view, _deref
+
+        t = _deref(images_ref)
+        self.tab = _combined_view(t.select(["image_id", "fmt"]))
+        blobs = t.column("bytes")
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.chunk(0) if blobs.num_chunks == 1 \
+                else blobs.combine_chunks()
+        self._blobs = blobs
+        self._decode = decode_image
+
+    @classmethod
+    def stats_of(cls, pix) -> tuple[float, float, float, int, bool]:
+        """Shared feature arithmetic (query + violation check both call
+        this on their own decodes; the CHECK's independence is in the
+        decode path and the reduction, not the feature formula)."""
+        b = float(pix.mean()) / 255.0
+        c = float(pix.std()) / 255.0
+        aspect = pix.shape[1] / pix.shape[0]
+        min_side = int(min(pix.shape[0], pix.shape[1]))
+        keep = (cls.BRIGHT_LO <= b <= cls.BRIGHT_HI
+                and c >= cls.CONTRAST_MIN and min_side >= cls.MIN_SIDE)
+        return b, c, aspect, min_side, keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.index_in(batch.column("image_id"),
+                          value_set=self.tab.column("image_id"))
+        fmts = pc.take(self.tab.column("fmt"), idx)
+        bs, cs, asps, mins, keeps = [], [], [], [], []
+        for i in range(len(batch)):
+            j = idx[i].as_py()
+            pix = self._decode(self._blobs[j].as_buffer(), fmts[i].as_py())
+            b, c, a, m, k = self.stats_of(pix)
+            bs.append(b)
+            cs.append(c)
+            asps.append(a)
+            mins.append(m)
+            keeps.append(k)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "brightness": pa.array(bs, pa.float64()),
+            "contrast": pa.array(cs, pa.float64()),
+            "aspect": pa.array(asps, pa.float64()),
+            "min_side": pa.array(mins, pa.int64()),
+            "keep": pa.array(keeps, pa.bool_()),
+        })
+
+
+def curate_images(sf_dir: str) -> pd.DataFrame:
+    """Image curation gate: decode + quality features + keep decision
+    for every image of the tier's world (actor pool over the broadcast
+    payload table; one row per image)."""
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.flagship import world_for
+
+    w = world_for(sf_dir)
+    images_ref = ray.put(w.images)
+    ids = w.images.select(["image_id"])
+    step = max(1, -(-len(ids) // 16))
+    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
+    ds = rd.from_arrow(blocks).map_batches(
+        ImageCurator,
+        fn_constructor_args=(images_ref,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+    return finish(ds.to_pandas(), ["image_id"])

@@ -83,7 +83,7 @@ SQL_QUERIES = [
     "frontier_budget_violations", "image_validate_violations",
     "bloom_semijoin_orders", "part_copurchase_triangles",
     "top_copurchased_parts", "events_type_quantiles",
-    "recrawl_violations",
+    "recrawl_violations", "curate_images_violations",
 ]
 
 
@@ -1382,3 +1382,42 @@ def test_recrawl_check_flags_lost_artifacts(ray_session, monkeypatch):
     monkeypatch.setattr(cr.RayCrawler, "run", sabotaged)
     bad = recrawl_violations(SF)
     assert "missing_after_resume" in set(bad["kind"])
+
+
+def test_curate_images_check_flags_doctored_gate(ray_session, monkeypatch):
+    """Flipping one keep flag (rule drift) and dropping a row trips
+    rule_mismatch and id_set_mismatch; forcing all-keep trips
+    gate_vacuous."""
+    import doonop_ray.ops.multimodal as mm
+    from doonop_ray.ops.checks import curate_images_violations
+
+    real = mm.curate_images
+
+    def doctored(sf_dir):
+        df = real(sf_dir)
+        assert len(df) >= 2, "world too small for the injection"
+        df.loc[df.index[0], "keep"] = not bool(df["keep"].iloc[0])
+        return df.iloc[:-1]
+
+    monkeypatch.setattr(mm, "curate_images", doctored)
+    bad = curate_images_violations(SF)
+    kinds = set(bad["kind"])
+    assert {"rule_mismatch", "id_set_mismatch"} <= kinds
+
+    def all_keep(sf_dir):
+        df = real(sf_dir)
+        df["keep"] = True
+        return df
+
+    monkeypatch.setattr(mm, "curate_images", all_keep)
+    bad = curate_images_violations(SF)
+    assert "gate_vacuous" in set(bad["kind"])
+
+
+def test_curate_images_gate_discriminates(ray_session):
+    """The min-side rule must actually split the world both ways."""
+    from doonop_ray.ops.multimodal import curate_images
+
+    got = curate_images(SF)
+    assert got["keep"].any() and not got["keep"].all()
+    assert (got["min_side"] >= 20).equals(got["keep"])
