@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": text.pii_redact,
         "repetition_scores": text.repetition_scores,
         "keyword_search_bm25": text.keyword_search_bm25,
+        "keyword_search_indexed": text.keyword_search_indexed,
         "winnowing_neardup_pairs": text.winnowing_neardup_pairs,
         "kmeans_embeddings": ann.kmeans_embeddings,
         "centroid_by_label": ann.centroid_by_label,
@@ -1735,4 +1736,7 @@ def oracle_sql() -> dict[str, str]:
               "q13_customer_distribution", "customer_order_counts",
               "q8_market_share"):
         sql[f"{q}_allshuffle"] = sql[q]
+    # the persisted-inverted-index path computes the same ranking as
+    # the two-pass scan — one oracle, shared verbatim
+    sql["keyword_search_indexed"] = sql["keyword_search_bm25"]
     return sql

@@ -67,6 +67,9 @@ OPS_BENCH = [
     "semantic_dedup",
     "char_entropy",
     "hybrid_search_rrf",
+    # round-3 continuation-6: persisted inverted-index retrieval (warm
+    # timing shows the amortized query cost next to the scan-path BM25)
+    "keyword_search_indexed",
 ]
 
 

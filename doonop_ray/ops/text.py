@@ -1687,3 +1687,194 @@ def hybrid_search_rrf(sf_dir: str, k: int = 20, nc: int = 50,
         "doc_id": pd.Series(top, dtype="int64"),
         "rrf": pd.Series([r4(rrf[d]) for d in top], dtype="float64"),
     })
+
+
+# ------------------------------------------------------------------
+# Persisted inverted index + indexed BM25 — the text-retrieval analog
+# of the persisted IVF/LSH ANN indexes (ops/ann.py) and the bucketed
+# fact tables (ops/bucket.py): pay one corpus scan ONCE, then every
+# query reads only the postings partitions its terms hash to.
+
+_POSTINGS_BUCKETS = 64
+
+
+def _postings_index(sf_dir: str, n_buckets: int = _POSTINGS_BUCKETS) -> str:
+    """Build (or reuse) the persisted inverted index over ``documents``.
+
+    ONE streaming pass tokenizes every document (same ``\\W+`` lower
+    split as ``keyword_search_bm25`` and its DuckDB oracle) and writes
+    postings rows ``(tok, doc_id, tf, dl)`` hive-partitioned by
+    ``bucket = hash(tok) % n_buckets``. Corpus stats (n_docs and
+    n_tokens, INCLUDING zero-token docs) ride the same pass as one
+    sentinel row per batch in a dedicated ``bucket=n_buckets``
+    partition, so the build never needs a second scan. Cached under
+    /tmp keyed by a DATA fingerprint (documents.parquet size +
+    mtime_ns) with race-safe atomic publish — the ANN-index protocol
+    (round-2 ADVICE).
+
+    Scale notes: the build is map-only + a partitioned write (no
+    shuffle — scoring never needs one token's postings co-located); a
+    query reads ≤ |terms| of the n_buckets partitions. Documented skew
+    caveat: stopword-grade terms make hot buckets — size n_buckets so
+    a bucket ≈ a worker's heap share (thousands at 100 TB) and
+    stoplist at build if queries may contain them."""
+    import os
+
+    from .ann import _publish_dir, _stage_dir
+    from .bucket import _BUCKET_ROOT, _bucket_ids
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.blake2b(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_buckets}:"
+        f"postings-v1".encode(), digest_size=8).hexdigest()
+    idx_dir = f"{_BUCKET_ROOT}/postings_{tag}"
+    if os.path.isdir(idx_dir):
+        return idx_dir
+
+    def postings(t: pa.Table) -> pa.Table:
+        flat, parent = _doc_tokens(t)
+        par = np.asarray(parent)
+        dl_per_row = np.bincount(par, minlength=len(t)).astype(np.int64)
+        tt = pa.table({"row": pa.array(par, pa.int64()), "tok": flat})
+        g = tt.group_by(["row", "tok"],
+                        use_threads=False).aggregate([([], "count_all")])
+        rows = g["row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pa.table({
+            "tok": g["tok"],
+            "doc_id": pc.take(pc.cast(t["doc_id"], pa.int64()), g["row"]),
+            "tf": pc.cast(g["count_all"], pa.int64()),
+            "dl": pa.array(dl_per_row[rows], pa.int64()),
+            "bucket": pa.array(_bucket_ids(g["tok"], n_buckets),
+                               pa.int32()),
+        })
+        sent = pa.table({
+            "tok": pa.array([""], pa.string()),
+            "doc_id": pa.array([-1], pa.int64()),
+            "tf": pa.array([len(flat)], pa.int64()),
+            "dl": pa.array([len(t)], pa.int64()),
+            "bucket": pa.array([n_buckets], pa.int32()),
+        })
+        return pa.concat_tables([out, sent])
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        postings, batch_format="pyarrow")
+    stage = _stage_dir(idx_dir)
+    ds.write_parquet(stage, partition_cols=["bucket"])
+    if not os.path.isdir(stage):
+        # all-empty corpus: write_parquet creates nothing — publish an
+        # explicit empty stats partition so queries see n_docs == 0
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(stage, f"bucket={n_buckets}"))
+        pq.write_table(
+            pa.table({"tok": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "tf": pa.array([], pa.int64()),
+                      "dl": pa.array([], pa.int64())}),
+            os.path.join(stage, f"bucket={n_buckets}", "empty.parquet"))
+    _publish_dir(stage, idx_dir)
+    return idx_dir
+
+
+def keyword_search_indexed(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """BM25 top-k via the PERSISTED inverted index — the scale twin of
+    ``keyword_search_bm25`` (which scans the corpus twice per query).
+    Shares its DuckDB oracle: identical query, scoring and tie order.
+
+    Query cost after the amortized build: read the ≤|terms| postings
+    partitions the query terms hash to, ONE tiny df partial pass, one
+    contribution map + per-doc ``grouped_aggregate`` over candidate
+    docs only, per-block top-k partials → driver merges blocks×k rows.
+    Per-term contributions are pivoted into fixed columns before the
+    sum so the float64 accumulation order is bit-identical to the scan
+    path's (term order, then doc)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .bucket import _bucket_ids
+    from .common import _ensure_cols, grouped_aggregate
+
+    nb = _POSTINGS_BUCKETS
+    idx = _postings_index(sf_dir, nb)
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    sdir = os.path.join(idx, f"bucket={nb}")
+    if not os.path.isdir(sdir):
+        return empty
+    st = pq.read_table(sdir, columns=["tf", "dl"])
+    n_docs = int(pc.sum(st["dl"]).as_py() or 0)
+    if n_docs == 0:
+        return empty
+    avgdl = float(pc.sum(st["tf"]).as_py() or 0) / n_docs
+
+    terms = list(BM25_QUERY)
+    tb = _bucket_ids(pa.array(terms, pa.string()), nb)
+    dirs = sorted({os.path.join(idx, f"bucket={int(b)}") for b in tb})
+    files = [os.path.join(d, f)
+             for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return empty
+    post = rd.read_parquet(files).map_batches(
+        lambda t: t.filter(pc.is_in(t["tok"],
+                                    value_set=pa.array(terms))),
+        batch_format="pyarrow")
+
+    # pass 1: document frequency per term (posting rows are
+    # (doc, tok)-unique by construction, so df = rows per term)
+    def df_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            f"df_{term}": pa.array(
+                [int(pc.sum(pc.equal(t["tok"], term)).as_py() or 0)],
+                pa.int64())
+            for term in terms})
+
+    dfs = post.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    df = {term: (int(dfs[f"df_{term}"].sum()) if len(dfs.columns) else 0)
+          for term in terms}
+    idf = {term: float(np.log(1.0 + (n_docs - df[term] + 0.5)
+                              / (df[term] + 0.5)))
+           for term in terms}
+
+    # pass 2: per-posting BM25 contribution, one fixed column per term
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        cols: dict = {"doc_id": pc.cast(t["doc_id"], pa.int64())}
+        for i, term in enumerate(terms):
+            m = pc.equal(t["tok"], term).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            c = np.where(m, idf[term] * tf * (BM25_K1 + 1.0)
+                         / (tf + denom), 0.0)
+            cols[f"c{i}"] = pa.array(c, pa.float64())
+        return pa.table(cols)
+
+    agg = grouped_aggregate(
+        post.map_batches(contrib, batch_format="pyarrow"),
+        "doc_id", [(f"c{i}", "sum") for i in range(len(terms))],
+        size_hint=n_docs)
+
+    def block_top(t: pa.Table) -> pa.Table:
+        s = np.zeros(len(t), np.float64)
+        for i in range(len(terms)):
+            s = s + t[f"c{i}_sum"].to_numpy(zero_copy_only=False)
+        keep = s > 0.0
+        sub = pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(
+                pa.array(keep)),
+            "score": pa.array(s[keep], pa.float64()),
+        })
+        d = sub.to_pandas().sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(d.head(k), preserve_index=False)
+
+    parts = agg.map_batches(block_top, batch_format="pyarrow").to_pandas()
+    parts = _ensure_cols(parts, {"doc_id": "int64", "score": "float64"})
+    top = parts.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+    top["score"] = r4(top["score"])
+    return top

@@ -84,6 +84,7 @@ SQL_QUERIES = [
     "bloom_semijoin_orders", "part_copurchase_triangles",
     "top_copurchased_parts", "events_type_quantiles",
     "recrawl_violations", "curate_images_violations",
+    "keyword_search_indexed",
 ]
 
 
@@ -420,6 +421,38 @@ def test_bm25_matches_brute_force(tmp_path, ray_session):
     # descending score, doc_id tiebreak
     key = list(zip(-got["score"], got["doc_id"]))
     assert key == sorted(key)
+
+
+def test_indexed_search_equals_scan_path(tmp_path, ray_session):
+    """keyword_search_indexed (persisted inverted index) returns the
+    exact frame of keyword_search_bm25 (two-pass scan), including on a
+    corpus with zero-token and no-hit documents; the second call reuses
+    the published index (cache hit, same result)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from doonop_ray.ops.text import (keyword_search_bm25,
+                                     keyword_search_indexed)
+
+    texts = [
+        "merge sort and merge join window",
+        "scan the table scan scan",
+        "window window merge",
+        "nothing relevant at all",
+        "",                       # zero-token doc: counts toward avgdl
+        "scan merge window scan merge",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    scan = keyword_search_bm25(str(tmp_path), k=10)
+    idx1 = keyword_search_indexed(str(tmp_path), k=10)
+    idx2 = keyword_search_indexed(str(tmp_path), k=10)  # cached index
+    pd.testing.assert_frame_equal(scan, idx1)
+    pd.testing.assert_frame_equal(idx1, idx2)
+    assert len(idx1) == 4  # every doc with a query term scores
 
 
 def test_kmeans_embeddings_matches_numpy_reference(ray_session):
