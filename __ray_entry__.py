@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": relational.events_by_type,
         "distinct_segments": relational.distinct_segments,
         "nation_customer_counts": relational.nation_customer_counts,
+        "nation_top_customer_names": relational.nation_top_customer_names,
         "customers_no_recent_orders": relational.customers_no_recent_orders,
         "region_customer_rollup": relational.region_customer_rollup,
         "semi_join_recent_customers": relational.semi_join_recent_customers,
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": dedup.dedup_keep_best,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "fuzzy_part_matches": dedup.fuzzy_part_matches,
         "neardup_components": dedup.neardup_components,
         "pagerank_customer_supplier": graph.pagerank_customer_supplier,
         "part_copurchase_triangles": graph.part_copurchase_triangles,
@@ -217,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_images_violations": checks.curate_images_violations,
         # stream-shaped windows
         "events_hourly": windows.events_hourly,
+        "events_gap_fill": windows.events_gap_fill,
         "user_sessions": windows.user_sessions,
         "user_stats": windows.user_stats,
         "events_sliding_counts": windows.events_sliding_counts,
@@ -831,6 +834,19 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1 ORDER BY 1
         """,
+        "nation_top_customer_names": """
+            WITH s AS (
+                SELECT n_nationkey, c_name, c_custkey, c_acctbal,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey) AS rnk
+                FROM customer JOIN nation ON c_nationkey = n_nationkey)
+            SELECT n_nationkey,
+                   string_agg(c_name, ','
+                              ORDER BY c_acctbal DESC, c_custkey)
+                       AS top_names
+            FROM s WHERE rnk <= 3 GROUP BY 1 ORDER BY 1
+        """,
         "customers_no_recent_orders": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer
             WHERE c_custkey NOT IN (
@@ -956,6 +972,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang FROM documents d
             JOIN comp c ON d.doc_id = c.doc_id
             WHERE c.doc_id = c.component ORDER BY 1
+        """,
+        "fuzzy_part_matches": """
+            SELECT a.p_partkey AS a, b.p_partkey AS b,
+                   levenshtein(a.p_name, b.p_name)::BIGINT AS lev
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY 1, 2
         """,
         "ngram_jaccard_pairs": r"""
             WITH t AS (SELECT doc_id,
@@ -1655,6 +1679,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_gap_fill": """
+            WITH c AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+                  FROM c GROUP BY 1),
+            cal AS (
+                SELECT b.event_type,
+                       unnest(generate_series(b.lo, b.hi,
+                                              INTERVAL 1 HOUR)) AS hour
+                FROM b)
+            SELECT cal.event_type, cal.hour,
+                   COALESCE(c.n, 0)::BIGINT AS n
+            FROM cal LEFT JOIN c ON cal.event_type = c.event_type
+                                AND cal.hour = c.hour
+            ORDER BY 1, 2
         """,
         "user_sessions": """
             WITH g AS (

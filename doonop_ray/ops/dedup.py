@@ -1127,3 +1127,80 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.30) -> pd.DataFrame:
         return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                              "label": pd.Series([], dtype="int64")})
     return finish(out.astype("int64"), ["vec_id"])
+
+
+def _levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """Two-row Levenshtein DP with an early exit: returns cap+1 as soon
+    as the distance provably exceeds ``cap`` (length gap, or a full DP
+    row above the cap)."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+        if min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+def fuzzy_part_matches(sf_dir: str, max_dist: int = 2) -> pd.DataFrame:
+    """Record linkage by edit distance: pairs of parts of the SAME
+    brand whose names are within Levenshtein distance ``max_dist`` —
+    the blocked fuzzy-matching shape of entity resolution (block on a
+    cheap exact key, verify candidates with an expensive similarity).
+
+    Scale shape: ``grouped_apply`` per brand block; inside a block the
+    DP runs once per DISTINCT-NAME pair (names are vocabulary-bounded —
+    the documented assumption; general text would block finer, e.g.
+    brand × name-prefix), then matching name pairs EXPAND to partkey
+    pairs vectorized. Nothing leaves a worker except the result pairs,
+    which are the query's own output size."""
+    from .common import _ensure_cols, table_rows
+
+    def block_pairs(g: pa.Table) -> pa.Table:
+        names = g["p_name"].to_pylist()
+        keys = np.asarray(g["p_partkey"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        codes, uniq = pd.factorize(np.asarray(names, dtype=object))
+        by_code = [np.sort(keys[codes == c]) for c in range(len(uniq))]
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(uniq)):
+            ka = by_code[i]
+            if len(ka) > 1:  # identical names: every partkey pair
+                ia, ib = np.triu_indices(len(ka), k=1)
+                out_a.append(ka[ia])
+                out_b.append(ka[ib])
+                out_d.append(np.zeros(len(ia), np.int64))
+            for j in range(i + 1, len(uniq)):
+                d = _levenshtein_capped(uniq[i], uniq[j], max_dist)
+                if d > max_dist:
+                    continue
+                kb = by_code[j]
+                if not len(ka) or not len(kb):
+                    continue
+                aa = np.repeat(ka, len(kb))
+                bb = np.tile(kb, len(ka))
+                out_a.append(np.minimum(aa, bb))
+                out_b.append(np.maximum(aa, bb))
+                out_d.append(np.full(len(aa), d, np.int64))
+        if not out_a:
+            return empty
+        return pa.table({
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+            "lev": pa.array(np.concatenate(out_d), pa.int64()),
+        })
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "lev": pa.array([], pa.int64())})
+    out = grouped_apply(
+        read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"]),
+        "p_brand", block_pairs, empty,
+        size_hint=table_rows(sf_dir, "part")).to_pandas()
+    out = _ensure_cols(out, {"a": "int64", "b": "int64", "lev": "int64"})
+    return finish(out, ["a", "b"])

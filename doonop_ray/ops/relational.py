@@ -2928,3 +2928,66 @@ def bloom_semijoin_orders(sf_dir: str, segment: str = "AUTOMOBILE",
     out = out[["o_orderkey", "o_custkey", "o_totalprice"]]
     return finish(out.astype({"o_orderkey": "int64",
                               "o_custkey": "int64"}), ["o_orderkey"])
+
+
+def nation_top_customer_names(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Ordered string aggregation (STRING_AGG ... ORDER BY): the top-k
+    customers per nation by account balance, names concatenated in
+    (acctbal DESC, custkey ASC) order.
+
+    Scale shape: every block pre-trims to its LOCAL top-k per nation
+    (vectorized rank-within-group after one block sort) — the exchange
+    ships ≤ k rows per nation per block, never the customer table;
+    ``grouped_apply`` then re-sorts the ≤ k×blocks survivors per nation
+    and emits one concatenated row. Nation is a bounded dimension, so
+    the inner-join filter is a broadcast membership check, not a
+    shuffle."""
+    from .common import grouped_apply, table_rows
+
+    nkeys = set(
+        read_arrow(sf_dir, "nation", ["n_nationkey"])
+        .column("n_nationkey").to_pylist())
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["c_nationkey"],
+                     value_set=pa.array(sorted(nkeys), pa.int64()))
+        t = t.filter(m)
+        idx = pc.sort_indices(t, sort_keys=[
+            ("c_nationkey", "ascending"), ("c_acctbal", "descending"),
+            ("c_custkey", "ascending")])
+        t = t.take(idx)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        # rank within group = position − group start (nk is sorted)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(nk)) + 1)) if len(nk) else \
+            np.array([], dtype=np.int64)
+        grp_start = np.repeat(
+            starts, np.diff(np.append(starts, len(nk))).astype(np.int64)) \
+            if len(nk) else np.array([], dtype=np.int64)
+        keep = (np.arange(len(nk)) - grp_start) < k
+        return t.filter(pa.array(keep)).select(
+            ["c_nationkey", "c_name", "c_acctbal", "c_custkey"])
+
+    parts = read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey",
+                             "c_acctbal"]
+    ).map_batches(block_topk, batch_format="pyarrow")
+
+    empty = pa.table({"n_nationkey": pa.array([], pa.int64()),
+                      "top_names": pa.array([], pa.string())})
+
+    def concat_group(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[
+            ("c_acctbal", "descending"), ("c_custkey", "ascending")])
+        top = g.take(idx.slice(0, min(k, len(g))))
+        return pa.table({
+            "n_nationkey": pa.array(
+                [int(top["c_nationkey"][0].as_py())], pa.int64()),
+            "top_names": pa.array(
+                [",".join(top["c_name"].to_pylist())], pa.string()),
+        })
+
+    out = grouped_apply(parts, "c_nationkey", concat_group, empty,
+                        size_hint=table_rows(sf_dir, "customer")).to_pandas()
+    out = _ensure_cols(out, {"n_nationkey": "int64", "top_names": "str"})
+    return finish(out, ["n_nationkey"])

@@ -725,3 +725,58 @@ def events_hourly_anomalies(sf_dir: str, z: float = 2.0) -> pd.DataFrame:
                              "zscore": pd.Series([], dtype="float64")})
     out["n"] = out["n"].astype("int64")
     return finish(out, ["event_type", "hour"])
+
+
+def events_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Hourly resample with GAP FILL per event_type: every hour from a
+    type's first event to its last gets a row, zero-count where no
+    events landed — the calendar-dimension-generation shape (resample +
+    LEFT JOIN against a generated series) feature pipelines need.
+
+    Scale shape: per-(type, hour) counts are map-side partials (one C++
+    group_by per batch) → ``grouped_aggregate`` ships one row per
+    distinct (type, hour), not per event; the fill is a
+    ``grouped_apply`` per type that generates the [min, max] hour range
+    inside the worker — generated rows are TIME-SPAN-bounded (hours per
+    type), never corpus-sized, and each type's fill is independent so
+    the stage parallelizes across types."""
+    from .common import grouped_aggregate, grouped_apply, table_rows
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+        })
+        g = tt.group_by(["event_type", "hour"],
+                        use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    counts = grouped_aggregate(
+        read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["event_type", "hour"], [("n", "sum")],
+        size_hint=table_rows(sf_dir, "events"))
+
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "hour": pa.array([], pa.timestamp("us")),
+                      "n": pa.array([], pa.int64())})
+    one_h = np.timedelta64(1, "h")
+
+    def fill(g: pa.Table) -> pa.Table:
+        hrs = g["hour"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = hrs.min()
+        full = np.arange(lo, hrs.max() + one_h, one_h)
+        cnt = np.zeros(len(full), np.int64)
+        cnt[((hrs - lo) / one_h).astype(np.int64)] = n
+        return pa.table({
+            "event_type": pa.array(
+                [g["event_type"][0].as_py()] * len(full), pa.string()),
+            "hour": pa.array(full.astype("datetime64[us]")),
+            "n": pa.array(cnt, pa.int64()),
+        })
+
+    out = grouped_apply(counts, "event_type", fill, empty).to_pandas()
+    out = _ensure_cols(out, {"event_type": "str",
+                             "hour": "datetime64[us]", "n": "int64"})
+    return finish(out, ["event_type", "hour"])

@@ -84,7 +84,8 @@ SQL_QUERIES = [
     "bloom_semijoin_orders", "part_copurchase_triangles",
     "top_copurchased_parts", "events_type_quantiles",
     "recrawl_violations", "curate_images_violations",
-    "keyword_search_indexed",
+    "keyword_search_indexed", "events_gap_fill",
+    "nation_top_customer_names", "fuzzy_part_matches",
 ]
 
 
@@ -453,6 +454,58 @@ def test_indexed_search_equals_scan_path(tmp_path, ray_session):
     pd.testing.assert_frame_equal(scan, idx1)
     pd.testing.assert_frame_equal(idx1, idx2)
     assert len(idx1) == 4  # every doc with a query term scores
+
+
+def test_events_gap_fill_generates_missing_hours(tmp_path, ray_session):
+    """Hours with no events appear as zero-count rows between each
+    type's first and last hour; no rows outside that span."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from doonop_ray.ops.windows import events_gap_fill
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:10", "2024-01-01 00:40",  # a: hour 0 (2 events)
+        "2024-01-01 03:05",                      # a: hour 3 → gaps 1, 2
+        "2024-01-01 01:30",                      # b: single hour
+    ])
+    t = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = events_gap_fill(str(tmp_path))
+    a = out[out["event_type"] == "a"]
+    assert list(a["n"]) == [2, 0, 0, 1]
+    assert list(a["hour"].dt.hour) == [0, 1, 2, 3]
+    b = out[out["event_type"] == "b"]
+    assert len(b) == 1 and list(b["n"]) == [1]
+
+
+def test_levenshtein_capped_matches_reference():
+    """The capped DP equals a classic full Levenshtein when within the
+    cap, and reports cap+1 (never an underestimate) beyond it."""
+    from doonop_ray.ops.dedup import _levenshtein_capped
+
+    def full_lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = ["", "a", "ab", "kitten", "sitting", "small ring",
+             "small rings", "smol ring", "red widget", "blue bolt"]
+    for cap in (0, 1, 2, 3):
+        for a in words:
+            for b in words:
+                truth = full_lev(a, b)
+                got = _levenshtein_capped(a, b, cap)
+                assert got == (truth if truth <= cap else cap + 1), \
+                    (a, b, cap, got, truth)
 
 
 def test_kmeans_embeddings_matches_numpy_reference(ray_session):
