@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": text.repetition_scores,
         "keyword_search_bm25": text.keyword_search_bm25,
         "keyword_search_indexed": text.keyword_search_indexed,
+        "shared_tokens_langs": text.shared_tokens_langs,
         "winnowing_neardup_pairs": text.winnowing_neardup_pairs,
         "kmeans_embeddings": ann.kmeans_embeddings,
         "centroid_by_label": ann.centroid_by_label,
@@ -220,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped windows
         "events_hourly": windows.events_hourly,
         "events_gap_fill": windows.events_gap_fill,
+        "events_cube": windows.events_cube,
         "user_sessions": windows.user_sessions,
         "user_stats": windows.user_stats,
         "events_sliding_counts": windows.events_sliding_counts,
@@ -1639,6 +1641,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ROUND(s, 4) AS score
             FROM sc ORDER BY s DESC, doc_id LIMIT 20
         """,
+        "shared_tokens_langs": r"""
+            WITH t AS (
+                SELECT lang,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(text), '\W+'), x -> x <> '')) AS tok
+                FROM documents)
+            SELECT tok FROM t WHERE lang = 'en'
+            INTERSECT
+            SELECT tok FROM t WHERE lang = 'de'
+            ORDER BY tok
+        """,
         "tfidf_top_terms": """
             WITH toks AS (
                 SELECT doc_id,
@@ -1679,6 +1692,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_cube": """
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events
+            GROUP BY CUBE(event_type, hod)
+            ORDER BY event_type NULLS FIRST, hod NULLS FIRST
         """,
         "events_gap_fill": """
             WITH c AS (

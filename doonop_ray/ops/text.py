@@ -1878,3 +1878,39 @@ def keyword_search_indexed(sf_dir: str, k: int = 20) -> pd.DataFrame:
                             kind="mergesort").head(k).reset_index(drop=True)
     top["score"] = r4(top["score"])
     return top
+
+
+def shared_tokens_langs(sf_dir: str, lang_a: str = "en",
+                        lang_b: str = "de") -> pd.DataFrame:
+    """Distributed INTERSECT: the distinct tokens that appear in
+    documents of BOTH languages. Neither side's token set is ever
+    materialized — each batch collapses to one (tok, seen_a, seen_b)
+    row per distinct token (map-side dedup), the exchange ships those
+    flag partials, and ``grouped_aggregate`` max-merges them; the
+    intersection is the rows where both flags survived."""
+    from .common import grouped_aggregate, table_rows
+
+    def flags(t: pa.Table) -> pa.Table:
+        flat, parent = _doc_tokens(t)
+        lang = pc.take(t["lang"], parent)
+        m = pc.is_in(lang, value_set=pa.array([lang_a, lang_b]))
+        tt = pa.table({
+            "tok": flat.filter(m),
+            "a": pc.cast(pc.equal(lang.filter(m), lang_a), pa.int64()),
+            "b": pc.cast(pc.equal(lang.filter(m), lang_b), pa.int64()),
+        })
+        g = tt.group_by(["tok"], use_threads=False).aggregate(
+            [("a", "max"), ("b", "max")])
+        return g.rename_columns(["tok", "a", "b"])
+
+    agg = grouped_aggregate(
+        read(sf_dir, "documents", ["text", "lang"]).map_batches(
+            flags, batch_format="pyarrow"),
+        "tok", [("a", "max"), ("b", "max")],
+        size_hint=table_rows(sf_dir, "documents"))
+    out = agg.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["a_max"], 1),
+                                   pc.equal(t["b_max"], 1))).select(["tok"]),
+        batch_format="pyarrow").to_pandas()
+    out = _ensure_cols(out, {"tok": "str"})
+    return finish(out, ["tok"])

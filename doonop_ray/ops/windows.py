@@ -780,3 +780,57 @@ def events_gap_fill(sf_dir: str) -> pd.DataFrame:
     out = _ensure_cols(out, {"event_type": "str",
                              "hour": "datetime64[us]", "n": "int64"})
     return finish(out, ["event_type", "hour"])
+
+
+def events_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(event_type, hour-of-day): detail cells plus both
+    one-dimension margins plus the grand total in one result — the
+    multi-level-aggregation shape of OLAP dashboards (``revenue_rollup``
+    is the hierarchy cousin; this is the full lattice).
+
+    Scale shape: the distributed work is ONE pass of map-side partials
+    into the BOUNDED (|types| × 24) finest-grain key space; count/sum
+    are re-aggregable, so the three coarser cube levels derive from
+    that bounded frame driver-side — post-aggregation of ≤ 120 rows,
+    never of raw events."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "event_type": t["event_type"],
+            "hod": pc.cast(pc.hour(t["ts"]), pa.int64()),
+            "value": t["value"],
+        }).group_by(["event_type", "hod"], use_threads=False).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return pa.table({
+            "event_type": g["event_type"], "hod": g["hod"],
+            "cnt": pc.cast(g["value_count"], pa.int64()),
+            "val": g["value_sum"]})
+
+    fine = (read(sf_dir, "events", ["ts", "event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(["event_type", "hod"])
+            .aggregate(Sum("cnt", alias_name="cnt"),
+                       Sum("val", alias_name="val"))
+            .to_pandas())
+    fine = _ensure_cols(fine, {"event_type": "str", "hod": "int64",
+                               "cnt": "int64", "val": "float64"})
+    by_type = fine.groupby("event_type", as_index=False).agg(
+        cnt=("cnt", "sum"), val=("val", "sum"))
+    by_type["hod"] = np.nan
+    by_hod = fine.groupby("hod", as_index=False).agg(
+        cnt=("cnt", "sum"), val=("val", "sum"))
+    by_hod["event_type"] = None
+    tot = pd.DataFrame({
+        "event_type": [None], "hod": [np.nan],
+        "cnt": [fine["cnt"].sum()],
+        # SUM over zero rows is NULL in SQL, not 0.0
+        "val": [fine["val"].sum() if len(fine) else np.nan]})
+    out = pd.concat([fine, by_type, by_hod, tot], ignore_index=True)
+    out["hod"] = out["hod"].astype("float64")
+    out["n"] = out["cnt"].astype("int64")
+    out["sum_value"] = r4(out["val"])
+    out = out[["event_type", "hod", "n", "sum_value"]]
+    return out.sort_values(
+        ["event_type", "hod"], na_position="first",
+        kind="mergesort").reset_index(drop=True)
