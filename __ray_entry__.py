@@ -34,8 +34,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from doonop_ray.ops import (ann, bucket, checks, dedup, graph,
-                                multimodal, relational, sketches, streaming,
-                                text, windows)
+                                multimodal, profile, relational, sketches,
+                                streaming, text, windows)
     from doonop_ray.pipelines import flagship
 
     return {
@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": relational.distinct_segments,
         "nation_customer_counts": relational.nation_customer_counts,
         "nation_top_customer_names": relational.nation_top_customer_names,
+        "table_profile_orders": profile.table_profile_orders,
         "customers_no_recent_orders": relational.customers_no_recent_orders,
         "region_customer_rollup": relational.region_customer_rollup,
         "semi_join_recent_customers": relational.semi_join_recent_customers,
@@ -835,6 +836,45 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(c_acctbal), 4) AS sum_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "table_profile_orders": """
+            SELECT * FROM (
+              SELECT 'o_orderkey' AS col, COUNT(*)::BIGINT AS n,
+                     (COUNT(*) - COUNT(o_orderkey))::BIGINT AS n_null,
+                     COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+                     ROUND(CAST(MIN(o_orderkey) AS DOUBLE), 4) AS min_val,
+                     ROUND(CAST(MAX(o_orderkey) AS DOUBLE), 4) AS max_val
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', COUNT(*),
+                     COUNT(*) - COUNT(o_custkey),
+                     COUNT(DISTINCT o_custkey),
+                     ROUND(CAST(MIN(o_custkey) AS DOUBLE), 4),
+                     ROUND(CAST(MAX(o_custkey) AS DOUBLE), 4)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', COUNT(*),
+                     COUNT(*) - COUNT(o_orderstatus),
+                     COUNT(DISTINCT o_orderstatus), NULL, NULL
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice', COUNT(*),
+                     COUNT(*) - COUNT(o_totalprice),
+                     COUNT(DISTINCT o_totalprice),
+                     ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 4),
+                     ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 4)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderdate', COUNT(*),
+                     COUNT(*) - COUNT(o_orderdate),
+                     COUNT(DISTINCT o_orderdate), NULL, NULL
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', COUNT(*),
+                     COUNT(*) - COUNT(o_orderpriority),
+                     COUNT(DISTINCT o_orderpriority), NULL, NULL
+              FROM orders)
+            ORDER BY col
         """,
         "nation_top_customer_names": """
             WITH s AS (

@@ -86,7 +86,7 @@ SQL_QUERIES = [
     "recrawl_violations", "curate_images_violations",
     "keyword_search_indexed", "events_gap_fill",
     "nation_top_customer_names", "fuzzy_part_matches",
-    "events_cube", "shared_tokens_langs",
+    "events_cube", "shared_tokens_langs", "table_profile_orders",
 ]
 
 
