@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": windows.events_hourly,
         "events_gap_fill": windows.events_gap_fill,
         "events_cube": windows.events_cube,
+        "events_props_stats": windows.events_props_stats,
         "user_sessions": windows.user_sessions,
         "user_stats": windows.user_stats,
         "events_sliding_counts": windows.events_sliding_counts,
@@ -1732,6 +1733,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_props_stats": """
+            SELECT event_type,
+                   COUNT(CAST(json_extract_string(props, '$.k')
+                              AS BIGINT))::BIGINT AS n,
+                   SUM(CAST(json_extract_string(props, '$.k')
+                            AS BIGINT))::BIGINT AS sum_k,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)), 4) AS avg_k
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "events_cube": """
             SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,

@@ -834,3 +834,42 @@ def events_cube(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["event_type", "hod"], na_position="first",
         kind="mergesort").reset_index(drop=True)
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON-payload extraction + aggregate: pull the integer field
+    ``k`` out of the ``props`` JSON column and reduce per event_type —
+    the semi-structured-flattening staple. The extraction is one
+    vectorized RE2 kernel over the JSON strings (fixed-schema payloads
+    never pay a per-row json.loads); the reduce is map-side partials
+    into the bounded type key space. NULL semantics mirror SQL: rows
+    whose payload lacks ``k`` drop out of n/sum/avg."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = pc.struct_field(
+            pc.extract_regex(t["props"], r'"k"\s*:\s*(?P<k>-?\d+)'), "k")
+        ks = pc.cast(ks, pa.int64())
+        g = pa.table({
+            "event_type": t["event_type"], "k": ks,
+        }).group_by(["event_type"], use_threads=False).aggregate(
+            [("k", "count"), ("k", "sum")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "n": pc.cast(g["k_count"], pa.int64()),
+            "sum_k": g["k_sum"]})
+
+    out = (read(sf_dir, "events", ["event_type", "props"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_k", alias_name="sum_k"))
+           .to_pandas())
+    out = _ensure_cols(out, {"event_type": "str", "n": "int64",
+                             "sum_k": "int64"})
+    # integer sums are exact in int64, so the division is
+    # order-independent and matches SQL AVG bit-for-bit
+    out["n"] = out["n"].astype("int64")
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["avg_k"] = r4(out["sum_k"] / out["n"])
+    return finish(out, ["event_type"])
