@@ -870,6 +870,10 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
     # integer sums are exact in int64, so the division is
     # order-independent and matches SQL AVG bit-for-bit
     out["n"] = out["n"].astype("int64")
-    out["sum_k"] = out["sum_k"].astype("int64")
-    out["avg_k"] = r4(out["sum_k"] / out["n"])
+    if not out["sum_k"].isna().any():
+        out["sum_k"] = out["sum_k"].astype("int64")
+    # a type whose every payload lacks k keeps its row with n=0 and
+    # NULL sum/avg — same as SQL's COUNT=0 / SUM=NULL / AVG=NULL
+    with np.errstate(invalid="ignore"):
+        out["avg_k"] = r4(out["sum_k"] / out["n"])
     return finish(out, ["event_type"])
