@@ -1734,15 +1734,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
-        "events_props_stats": """
-            SELECT event_type,
-                   COUNT(CAST(json_extract_string(props, '$.k')
-                              AS BIGINT))::BIGINT AS n,
-                   SUM(CAST(json_extract_string(props, '$.k')
-                            AS BIGINT))::BIGINT AS sum_k,
-                   ROUND(AVG(CAST(json_extract_string(props, '$.k')
-                                  AS BIGINT)), 4) AS avg_k
-            FROM events GROUP BY 1 ORDER BY 1
+        "events_props_stats": r"""
+            WITH x AS (
+                SELECT event_type,
+                       TRY_CAST(NULLIF(regexp_extract(
+                           props, '"k"\s*:\s*(-?\d+)', 1), '')
+                           AS BIGINT) AS k
+                FROM events)
+            SELECT event_type, COUNT(k)::BIGINT AS n,
+                   SUM(k)::BIGINT AS sum_k,
+                   ROUND(AVG(k), 4) AS avg_k
+            FROM x GROUP BY 1 ORDER BY 1
         """,
         "events_cube": """
             SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,

@@ -90,8 +90,14 @@ def _bucket_dir(src: str, key: str, n_buckets: int,
     for f in _source_files(src):
         st = os.stat(f)
         parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    # string-keyed layouts depend on polars' hash ("stable within one
+    # polars install", _bucket_ids): fold the polars version in so an
+    # upgrade rebuilds rather than reading misrouted buckets
+    import polars as pl
+
     tag = hashlib.blake2b(
-        f"{';'.join(parts)}:{key}:{n_buckets}:{columns}:v1".encode(),
+        f"{';'.join(parts)}:{key}:{n_buckets}:{columns}:"
+        f"pl{pl.__version__}:v1".encode(),
         digest_size=8,
     ).hexdigest()
     return f"{_BUCKET_ROOT}/b_{tag}"

@@ -894,9 +894,14 @@ def dedup_incremental(sf_dir: str, n_tokens: int = 3,
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
+    # fp keys are strings: bucket layout depends on polars' hash —
+    # fold the polars version in (same rationale as bucket._bucket_dir)
+    import polars as _pl
+
     tag = hashlib.blake2b(
         f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_tokens}:{n_buckets}:"
-        f"fpidx-v1".encode(), digest_size=8).hexdigest()
+        f"pl{_pl.__version__}:fpidx-v1".encode(),
+        digest_size=8).hexdigest()
     idx_dir = f"{_BUCKET_ROOT}/fpidx_{tag}"
 
     def key_rows(t: pa.Table, incoming: bool) -> pa.Table:
@@ -1130,9 +1135,11 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.30) -> pd.DataFrame:
 
 
 def _levenshtein_capped(a: str, b: str, cap: int) -> int:
-    """Two-row Levenshtein DP with an early exit: returns cap+1 as soon
-    as the distance provably exceeds ``cap`` (length gap, or a full DP
-    row above the cap)."""
+    """Two-row Levenshtein DP with an early exit: once the distance
+    provably exceeds ``cap`` (length gap, or a full DP row above the
+    cap) it returns SOME value > cap — not necessarily cap+1, and not
+    necessarily the true distance. Callers only threshold on
+    ``d > cap``."""
     if abs(len(a) - len(b)) > cap:
         return cap + 1
     prev = list(range(len(b) + 1))

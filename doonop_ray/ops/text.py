@@ -1725,9 +1725,16 @@ def _postings_index(sf_dir: str, n_buckets: int = _POSTINGS_BUCKETS) -> str:
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
+    # the bucket layout depends on polars' string hash (bucket.py
+    # _bucket_ids, "stable within one polars install"): fold the polars
+    # version into the tag so an upgraded install rebuilds instead of
+    # silently probing the wrong partitions
+    import polars as _pl
+
     tag = hashlib.blake2b(
         f"{src}:{st.st_size}:{st.st_mtime_ns}:{n_buckets}:"
-        f"postings-v1".encode(), digest_size=8).hexdigest()
+        f"pl{_pl.__version__}:postings-v1".encode(),
+        digest_size=8).hexdigest()
     idx_dir = f"{_BUCKET_ROOT}/postings_{tag}"
     if os.path.isdir(idx_dir):
         return idx_dir

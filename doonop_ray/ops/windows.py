@@ -796,15 +796,17 @@ def events_cube(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        # count_all == COUNT(*) (a NULL value still counts the row);
+        # an all-NULL-value cell keeps a NULL sum, like SQL SUM
         g = pa.table({
             "event_type": t["event_type"],
             "hod": pc.cast(pc.hour(t["ts"]), pa.int64()),
             "value": t["value"],
         }).group_by(["event_type", "hod"], use_threads=False).aggregate(
-            [("value", "count"), ("value", "sum")])
+            [([], "count_all"), ("value", "sum")])
         return pa.table({
             "event_type": g["event_type"], "hod": g["hod"],
-            "cnt": pc.cast(g["value_count"], pa.int64()),
+            "cnt": pc.cast(g["count_all"], pa.int64()),
             "val": g["value_sum"]})
 
     fine = (read(sf_dir, "events", ["ts", "event_type", "value"])
@@ -815,17 +817,21 @@ def events_cube(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
     fine = _ensure_cols(fine, {"event_type": "str", "hod": "int64",
                                "cnt": "int64", "val": "float64"})
+    # min_count=1 keeps SQL NULL semantics: a margin whose every cell
+    # sum is NULL stays NULL instead of pandas' default 0.0
     by_type = fine.groupby("event_type", as_index=False).agg(
-        cnt=("cnt", "sum"), val=("val", "sum"))
+        cnt=("cnt", "sum"),
+        val=("val", lambda s: s.sum(min_count=1)))
     by_type["hod"] = np.nan
     by_hod = fine.groupby("hod", as_index=False).agg(
-        cnt=("cnt", "sum"), val=("val", "sum"))
+        cnt=("cnt", "sum"),
+        val=("val", lambda s: s.sum(min_count=1)))
     by_hod["event_type"] = None
     tot = pd.DataFrame({
         "event_type": [None], "hod": [np.nan],
         "cnt": [fine["cnt"].sum()],
-        # SUM over zero rows is NULL in SQL, not 0.0
-        "val": [fine["val"].sum() if len(fine) else np.nan]})
+        # SUM over zero rows (or all-NULL values) is NULL in SQL
+        "val": [fine["val"].sum(min_count=1)]})
     out = pd.concat([fine, by_type, by_hod, tot], ignore_index=True)
     out["hod"] = out["hod"].astype("float64")
     out["n"] = out["cnt"].astype("int64")
@@ -841,8 +847,13 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
     ``k`` out of the ``props`` JSON column and reduce per event_type —
     the semi-structured-flattening staple. The extraction is one
     vectorized RE2 kernel over the JSON strings (fixed-schema payloads
-    never pay a per-row json.loads); the reduce is map-side partials
-    into the bounded type key space. NULL semantics mirror SQL: rows
+    never pay a per-row json.loads), and the DuckDB oracle uses the
+    SAME RE2 pattern via regexp_extract, so both sides agree on every
+    payload by construction. Contract: payloads are FLAT fixed-schema
+    objects with an unquoted integer ``k`` — nested or string-typed
+    keys need a real JSON-parser stage, not this kernel. The reduce is
+    map-side partials into the bounded type key space. NULL semantics
+    mirror SQL: rows
     whose payload lacks ``k`` drop out of n/sum/avg."""
     from ray.data.aggregate import Sum
 

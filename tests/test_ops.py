@@ -458,6 +458,40 @@ def test_indexed_search_equals_scan_path(tmp_path, ray_session):
     assert len(idx1) == 4  # every doc with a query term scores
 
 
+def test_cube_and_props_null_semantics(tmp_path, ray_session, entrymod):
+    """Adversarial NULL / messy-JSON world (code-review finding):
+    events_cube must COUNT(*) rows with NULL values and keep all-NULL
+    cell/margin sums NULL; events_props_stats must agree with its
+    RE2-identical oracle on nested and string-typed k payloads."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from doonop_ray.ops.windows import events_cube, events_props_stats
+    from selfcheck import compare, to_pandas
+
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 01:10",
+                         "2024-01-01 00:20"])
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "event_type": pa.array(["a", "a", "b"], pa.string()),
+        "value": pa.array([None, 2.0, None], pa.float64()),
+        "props": pa.array(['{"a": {"k": 5}}', '{"k": "12"}', '{"k": 7}'],
+                          pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet'")
+    for name, fn in (("events_cube", events_cube),
+                     ("events_props_stats", events_props_stats)):
+        got = to_pandas(fn(str(tmp_path)))
+        exp = con.sql(entrymod.oracle_sql()[name]).df()
+        assert compare(got, exp) is None, name
+
+
 def test_events_gap_fill_generates_missing_hours(tmp_path, ray_session):
     """Hours with no events appear as zero-count rows between each
     type's first and last hour; no rows outside that span."""
@@ -486,7 +520,10 @@ def test_events_gap_fill_generates_missing_hours(tmp_path, ray_session):
 
 def test_levenshtein_capped_matches_reference():
     """The capped DP equals a classic full Levenshtein when within the
-    cap, and reports cap+1 (never an underestimate) beyond it."""
+    cap; beyond it the only contract is got > cap (callers threshold on
+    d > cap — the early exit may return cap+1 OR the true distance)."""
+    from itertools import product
+
     from doonop_ray.ops.dedup import _levenshtein_capped
 
     def full_lev(a, b):
@@ -501,13 +538,19 @@ def test_levenshtein_capped_matches_reference():
 
     words = ["", "a", "ab", "kitten", "sitting", "small ring",
              "small rings", "smol ring", "red widget", "blue bolt"]
+    # exhaustive short strings too — catches beyond-cap contract abuse
+    # (e.g. ('ab','bza',cap=1) where the DP exits with the true 3)
+    short = ["".join(p) for n in range(4)
+             for p in product("abz", repeat=n)]
     for cap in (0, 1, 2, 3):
-        for a in words:
-            for b in words:
+        for a in words + short:
+            for b in words + short:
                 truth = full_lev(a, b)
                 got = _levenshtein_capped(a, b, cap)
-                assert got == (truth if truth <= cap else cap + 1), \
-                    (a, b, cap, got, truth)
+                if truth <= cap:
+                    assert got == truth, (a, b, cap, got, truth)
+                else:
+                    assert got > cap, (a, b, cap, got, truth)
 
 
 def test_kmeans_embeddings_matches_numpy_reference(ray_session):
