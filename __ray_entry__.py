@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_recent_customers": relational.semi_join_recent_customers,
         "orders_monthly": relational.orders_monthly,
         "brand_price_stats": relational.brand_price_stats,
+        "lineitem_corr_stats": relational.lineitem_corr_stats,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "customer_order_counts": relational.customer_order_counts,
         "order_revenue_by_segment_bucketed":
@@ -876,6 +877,17 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(DISTINCT o_orderpriority), NULL, NULL
               FROM orders)
             ORDER BY col
+        """,
+        "lineitem_corr_stats": """
+            SELECT l_returnflag,
+                   COUNT(*)::BIGINT AS n,
+                   ROUND(corr(l_quantity, l_extendedprice), 4)
+                       AS corr_qty_price,
+                   ROUND(covar_samp(l_quantity, l_extendedprice), 4)
+                       AS covar_qty_price,
+                   ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+                   ROUND(stddev_samp(l_extendedprice), 4) AS sd_price
+            FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         "nation_top_customer_names": """
             WITH s AS (

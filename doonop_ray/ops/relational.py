@@ -2991,3 +2991,64 @@ def nation_top_customer_names(sf_dir: str, k: int = 3) -> pd.DataFrame:
                         size_hint=table_rows(sf_dir, "customer")).to_pandas()
     out = _ensure_cols(out, {"n_nationkey": "int64", "top_names": "str"})
     return finish(out, ["n_nationkey"])
+
+
+def lineitem_corr_stats(sf_dir: str) -> pd.DataFrame:
+    """Statistical aggregates per return flag: sample covariance /
+    standard deviations / Pearson correlation of quantity vs extended
+    price — the mergeable-moments family (count + power sums) next to
+    the HLL/CMS/quantile sketches.
+
+    Scale shape: each batch reduces to one (flag, n, Σx, Σy, Σx²,
+    Σy², Σxy) row (map-side, C++ group_by); the exchange ships those
+    six-number partials into the bounded flag key space and the driver
+    derives the moments. Block-structured partial sums behave like
+    pairwise summation; at extreme scale or pathological magnitudes
+    switch the partials to Welford/Chan merging — at these magnitudes
+    float64 power sums match DuckDB's own corr/covar_samp/stddev_samp
+    to well past the 4-decimal rounding."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(len(t), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "syy": pa.array(y * y),
+            "sxy": pa.array(x * y),
+        }).group_by(["l_returnflag"], use_threads=False).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(
+            ["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    out = (read(sf_dir, "lineitem",
+                ["l_returnflag", "l_quantity", "l_extendedprice"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("l_returnflag")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+           .to_pandas())
+    out = _ensure_cols(out, {"l_returnflag": "str", "n": "int64",
+                             "sx": "float64", "sy": "float64",
+                             "sxx": "float64", "syy": "float64",
+                             "sxy": "float64"})
+    n = out["n"].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cov = (out["sxy"] - out["sx"] * out["sy"] / n) / (n - 1)
+        sdx = np.sqrt((out["sxx"] - out["sx"] ** 2 / n) / (n - 1))
+        sdy = np.sqrt((out["syy"] - out["sy"] ** 2 / n) / (n - 1))
+        corr = cov / (sdx * sdy)
+    res = pd.DataFrame({
+        "l_returnflag": out["l_returnflag"],
+        "n": out["n"].astype("int64"),
+        "corr_qty_price": r4(corr),
+        "covar_qty_price": r4(cov),
+        "sd_qty": r4(sdx),
+        "sd_price": r4(sdy),
+    })
+    return finish(res, ["l_returnflag"])

@@ -87,7 +87,7 @@ SQL_QUERIES = [
     "keyword_search_indexed", "events_gap_fill",
     "nation_top_customer_names", "fuzzy_part_matches",
     "events_cube", "shared_tokens_langs", "table_profile_orders",
-    "events_props_stats",
+    "events_props_stats", "lineitem_corr_stats",
 ]
 
 
