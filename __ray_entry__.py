@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_tokens_langs": text.shared_tokens_langs,
         "winnowing_neardup_pairs": text.winnowing_neardup_pairs,
         "kmeans_embeddings": ann.kmeans_embeddings,
+        "pca_embeddings": ann.pca_embeddings,
         "centroid_by_label": ann.centroid_by_label,
         "corpus_shuffle_shards": text.corpus_shuffle_shards,
         "bpe_merges": text.bpe_merges,
@@ -179,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             checks.embedding_lsh_precision_violations,
         "ann_lsh_rank_violations": checks.ann_lsh_rank_violations,
         "hll_accuracy_violations": checks.hll_accuracy_violations,
+        "pca_violations": checks.pca_violations,
         "simhash_consistency_violations":
             checks.simhash_consistency_violations,
         "minhash_precision_violations":
@@ -1170,6 +1172,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_accuracy_violations": """
             SELECT CAST(NULL AS VARCHAR) AS event_type WHERE FALSE
+        """,
+        "pca_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS check,
+                   CAST(NULL AS DOUBLE) AS err WHERE FALSE
         """,
         "simhash_consistency_violations": """
             SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE

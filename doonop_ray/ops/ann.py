@@ -726,3 +726,85 @@ def centroid_by_label(sf_dir: str) -> pd.DataFrame:
         "dim": agg["dim"].astype("int64"),
         "mean_v": (agg["s_sum"] / agg["c_sum"]).map(r4)})
     return finish(out, ["label", "dim"])
+
+
+def pca_embeddings(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Distributed PCA over the embedding corpus — the covariance
+    branch of the mergeable-moments family (``lineitem_corr_stats`` is
+    the 2-variable case; this is the d×d one). Returns one row per
+    principal component: (component, eigval, explained_frac).
+
+    Scale shape: each batch reduces to a single (n, Σx (d), ΣxᵀX (d²))
+    partial row — DATA-SIZE-INDEPENDENT (d=64 → 4 KB per block) — and
+    the driver merges blocks×1 rows, forms the sample covariance, and
+    runs the d×d eigendecomposition locally (d³ is trivial; the corpus
+    never leaves the workers). Eigenvector sign is fixed by making each
+    vector's largest-|component| positive, so results are deterministic
+    across block layouts. No SQL oracle (eigendecomposition); pinned
+    against a full-scan numpy PCA in tests and by the one-sided
+    ``pca_violations`` integrity check."""
+    empty = pd.DataFrame({"component": pd.Series([], dtype="int64"),
+                          "eigval": pd.Series([], dtype="float64"),
+                          "explained_frac": pd.Series([], dtype="float64")})
+    if _no_embeddings(sf_dir):
+        return empty
+    evals, _, total = _pca_eig(sf_dir)
+    if evals is None:
+        return empty
+    kk = min(k, len(evals))
+    return pd.DataFrame({
+        "component": np.arange(kk, dtype=np.int64),
+        "eigval": np.round(evals[:kk], 6),
+        "explained_frac": np.round(evals[:kk] / total, 6),
+    })
+
+
+def _pca_partials(sf_dir: str, reverse_blocks: bool = False):
+    """One scan → merged (n, Σx, XᵀX). ``reverse_blocks`` flips the
+    per-batch accumulation order inside each partial (used by the
+    violations check to prove batch-layout invariance)."""
+    from .common import read
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = flat.reshape(len(t), -1)
+        if reverse_blocks:
+            v = v[::-1]
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "sx": pa.array([v.sum(axis=0).tolist()]),
+            "xtx": pa.array([(v.T @ v).ravel().tolist()]),
+        })
+
+    parts = (read(sf_dir, "embeddings", ["embedding"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    if not len(parts.columns) or not len(parts):
+        return 0, None, None
+    n = int(parts["n"].sum())
+    sx = np.sum([np.asarray(r, np.float64) for r in parts["sx"]], axis=0)
+    xtx = np.sum([np.asarray(r, np.float64) for r in parts["xtx"]],
+                 axis=0)
+    d = len(sx)
+    return n, sx, xtx.reshape(d, d)
+
+
+def _pca_eig(sf_dir: str, reverse_blocks: bool = False):
+    n, sx, xtx = _pca_partials(sf_dir, reverse_blocks)
+    if n < 2:
+        return None, None, None
+    d = len(sx)
+    mean = sx / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals = evals[order]
+    evecs = evecs[:, order]
+    # deterministic sign: largest-|component| of each vector positive
+    for i in range(d):
+        j = int(np.argmax(np.abs(evecs[:, i])))
+        if evecs[j, i] < 0:
+            evecs[:, i] = -evecs[:, i]
+    return evals, evecs, float(np.trace(cov))

@@ -1581,3 +1581,60 @@ def curate_images_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
                              "kind": pd.Series([], dtype="str")})
     return finish(pd.DataFrame({"image_id": bad_i, "kind": bad_k}),
                   ["image_id", "kind"])
+
+
+def pca_violations(sf_dir: str, k: int = 4,
+                   tol: float = 1e-8) -> pd.DataFrame:
+    """Integrity of ``pca_embeddings``: recompute the moment partials
+    with a DIFFERENT per-batch accumulation order (batch-layout
+    invariance) and assert, in independent float64 arithmetic —
+
+    - ``order``: eigenvalues non-increasing;
+    - ``orthonormal``: ‖VᵀV − I‖∞ within tol;
+    - ``eigenpair``: ‖C·vᵢ − λᵢ·vᵢ‖∞ within tol per reported component;
+    - ``trace``: Σ all eigenvalues == trace(C) (relative tol);
+    - ``invariance``: reported eigvals match the reversed-accumulation
+      recomputation (relative tol).
+
+    Violating rows (expected none) carry the check name and the
+    measured error."""
+    from .ann import _no_embeddings, _pca_eig, _pca_partials
+
+    rows: list[dict] = []
+    if not _no_embeddings(sf_dir):
+        got = _pca_eig(sf_dir)
+        alt = _pca_eig(sf_dir, reverse_blocks=True)
+        if got[0] is not None:
+            evals, evecs, total = got
+            d = len(evals)
+
+            def add(check, err, limit):
+                if not (err <= limit):
+                    rows.append({"check": check, "err": float(err)})
+
+            add("order", float(np.max(np.diff(evals), initial=-np.inf)),
+                tol)
+            add("orthonormal",
+                float(np.max(np.abs(evecs.T @ evecs - np.eye(d)))), tol)
+            # rebuild C from the SAME eig basis is circular — recompute
+            # C from the independent reversed-accumulation partials
+            n2, sx2, xtx2 = _pca_partials(sf_dir, reverse_blocks=True)
+            mean2 = sx2 / n2
+            cov2 = (xtx2 - n2 * np.outer(mean2, mean2)) / (n2 - 1)
+            scale = max(1.0, float(np.max(np.abs(evals))))
+            for i in range(min(k, d)):
+                add(f"eigenpair_{i}",
+                    float(np.max(np.abs(cov2 @ evecs[:, i]
+                                        - evals[i] * evecs[:, i]))),
+                    1e-6 * scale)
+            add("trace",
+                abs(float(np.sum(evals)) - float(np.trace(cov2)))
+                / max(1e-12, abs(float(np.trace(cov2)))), 1e-9)
+            if alt[0] is not None:
+                add("invariance",
+                    float(np.max(np.abs(evals - alt[0])))
+                    / max(1e-12, scale), 1e-9)
+    out = pd.DataFrame(rows, columns=["check", "err"])
+    out["check"] = out["check"].astype("str")
+    out["err"] = out["err"].astype("float64")
+    return finish(out, ["check"])

@@ -87,7 +87,7 @@ SQL_QUERIES = [
     "keyword_search_indexed", "events_gap_fill",
     "nation_top_customer_names", "fuzzy_part_matches",
     "events_cube", "shared_tokens_langs", "table_profile_orders",
-    "events_props_stats", "lineitem_corr_stats",
+    "events_props_stats", "lineitem_corr_stats", "pca_violations",
 ]
 
 
@@ -1552,3 +1552,28 @@ def test_curate_images_gate_discriminates(ray_session):
     got = curate_images(SF)
     assert got["keep"].any() and not got["keep"].all()
     assert (got["min_side"] >= 20).equals(got["keep"])
+
+
+def test_pca_embeddings_matches_numpy_reference(ray_session):
+    """Distributed moment-partial PCA equals a single-process numpy
+    eigendecomposition of the full-scan covariance (same sign fix),
+    and the one-sided integrity check is clean."""
+    import numpy as np
+    from doonop_ray.ops.ann import pca_embeddings, _pca_eig
+    from doonop_ray.ops.checks import pca_violations
+    from doonop_ray.ops.common import read_arrow
+
+    got = pca_embeddings(SF, k=6)
+    emb = read_arrow(SF, "embeddings", ["embedding"])
+    v = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    cov = np.cov(v, rowvar=False, ddof=1)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(got["eigval"], np.round(evals[:6], 6), atol=2e-6)
+    assert np.allclose(got["explained_frac"],
+                       np.round(evals[:6] / np.trace(cov), 6), atol=2e-6)
+    # eigenvectors orthonormal + deterministic across block layouts
+    e1, v1, _ = _pca_eig(SF)
+    e2, v2, _ = _pca_eig(SF, reverse_blocks=True)
+    assert np.allclose(v1.T @ v1, np.eye(v1.shape[1]), atol=1e-8)
+    assert np.allclose(e1, e2, atol=1e-9 * max(1.0, e1[0]))
+    assert len(pca_violations(SF)) == 0
