@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users_per_type": sketches.hll_distinct_users_per_type,
         "exact_quantiles": sketches.exact_quantiles,
         "events_type_quantiles": sketches.events_type_quantiles,
+        "events_percentiles_cont": sketches.events_percentiles_cont,
         "sorted_range_shards": sketches.sorted_range_shards,
         "quantile_sketch": sketches.quantile_sketch,
         "cms_token_frequency": sketches.cms_token_frequency,
@@ -361,6 +362,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS DOUBLE) AS q,
                    (SELECT MIN(value) FROM s WHERE rn >= CEIL(q * n)) AS value
             FROM (VALUES (0.5), (0.9), (0.99)) t(q) ORDER BY q
+        """,
+        "events_percentiles_cont": """
+            SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+                   ROUND(quantile_cont(value, 0.5), 4) AS value
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT event_type, 0.9, ROUND(quantile_cont(value, 0.9), 4)
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT event_type, 0.99, ROUND(quantile_cont(value, 0.99), 4)
+            FROM events GROUP BY 1
+            ORDER BY event_type, q
         """,
         "events_type_quantiles": """
             WITH s AS (SELECT event_type, value,

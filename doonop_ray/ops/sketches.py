@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .common import finish, read
+from .common import finish, r4, read
 
 P = 12
 M = 1 << P
@@ -628,25 +628,9 @@ def sorted_range_shards(sf_dir: str, shards: int = 8) -> pd.DataFrame:
     return finish(out, ["shard"])
 
 
-def events_type_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9),
-                          nbins: int = 4096,
-                          collect_cap: int = 65536) -> pd.DataFrame:
-    """EXACT per-group quantiles (events.value per event_type) — the
-    grouped twin of ``exact_quantiles``: the same distributed
-    selection-by-binning, with the refinement targets multiplexed over
-    (group, q) pairs so every round is still ONE pruned scan no matter
-    how many groups refine (a per-group scan loop would rescan the
-    corpus G times; grouped_apply would ship each group's whole value
-    column to one task — wrong at 10^11 rows / a handful of groups).
-
-    Rank definition matches ``exact_quantiles`` and the SQL oracle:
-    value at 1-based rank ceil(q * n_g) of the group's ascending sort.
-    Driver state is O(G × len(qs)); partials are O(active ranges ×
-    nbins) counts per batch."""
-    import math
-
-    from ray.data.aggregate import Sum
-
+def _group_value_stats(sf_dir: str):
+    """One scan → per-event_type (min, max, n) of events.value; None on
+    an empty corpus."""
     ds = read(sf_dir, "events", ["event_type", "value"])
 
     def gstats(t: pa.Table) -> pa.Table:
@@ -657,23 +641,35 @@ def events_type_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9),
 
     parts = ds.map_batches(gstats, batch_format="pyarrow").to_pandas()
     if parts.empty:
-        return pd.DataFrame({
-            "event_type": pd.Series([], dtype="str"),
-            "q": pd.Series([], dtype="float64"),
-            "value": pd.Series([], dtype="float64")})
-    stats = parts.groupby("g").agg(mn=("value_min", "min"),
-                                   mx=("value_max", "max"),
-                                   n=("count_all", "sum"))
+        return None
+    return parts.groupby("g").agg(mn=("value_min", "min"),
+                                  mx=("value_max", "max"),
+                                  n=("count_all", "sum"))
+
+
+def _grouped_rank_select(sf_dir: str, targets: dict, stats,
+                         nbins: int = 4096,
+                         collect_cap: int = 65536) -> dict:
+    """Distributed multiplexed selection-by-binning: resolve, for every
+    target ``key -> (group, rank)`` (1-based ascending rank within the
+    group's events.value), the exact order statistic — ONE pruned scan
+    per refinement round no matter how many (group, rank) targets are
+    active (a per-target loop would rescan the corpus; grouped_apply
+    would ship whole per-group columns to single tasks — wrong at
+    10^11 rows / a handful of groups). Driver state is O(|targets|);
+    partials are O(active ranges × nbins) counts per batch."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
     gmax_of = {g: float(r["mx"]) for g, r in stats.iterrows()}
 
-    st: dict[tuple[str, float], dict] = {}
-    for g, r in stats.iterrows():
-        for q in qs:
-            st[(g, q)] = {"lo": float(r["mn"]), "hi": float(r["mx"]),
-                          "r": int(math.ceil(q * int(r["n"]))),
-                          "val": None, "collect": False}
+    st: dict = {}
+    for key, (g, rank) in targets.items():
+        r = stats.loc[g]
+        st[key] = {"g": g, "lo": float(r["mn"]), "hi": float(r["mx"]),
+                   "r": int(rank), "val": None, "collect": False}
 
-    def _hist_multi(ranges: list[tuple[str, float, float, bool]]):
+    def _hist_multi(ranges: list):
         def partial(t: pa.Table) -> pa.Table:
             gcol = t["event_type"].to_numpy(zero_copy_only=False)
             v = t["value"].to_numpy(zero_copy_only=False)
@@ -718,9 +714,10 @@ def events_type_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9),
                 act.remove(k)
         if not act:
             break
-        uniq: dict[tuple[str, float, float], list] = {}
+        uniq: dict = {}
         for k in act:
-            uniq.setdefault((k[0], st[k]["lo"], st[k]["hi"]), []).append(k)
+            uniq.setdefault(
+                (st[k]["g"], st[k]["lo"], st[k]["hi"]), []).append(k)
         keys = list(uniq)
         dense = _hist_multi(
             [(g, lo, hi, hi >= gmax_of[g]) for g, lo, hi in keys])
@@ -745,7 +742,7 @@ def events_type_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9),
             if s["hi"] <= s["lo"]:
                 s["val"] = s["lo"]
             else:
-                uniq.setdefault((k[0], s["lo"], s["hi"]), []).append(k)
+                uniq.setdefault((s["g"], s["lo"], s["hi"]), []).append(k)
         if uniq:
             keys = list(uniq)
             ranges = [(g, lo, hi, hi >= gmax_of[g]) for g, lo, hi in keys]
@@ -779,8 +776,78 @@ def events_type_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9),
                 for k in uniq[key]:
                     st[k]["val"] = float(vals[st[k]["r"] - 1])
 
+    return {k: s["val"] for k, s in st.items()}
+
+
+def events_type_quantiles(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9),
+                          nbins: int = 4096,
+                          collect_cap: int = 65536) -> pd.DataFrame:
+    """EXACT per-group quantiles (events.value per event_type) — the
+    grouped twin of ``exact_quantiles``: distributed
+    selection-by-binning with the refinement targets multiplexed over
+    (group, q) pairs so every round is still ONE pruned scan no matter
+    how many groups refine (see ``_grouped_rank_select``).
+
+    Rank definition matches ``exact_quantiles`` and the SQL oracle:
+    value at 1-based rank ceil(q * n_g) of the group's ascending
+    sort."""
+    import math
+
+    stats = _group_value_stats(sf_dir)
+    if stats is None:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="str"),
+            "q": pd.Series([], dtype="float64"),
+            "value": pd.Series([], dtype="float64")})
+    targets = {(g, q): (g, int(math.ceil(q * int(stats.loc[g, "n"]))))
+               for g in stats.index for q in qs}
+    vals = _grouped_rank_select(sf_dir, targets, stats, nbins,
+                                collect_cap)
     out = pd.DataFrame(
-        [(g, float(q), st[(g, q)]["val"])
+        [(g, float(q), vals[(g, q)])
          for g in stats.index for q in qs],
         columns=["event_type", "q", "value"])
+    return finish(out, ["event_type", "q"])
+
+
+def events_percentiles_cont(sf_dir: str,
+                            qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                            nbins: int = 4096,
+                            collect_cap: int = 65536) -> pd.DataFrame:
+    """Interpolated per-group percentiles — SQL PERCENTILE_CONT
+    semantics (h = q·(n−1); linear interpolation between the order
+    statistics at ranks ⌊h⌋+1 and ⌊h⌋+2), sharing the same multiplexed
+    distributed selection as ``events_type_quantiles``: BOTH bracketing
+    ranks of every (group, q) ride one target set, so the whole result
+    still costs one pruned scan per refinement round."""
+    import math
+
+    stats = _group_value_stats(sf_dir)
+    if stats is None:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="str"),
+            "q": pd.Series([], dtype="float64"),
+            "value": pd.Series([], dtype="float64")})
+    targets: dict = {}
+    plan: dict = {}
+    for g in stats.index:
+        n = int(stats.loc[g, "n"])
+        for q in qs:
+            h = q * (n - 1)
+            k1 = int(math.floor(h)) + 1
+            frac = h - math.floor(h)
+            plan[(g, q)] = (k1, frac)
+            targets[(g, q, 1)] = (g, k1)
+            if frac > 0.0 and k1 < n:
+                targets[(g, q, 2)] = (g, k1 + 1)
+    vals = _grouped_rank_select(sf_dir, targets, stats, nbins,
+                                collect_cap)
+    rows = []
+    for g in stats.index:
+        for q in qs:
+            k1, frac = plan[(g, q)]
+            v1 = vals[(g, q, 1)]
+            v2 = vals.get((g, q, 2), v1)
+            rows.append((g, float(q), float(r4(v1 + frac * (v2 - v1)))))
+    out = pd.DataFrame(rows, columns=["event_type", "q", "value"])
     return finish(out, ["event_type", "q"])
