@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles": sketches.exact_quantiles,
         "events_type_quantiles": sketches.events_type_quantiles,
         "events_percentiles_cont": sketches.events_percentiles_cont,
+        "events_value_mad": sketches.events_value_mad,
         "sorted_range_shards": sketches.sorted_range_shards,
         "quantile_sketch": sketches.quantile_sketch,
         "cms_token_frequency": sketches.cms_token_frequency,
@@ -362,6 +363,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS DOUBLE) AS q,
                    (SELECT MIN(value) FROM s WHERE rn >= CEIL(q * n)) AS value
             FROM (VALUES (0.5), (0.9), (0.99)) t(q) ORDER BY q
+        """,
+        "events_value_mad": """
+            WITH m AS (SELECT event_type,
+                              quantile_cont(value, 0.5) AS med
+                       FROM events GROUP BY 1)
+            SELECT e.event_type,
+                   ROUND(ANY_VALUE(m.med), 4) AS med,
+                   ROUND(quantile_cont(abs(e.value - m.med), 0.5), 4)
+                       AS mad
+            FROM events e JOIN m USING (event_type)
+            GROUP BY e.event_type ORDER BY 1
         """,
         "events_percentiles_cont": """
             SELECT event_type, CAST(0.5 AS DOUBLE) AS q,

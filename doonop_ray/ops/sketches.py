@@ -649,7 +649,8 @@ def _group_value_stats(sf_dir: str):
 
 def _grouped_rank_select(sf_dir: str, targets: dict, stats,
                          nbins: int = 4096,
-                         collect_cap: int = 65536) -> dict:
+                         collect_cap: int = 65536,
+                         center: dict | None = None) -> dict:
     """Distributed multiplexed selection-by-binning: resolve, for every
     target ``key -> (group, rank)`` (1-based ascending rank within the
     group's events.value), the exact order statistic — ONE pruned scan
@@ -657,16 +658,36 @@ def _grouped_rank_select(sf_dir: str, targets: dict, stats,
     active (a per-target loop would rescan the corpus; grouped_apply
     would ship whole per-group columns to single tasks — wrong at
     10^11 rows / a handful of groups). Driver state is O(|targets|);
-    partials are O(active ranges × nbins) counts per batch."""
+    partials are O(active ranges × nbins) counts per batch.
+
+    ``center`` (optional, per-group float) switches the selected
+    variable to the absolute deviation |value − center[g]| — the MAD
+    transform — without a materialized derived column: the transform is
+    applied inside each batch kernel, bounds derive from the group's
+    own min/max."""
     from ray.data.aggregate import Sum
 
     ds = read(sf_dir, "events", ["event_type", "value"])
-    gmax_of = {g: float(r["mx"]) for g, r in stats.iterrows()}
+    if center is None:
+        bounds = {g: (float(r["mn"]), float(r["mx"]))
+                  for g, r in stats.iterrows()}
+    else:
+        bounds = {g: (0.0, max(center[g] - float(r["mn"]),
+                               float(r["mx"]) - center[g]))
+                  for g, r in stats.iterrows()}
+    gmax_of = {g: hi for g, (lo, hi) in bounds.items()}
+
+    def _gv(gcol, v, g):
+        m = gcol == g
+        vv = v[m]
+        if center is not None:
+            vv = np.abs(vv - center[g])
+        return vv
 
     st: dict = {}
     for key, (g, rank) in targets.items():
-        r = stats.loc[g]
-        st[key] = {"g": g, "lo": float(r["mn"]), "hi": float(r["mx"]),
+        lo, hi = bounds[g]
+        st[key] = {"g": g, "lo": lo, "hi": hi,
                    "r": int(rank), "val": None, "collect": False}
 
     def _hist_multi(ranges: list):
@@ -676,9 +697,8 @@ def _grouped_rank_select(sf_dir: str, targets: dict, stats,
             bins_out, cnt_out = [], []
             for j, (g, lo, hi, last) in enumerate(ranges):
                 width = (hi - lo) / nbins
-                m = (gcol == g) & (v >= lo) & \
-                    ((v <= hi) if last else (v < hi))
-                vv = v[m]
+                gv = _gv(gcol, v, g)
+                vv = gv[(gv >= lo) & ((gv <= hi) if last else (gv < hi))]
                 if not len(vv):
                     continue
                 b = np.minimum(((vv - lo) / width).astype(np.int64),
@@ -752,9 +772,9 @@ def _grouped_rank_select(sf_dir: str, targets: dict, stats,
                 v = t["value"].to_numpy(zero_copy_only=False)
                 out_j, out_v = [], []
                 for j, (g, lo, hi, last) in enumerate(ranges):
-                    m = (gcol == g) & (v >= lo) & \
-                        ((v <= hi) if last else (v < hi))
-                    vv = v[m]
+                    gv = _gv(gcol, v, g)
+                    vv = gv[(gv >= lo)
+                            & ((gv <= hi) if last else (gv < hi))]
                     if len(vv):
                         out_j.append(np.full(len(vv), j, dtype=np.int64))
                         out_v.append(vv)
@@ -851,3 +871,56 @@ def events_percentiles_cont(sf_dir: str,
             rows.append((g, float(q), float(r4(v1 + frac * (v2 - v1)))))
     out = pd.DataFrame(rows, columns=["event_type", "q", "value"])
     return finish(out, ["event_type", "q"])
+
+
+def events_value_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust per-group statistics: interpolated median and median
+    absolute deviation (MAD) of events.value per event_type — the
+    outlier-resistant twin of mean/stddev. Two chained distributed
+    selections: pass 1 resolves each group's PERCENTILE_CONT median;
+    pass 2 selects the median of |value − median| via the selection
+    core's batch-side ``center`` transform, so the deviation column is
+    never materialized and both passes stay one-pruned-scan-per-round
+    regardless of group count."""
+    import math
+
+    stats = _group_value_stats(sf_dir)
+    if stats is None:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="str"),
+                             "med": pd.Series([], dtype="float64"),
+                             "mad": pd.Series([], dtype="float64")})
+
+    def cont_targets(tag: str):
+        t: dict = {}
+        plan: dict = {}
+        for g in stats.index:
+            n = int(stats.loc[g, "n"])
+            h = 0.5 * (n - 1)
+            k1 = int(math.floor(h)) + 1
+            frac = h - math.floor(h)
+            plan[g] = (k1, frac)
+            t[(g, tag, 1)] = (g, k1)
+            if frac > 0.0 and k1 < n:
+                t[(g, tag, 2)] = (g, k1 + 1)
+        return t, plan
+
+    t1, plan1 = cont_targets("med")
+    v1 = _grouped_rank_select(sf_dir, t1, stats)
+    med = {}
+    for g in stats.index:
+        _, frac = plan1[g]
+        a = v1[(g, "med", 1)]
+        b = v1.get((g, "med", 2), a)
+        med[g] = a + frac * (b - a)
+
+    t2, plan2 = cont_targets("mad")
+    v2 = _grouped_rank_select(sf_dir, t2, stats, center=med)
+    rows = []
+    for g in stats.index:
+        _, frac = plan2[g]
+        a = v2[(g, "mad", 1)]
+        b = v2.get((g, "mad", 2), a)
+        rows.append((g, float(r4(med[g])),
+                     float(r4(a + frac * (b - a)))))
+    out = pd.DataFrame(rows, columns=["event_type", "med", "mad"])
+    return finish(out, ["event_type"])

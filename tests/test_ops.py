@@ -88,7 +88,7 @@ SQL_QUERIES = [
     "nation_top_customer_names", "fuzzy_part_matches",
     "events_cube", "shared_tokens_langs", "table_profile_orders",
     "events_props_stats", "lineitem_corr_stats", "pca_violations",
-    "events_percentiles_cont",
+    "events_percentiles_cont", "events_value_mad",
 ]
 
 
