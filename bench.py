@@ -70,6 +70,10 @@ OPS_BENCH = [
     # round-3 continuation-6: persisted inverted-index retrieval (warm
     # timing shows the amortized query cost next to the scan-path BM25)
     "keyword_search_indexed",
+    # continuation-6 batch 2: moments / linear-algebra / robust-stats
+    "lineitem_corr_stats",
+    "pca_embeddings",
+    "events_value_mad",
 ]
 
 
