@@ -687,8 +687,13 @@ def _grouped_rank_select(sf_dir: str, targets: dict, stats,
     st: dict = {}
     for key, (g, rank) in targets.items():
         lo, hi = bounds[g]
+        # a group whose WHOLE value set fits the collection cap skips
+        # the histogram rounds: one collection scan resolves it (same
+        # memory bound as an in-cap bin; at scale n_g > cap refines
+        # as before)
         st[key] = {"g": g, "lo": lo, "hi": hi,
-                   "r": int(rank), "val": None, "collect": False}
+                   "r": int(rank), "val": None,
+                   "collect": int(stats.loc[g, "n"]) <= collect_cap}
 
     def _hist_multi(ranges: list):
         def partial(t: pa.Table) -> pa.Table:
@@ -873,7 +878,8 @@ def events_percentiles_cont(sf_dir: str,
     return finish(out, ["event_type", "q"])
 
 
-def events_value_mad(sf_dir: str) -> pd.DataFrame:
+def events_value_mad(sf_dir: str, nbins: int = 4096,
+                     collect_cap: int = 65536) -> pd.DataFrame:
     """Robust per-group statistics: interpolated median and median
     absolute deviation (MAD) of events.value per event_type — the
     outlier-resistant twin of mean/stddev. Two chained distributed
@@ -905,7 +911,7 @@ def events_value_mad(sf_dir: str) -> pd.DataFrame:
         return t, plan
 
     t1, plan1 = cont_targets("med")
-    v1 = _grouped_rank_select(sf_dir, t1, stats)
+    v1 = _grouped_rank_select(sf_dir, t1, stats, nbins, collect_cap)
     med = {}
     for g in stats.index:
         _, frac = plan1[g]
@@ -914,7 +920,8 @@ def events_value_mad(sf_dir: str) -> pd.DataFrame:
         med[g] = a + frac * (b - a)
 
     t2, plan2 = cont_targets("mad")
-    v2 = _grouped_rank_select(sf_dir, t2, stats, center=med)
+    v2 = _grouped_rank_select(sf_dir, t2, stats, nbins, collect_cap,
+                              center=med)
     rows = []
     for g in stats.index:
         _, frac = plan2[g]

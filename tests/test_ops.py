@@ -1578,3 +1578,32 @@ def test_pca_embeddings_matches_numpy_reference(ray_session):
     assert np.allclose(v1.T @ v1, np.eye(v1.shape[1]), atol=1e-8)
     assert np.allclose(e1, e2, atol=1e-9 * max(1.0, e1[0]))
     assert len(pca_violations(SF)) == 0
+
+
+def test_mad_and_cont_percentiles_refine_path(ray_session):
+    """Force multi-round refinement (collect_cap=1, nbins=4) for the
+    PERCENTILE_CONT and MAD paths (the small-group fast path skips the
+    histogram rounds otherwise) and check against numpy interpolation
+    per group."""
+    import numpy as np
+
+    from doonop_ray.ops.common import read_arrow
+    from doonop_ray.ops.sketches import (events_percentiles_cont,
+                                         events_value_mad)
+
+    ev = read_arrow(SF, "events", ["event_type", "value"]).to_pandas()
+
+    got = events_percentiles_cont(SF, qs=(0.5, 0.9), nbins=4,
+                                  collect_cap=1)
+    for (g, q), sub in got.set_index(["event_type", "q"]).iterrows():
+        vals = ev[ev["event_type"] == g]["value"].to_numpy()
+        want = np.quantile(vals, q, method="linear")
+        assert abs(sub["value"] - want) < 5e-5, (g, q, sub["value"], want)
+
+    mad = events_value_mad(SF, nbins=4, collect_cap=1)
+    for g, sub in mad.set_index("event_type").iterrows():
+        vals = ev[ev["event_type"] == g]["value"].to_numpy()
+        med = np.quantile(vals, 0.5, method="linear")
+        want = np.quantile(np.abs(vals - med), 0.5, method="linear")
+        assert abs(sub["med"] - med) < 5e-5
+        assert abs(sub["mad"] - want) < 5e-5
