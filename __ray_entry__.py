@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": text.bpe_merges,
         "bpe_encode": text.bpe_encode,
         "char_entropy": text.char_entropy,
+        "chunk_documents": text.chunk_documents,
         "hybrid_search_rrf": text.hybrid_search_rrf,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -1322,6 +1323,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS VARCHAR) AS image_id,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE
+        """,
+        "chunk_documents": """
+            -- chunk i covers characters [i*80, i*80+100): stride 80 =
+            -- size 100 - overlap 20; 1 + max(ceil((L-100)/80), 0)
+            -- chunks per doc = minimum covering count (empty doc emits
+            -- one empty chunk; (L-21)//80 = floor((L-100+79)/80))
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(UNNEST(range(0,
+                            GREATEST((length(text) - 21) // 80, 0) + 1))
+                            AS BIGINT) AS chunk_id,
+                       text
+                FROM documents)
+            SELECT doc_id, chunk_id,
+                   substring(text, CAST(chunk_id * 80 + 1 AS INT),
+                             100) AS chunk,
+                   CAST(length(substring(text,
+                        CAST(chunk_id * 80 + 1 AS INT), 100))
+                        AS BIGINT) AS n_chars
+            FROM c ORDER BY doc_id, chunk_id
         """,
         "char_entropy": """
             WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c

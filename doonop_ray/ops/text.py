@@ -1921,3 +1921,83 @@ def shared_tokens_langs(sf_dir: str, lang_a: str = "en",
         batch_format="pyarrow").to_pandas()
     out = _ensure_cols(out, {"tok": "str"})
     return finish(out, ["tok"])
+
+
+def chunk_documents(sf_dir: str, size: int = 100,
+                    overlap: int = 20) -> pd.DataFrame:
+    """RAG / context-window document chunking: explode each document
+    into overlapping character-window chunks, one output row per chunk
+    — the retrieval-indexing counterpart of ``pack_sequences`` (which
+    packs for training; this splits for embedding/retrieval).
+
+    Chunk ``i`` of a doc covers codepoints ``[i*stride, i*stride+size)``
+    with ``stride = size - overlap``; a doc of ``L`` codepoints emits
+    ``1 + max(ceil((L-size)/stride), 0)`` chunks — the minimum count
+    that covers every codepoint, so consecutive chunks share
+    ``overlap`` codepoints and NO chunk is fully contained in its
+    predecessor (a doc of exactly ``size`` emits one chunk, not a
+    redundant overlap tail). An empty doc emits one empty chunk so no
+    document silently disappears from the index.
+
+    Scale shape: pure per-row map — embarrassingly parallel, no
+    exchange; output streams chunk rows at ~size/stride x input bytes.
+    The explode is vectorized per chunk ORDINAL: rows are stably
+    grouped by ordinal k and sliced with ONE
+    ``pc.utf8_slice_codeunits`` kernel call per k (bounded by
+    max-chunks-per-doc, not by rows), then un-permuted back to
+    (doc, chunk) order. Slicing is by codepoint on both sides
+    (pyarrow utf8_slice_codeunits == Python/DuckDB character
+    semantics — verified, not byte slicing)."""
+    stride = size - overlap
+    if not 0 < stride <= size:
+        raise ValueError("need 0 < size - overlap <= size")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        lens = pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # ceil((L-size)/stride) via floor((L-size+stride-1)//stride);
+        # negatives clamp to 0 under floor OR trunc division, so the
+        # numpy/DuckDB negative-division difference can't diverge
+        n_chunks = np.maximum((lens - size + stride - 1) // stride, 0) + 1
+        total = int(n_chunks.sum())
+        row_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_chunks)
+        first_of_row = np.cumsum(n_chunks) - n_chunks
+        chunk_id = (np.arange(total, dtype=np.int64)
+                    - np.repeat(first_of_row, n_chunks))
+        ri = pa.array(row_idx, pa.int64())
+        texts = pc.take(t.column("text"), ri)
+        order = np.argsort(chunk_id, kind="stable")
+        texts_sorted = pc.take(texts, pa.array(order, pa.int64()))
+        if isinstance(texts_sorted, pa.ChunkedArray):
+            texts_sorted = texts_sorted.combine_chunks()
+        ks, first = np.unique(chunk_id[order], return_index=True)
+        bounds = np.append(first, total)
+        parts = [
+            pc.utf8_slice_codeunits(
+                texts_sorted.slice(bounds[j], bounds[j + 1] - bounds[j]),
+                start=int(k) * stride, stop=int(k) * stride + size)
+            for j, k in enumerate(ks)
+        ]
+        sorted_chunks = (pa.concat_arrays(parts) if parts
+                         else pa.array([], pa.string()))
+        inv = np.empty(total, dtype=np.int64)
+        inv[order] = np.arange(total, dtype=np.int64)
+        chunks = pc.take(sorted_chunks, pa.array(inv, pa.int64()))
+        return pa.table({
+            "doc_id": pc.take(ids, ri),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "chunk": chunks,
+            "n_chars": pc.cast(pc.utf8_length(chunks), pa.int64()),
+        })
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "chunk_id": pd.Series([], dtype="int64"),
+            "chunk": pd.Series([], dtype="str"),
+            "n_chars": pd.Series([], dtype="int64"),
+        })
+    return finish(out, ["doc_id", "chunk_id"])

@@ -89,6 +89,7 @@ SQL_QUERIES = [
     "events_cube", "shared_tokens_langs", "table_profile_orders",
     "events_props_stats", "lineitem_corr_stats", "pca_violations",
     "events_percentiles_cont", "events_value_mad",
+    "chunk_documents",
 ]
 
 
@@ -1607,3 +1608,50 @@ def test_mad_and_cont_percentiles_refine_path(ray_session):
         want = np.quantile(np.abs(vals - med), 0.5, method="linear")
         assert abs(sub["med"] - med) < 5e-5
         assert abs(sub["mad"] - want) < 5e-5
+
+
+def test_chunk_documents_semantics(tmp_path, ray_session):
+    """Pin the chunking rule against independent Python slicing on
+    crafted edges: empty doc (one empty chunk), doc < size, doc of
+    EXACTLY size (one chunk — no redundant overlap tail), one char
+    past size (two chunks), a long doc (overlap between consecutive
+    chunks), and a multi-byte doc (codepoint, not byte, slicing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doonop_ray.ops.text import chunk_documents
+
+    size, overlap = 100, 20
+    stride = size - overlap
+    texts = [
+        "",
+        "short",
+        "x" * size,
+        "y" * (size + 1),
+        "".join(f"tok{i} " for i in range(80)),
+        "é¢δ" * 60,  # 180 codepoints, 360+ utf-8 bytes
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = chunk_documents(str(tmp_path), size=size, overlap=overlap)
+
+    want = []
+    for did, s in enumerate(texts):
+        n = 1 + max(-((len(s) - size) // -stride), 0)  # ceil div
+        for i in range(n):
+            c = s[i * stride: i * stride + size]
+            want.append((did, i, c, len(c)))
+    assert list(out.itertuples(index=False, name=None)) == want
+    per_doc = out.groupby("doc_id").size()
+    assert list(per_doc) == [1, 1, 1, 2, 6, 2]
+    # consecutive chunks share exactly `overlap` codepoints
+    for did, g in out.groupby("doc_id"):
+        ch = list(g["chunk"])
+        for a, b in zip(ch, ch[1:]):
+            assert a[-overlap:] == b[: len(a[-overlap:])] or len(a) < size
