@@ -74,6 +74,8 @@ OPS_BENCH = [
     "lineitem_corr_stats",
     "pca_embeddings",
     "events_value_mad",
+    # continuation-7: RAG chunking explode
+    "chunk_documents",
 ]
 
 
