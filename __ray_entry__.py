@@ -225,6 +225,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize_means": multimodal.image_resize_means,
         "curate_images": multimodal.curate_images,
         "curate_images_violations": checks.curate_images_violations,
+        "image_channel_stats": multimodal.image_channel_stats,
+        "image_channel_stats_violations":
+            checks.image_channel_stats_violations,
+        "image_aspect_buckets": multimodal.image_aspect_buckets,
+        "image_aspect_buckets_violations":
+            checks.image_aspect_buckets_violations,
         # stream-shaped windows
         "events_hourly": windows.events_hourly,
         "events_gap_fill": windows.events_gap_fill,
@@ -1321,6 +1327,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curate_images_violations": """
             SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "image_channel_stats_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS channel,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "image_aspect_buckets_violations": """
+            SELECT CAST(NULL AS BIGINT) AS bucket,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE
         """,

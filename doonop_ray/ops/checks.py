@@ -1638,3 +1638,148 @@ def pca_violations(sf_dir: str, k: int = 4,
     out["check"] = out["check"].astype("str")
     out["err"] = out["err"].astype("float64")
     return finish(out, ["check"])
+
+
+def image_channel_stats_violations(sf_dir: str) -> pd.DataFrame:
+    """``image_channel_stats`` rechecked by a fully INDEPENDENT driver
+    recompute. The query's per-channel sums are exact int64 integers
+    (uint8 pixels), so a correct result is bit-identical regardless of
+    batch boundaries or merge order — this check decodes every image
+    sequentially (sorted by image_id, raw ``codec.decode_image``, plain
+    Python-int accumulation; none of the actor-pool blob-view or Ray
+    aggregate machinery) and demands EXACT equality on n_pixels / min /
+    max and r4-equality on mean/std (identical integer sums ⇒ identical
+    derived floats). n_pixels is additionally cross-checked against the
+    world's metadata Σ(w·h) — a third, decode-free source of truth.
+    Returns (channel, kind) violation rows — expected empty."""
+    from ..codec import decode_image
+    from ..ops.multimodal import image_channel_stats
+    from ..pipelines.flagship import world_for
+    from .common import r4
+
+    got = image_channel_stats(sf_dir)
+    w = world_for(sf_dir)
+
+    bad_c: list[str] = []
+    bad_k: list[str] = []
+
+    tab = w.images.select(["image_id", "bytes", "fmt", "w", "h"])
+    order = np.argsort(
+        np.asarray(tab.column("image_id").to_pylist(), dtype=object),
+        kind="stable")
+    n = [0, 0, 0]
+    s = [0, 0, 0]
+    ss = [0, 0, 0]
+    mn = [255, 255, 255]
+    mx = [0, 0, 0]
+    blobs = tab.column("bytes")
+    fmts = tab.column("fmt").to_pylist()
+    for j in order:
+        pix = decode_image(blobs[int(j)].as_buffer(), fmts[int(j)])
+        flat = pix.reshape(-1, 3)
+        for c in range(3):
+            col = flat[:, c]
+            n[c] += col.size
+            s[c] += int(col.sum(dtype=np.int64))
+            ss[c] += int((col.astype(np.int64) ** 2).sum())
+            if col.size:
+                mn[c] = min(mn[c], int(col.min()))
+                mx[c] = max(mx[c], int(col.max()))
+
+    meta_pixels = int(np.multiply(
+        tab.column("w").to_numpy(zero_copy_only=False).astype(np.int64),
+        tab.column("h").to_numpy(zero_copy_only=False).astype(np.int64),
+    ).sum()) if tab.num_rows else 0
+
+    want_rows = {}
+    if tab.num_rows:
+        for c, name in enumerate(["r", "g", "b"]):
+            mean = s[c] / n[c]
+            var = ss[c] / n[c] - mean * mean
+            want_rows[name] = dict(
+                n_pixels=n[c], mean=float(r4(mean)),
+                std=float(r4(max(var, 0.0) ** 0.5)),
+                px_min=mn[c], px_max=mx[c])
+
+    got_rows = {r["channel"]: r for _, r in got.iterrows()}
+    for name in sorted(set(want_rows) | set(got_rows)):
+        wr, gr = want_rows.get(name), got_rows.get(name)
+        if wr is None or gr is None:
+            bad_c.append(name)
+            bad_k.append("channel_set")
+            continue
+        if int(gr["n_pixels"]) != wr["n_pixels"] or \
+                int(gr["n_pixels"]) != meta_pixels:
+            bad_c.append(name)
+            bad_k.append("n_pixels")
+        if int(gr["px_min"]) != wr["px_min"] or \
+                int(gr["px_max"]) != wr["px_max"]:
+            bad_c.append(name)
+            bad_k.append("min_max")
+        if float(gr["mean"]) != wr["mean"] or float(gr["std"]) != wr["std"]:
+            bad_c.append(name)
+            bad_k.append("moments")
+    return finish(pd.DataFrame({
+        "channel": pd.Series(bad_c, dtype="str"),
+        "kind": pd.Series(bad_k, dtype="str")}), ["channel", "kind"])
+
+
+def image_aspect_buckets_violations(sf_dir: str) -> pd.DataFrame:
+    """``image_aspect_buckets`` rechecked against an independent scalar
+    recompute over the world metadata: per-image nearest-log-ratio
+    assignment with plain ``math`` (no numpy broadcasting, no bincount),
+    then exact per-bucket counts / total pixels, conservation
+    (Σ n_images == corpus size), and mean_aspect within one rounding ulp
+    (float sums commute only approximately; counts and pixel totals are
+    exact integers). Returns (bucket, kind) violation rows — expected
+    empty."""
+    import math
+
+    from ..ops.multimodal import ASPECT_BUCKETS, image_aspect_buckets
+    from ..pipelines.flagship import world_for
+
+    got = image_aspect_buckets(sf_dir)
+    w = world_for(sf_dir)
+    meta = w.images.select(["w", "h"]).to_pandas()
+
+    logs = [math.log(b) for b in ASPECT_BUCKETS]
+    cnt = [0] * len(ASPECT_BUCKETS)
+    px = [0] * len(ASPECT_BUCKETS)
+    sa = [0.0] * len(ASPECT_BUCKETS)
+    for ww, hh in zip(meta["w"].tolist(), meta["h"].tolist()):
+        a = math.log(ww / hh)
+        best, bd = 0, abs(a - logs[0])
+        for i in range(1, len(logs)):
+            d = abs(a - logs[i])
+            if d < bd:  # strict: ties stay at the smaller index
+                best, bd = i, d
+        cnt[best] += 1
+        px[best] += int(ww) * int(hh)
+        sa[best] += ww / hh
+
+    bad_b: list[int] = []
+    bad_k: list[str] = []
+    got_rows = {int(r["bucket"]): r for _, r in got.iterrows()}
+    for b in range(len(ASPECT_BUCKETS)):
+        gr = got_rows.get(b)
+        if cnt[b] == 0:
+            if gr is not None:
+                bad_b.append(b)
+                bad_k.append("spurious_bucket")
+            continue
+        if gr is None:
+            bad_b.append(b)
+            bad_k.append("missing_bucket")
+            continue
+        if int(gr["n_images"]) != cnt[b] or int(gr["total_pixels"]) != px[b]:
+            bad_b.append(b)
+            bad_k.append("counts")
+        if abs(float(gr["mean_aspect"]) - sa[b] / cnt[b]) > 1e-4 + 1e-9:
+            bad_b.append(b)
+            bad_k.append("mean_aspect")
+    if int(got["n_images"].sum()) != int(meta.shape[0]):
+        bad_b.append(-1)
+        bad_k.append("conservation")
+    return finish(pd.DataFrame({
+        "bucket": pd.Series(bad_b, dtype="int64"),
+        "kind": pd.Series(bad_k, dtype="str")}), ["bucket", "kind"])

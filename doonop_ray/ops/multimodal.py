@@ -435,3 +435,218 @@ def curate_images(sf_dir: str) -> pd.DataFrame:
         num_cpus=1,
     )
     return finish(ds.to_pandas(), ["image_id"])
+
+
+# ---------------------------------------------------------------------------
+# corpus normalization statistics (the "ImageNet mean/std" computation)
+# ---------------------------------------------------------------------------
+
+
+class ChannelMomentPartials:
+    """Actor-pool stage: decode each image of the batch (repo codec)
+    and reduce the BATCH to exactly three rows — per-channel pixel
+    count / sum / sum-of-squares / min / max. Pixel values are uint8,
+    so the sums are EXACT int64 integers (<< 2^63 even at 10^8 images),
+    which makes the downstream merge order-independent: any two correct
+    implementations agree bit-for-bit, not just to a tolerance. The
+    driver merge is a 3-row groupby; nothing corpus-sized leaves the
+    stage."""
+
+    def __init__(self, images_ref):
+        from ..codec import decode_image
+        from ..stages.fetch import _combined_view, _deref
+
+        t = _deref(images_ref)
+        self.tab = _combined_view(t.select(["image_id", "fmt"]))
+        blobs = t.column("bytes")
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.chunk(0) if blobs.num_chunks == 1 \
+                else blobs.combine_chunks()
+        self._blobs = blobs
+        self._decode = decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.index_in(batch.column("image_id"),
+                          value_set=self.tab.column("image_id"))
+        fmts = pc.take(self.tab.column("fmt"), idx)
+        n = np.zeros(3, np.int64)
+        s = np.zeros(3, np.int64)
+        ss = np.zeros(3, np.int64)
+        mn = np.full(3, 255, np.int64)
+        mx = np.zeros(3, np.int64)
+        for i in range(len(batch)):
+            j = idx[i].as_py()
+            pix = self._decode(self._blobs[j].as_buffer(), fmts[i].as_py())
+            flat = pix.reshape(-1, 3).astype(np.int64)
+            n += pix.shape[0] * pix.shape[1]
+            s += flat.sum(axis=0)
+            ss += (flat * flat).sum(axis=0)
+            mn = np.minimum(mn, flat.min(axis=0))
+            mx = np.maximum(mx, flat.max(axis=0))
+        if len(batch) == 0:  # typed empty partial (empty-world safety)
+            return pa.table({
+                "channel": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "ss": pa.array([], pa.int64()),
+                "mn": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "channel": pa.array(["r", "g", "b"]),
+            "n": pa.array(n), "s": pa.array(s), "ss": pa.array(ss),
+            "mn": pa.array(mn), "mx": pa.array(mx),
+        })
+
+
+def image_channel_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide per-channel normalization statistics (count, mean,
+    population std, min, max) over the crawl world's real image
+    payloads — the preprocessing aggregate every image-training recipe
+    needs before the first epoch (the "dataset mean/std" constants).
+
+    Scale shape: an actor pool decodes once per image and emits one
+    3-row int64 moment partial PER BATCH; the exchange ships only those
+    3-row partials into a 3-key groupby (Sum/Min/Max) — a 100 TB corpus
+    moves kilobytes after the decode stage. Sums are exact integers
+    (uint8 pixels), so the result is independent of batch boundaries
+    and merge order; ``image_channel_stats_violations`` exploits that
+    for a bit-exact independent recompute."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..pipelines.flagship import world_for
+    from .common import r4
+
+    w = world_for(sf_dir)
+    images_ref = ray.put(w.images)
+    ids = w.images.select(["image_id"])
+    step = max(1, -(-len(ids) // 16))
+    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
+    agg = (rd.from_arrow(blocks).map_batches(
+        ChannelMomentPartials,
+        fn_constructor_args=(images_ref,),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+        num_cpus=1,
+    # fanin before the 3-key merge (sketches.py tree-combine idiom):
+    # without it the sort-shuffle makes one partition per partial block
+    # and the mostly-empty partitions trip Ray 2.49's schema-divergence
+    # warning; 3-row partials are tiny at any corpus size
+    ).repartition(2).groupby("channel").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+        Sum("ss", alias_name="ss"), Min("mn", alias_name="mn"),
+        Max("mx", alias_name="mx"),
+    ).to_pandas())
+    from .common import _ensure_cols
+
+    agg = _ensure_cols(agg, {"channel": "str", "n": "int64", "s": "int64",
+                             "ss": "int64", "mn": "int64", "mx": "int64"})
+    n = agg["n"].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = agg["s"].to_numpy(np.float64) / n
+        var = agg["ss"].to_numpy(np.float64) / n - mean * mean
+        std = np.sqrt(np.maximum(var, 0.0))
+    res = pd.DataFrame({
+        "channel": agg["channel"].astype("str"),
+        "n_pixels": agg["n"].astype("int64"),
+        "mean": r4(mean),
+        "std": r4(std),
+        "px_min": agg["mn"].astype("int64"),
+        "px_max": agg["mx"].astype("int64"),
+    })
+    return finish(res, ["channel"])
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing (training-batch geometry assignment)
+# ---------------------------------------------------------------------------
+
+# Fixed bucket ratios (w/h) — the SDXL-style ladder a variable-aspect
+# image trainer groups samples into so every batch can share one target
+# geometry. Assignment: nearest |log(aspect) - log(bucket)|, ties to
+# the SMALLER ratio (deterministic).
+ASPECT_BUCKETS = (0.5, 0.625, 0.75, 1.0, 4.0 / 3.0, 1.6, 2.0)
+
+
+def _assign_aspect_buckets(w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Vectorized nearest-log-ratio bucket index for (w, h) arrays.
+    Shared arithmetic only — the integrity check recomputes it per-row
+    with independent scalar math."""
+    ratios = np.log(np.asarray(ASPECT_BUCKETS, np.float64))
+    a = np.log(w.astype(np.float64) / h.astype(np.float64))
+    d = np.abs(a[:, None] - ratios[None, :])
+    return np.argmin(d, axis=1)  # argmin takes the FIRST (smallest) tie
+
+
+def image_aspect_buckets(sf_dir: str) -> pd.DataFrame:
+    """Aspect-ratio bucketing over the crawl world's image metadata:
+    assign every image to its nearest log-aspect bucket and report per
+    bucket the image count, total pixels, and mean source aspect — the
+    geometry-planning step of a variable-aspect training pipeline.
+
+    Scale shape: metadata-only (w, h — never payload bytes); each batch
+    reduces to at most ``len(ASPECT_BUCKETS)`` partial rows via a
+    bincount, and the exchange ships only those into a bounded-key
+    groupby. At 100 TB this is a pruned two-column scan."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.flagship import world_for
+    from .common import r4
+
+    w = world_for(sf_dir)
+    meta = w.images.select(["image_id", "w", "h"])
+    step = max(1, -(-meta.num_rows // 16))
+    blocks = [meta.slice(i, step) for i in range(0, meta.num_rows, step)]
+    nb = len(ASPECT_BUCKETS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "pixels": pa.array([], pa.int64()),
+                "sum_aspect": pa.array([], pa.float64()),
+            })
+        ws = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _assign_aspect_buckets(ws, hs)
+        cnt = np.bincount(b, minlength=nb)
+        px = np.bincount(b, weights=(ws * hs).astype(np.float64),
+                         minlength=nb).astype(np.int64)
+        sa = np.bincount(b, weights=ws / hs, minlength=nb)
+        keep = cnt > 0
+        return pa.table({
+            "bucket": pa.array(np.arange(nb)[keep], pa.int64()),
+            "n": pa.array(cnt[keep], pa.int64()),
+            "pixels": pa.array(px[keep], pa.int64()),
+            "sum_aspect": pa.array(sa[keep], pa.float64()),
+        })
+
+    agg = (rd.from_arrow(blocks)
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("bucket")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("pixels", alias_name="pixels"),
+                      Sum("sum_aspect", alias_name="sum_aspect"))
+           .to_pandas())
+    from .common import _ensure_cols
+
+    agg = _ensure_cols(agg, {"bucket": "int64", "n": "int64",
+                             "pixels": "int64", "sum_aspect": "float64"})
+    res = pd.DataFrame({
+        "bucket": agg["bucket"].astype("int64"),
+        "bucket_ratio": r4(np.asarray(ASPECT_BUCKETS, np.float64)[
+            agg["bucket"].to_numpy(np.int64)]) if len(agg) else
+            pd.Series([], dtype="float64"),
+        "n_images": agg["n"].astype("int64"),
+        "total_pixels": agg["pixels"].astype("int64"),
+        "mean_aspect": r4(agg["sum_aspect"].to_numpy(np.float64)
+                          / np.maximum(agg["n"].to_numpy(np.float64), 1)),
+    })
+    return finish(res, ["bucket"])

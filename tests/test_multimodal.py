@@ -159,3 +159,77 @@ def test_image_dedup_corpus_matches_union_find(ray_session):
     pd.testing.assert_frame_equal(
         image_dedup_corpus(SF, method="unionfind"),
         image_dedup_corpus(SF, method="cc"))
+
+
+def test_image_channel_stats_exact(ray_session):
+    """Distributed moment partials must agree bit-for-bit with a naive
+    per-image recompute (sums are exact int64 integers), and the
+    independent violation check must come back empty."""
+    from doonop_ray.codec import decode_image
+    from doonop_ray.ops.checks import image_channel_stats_violations
+    from doonop_ray.pipelines.flagship import world_for
+
+    df = mm.image_channel_stats(SF).set_index("channel")
+    w = world_for(SF)
+    # naive recompute with float64 running sums in a THIRD ordering
+    # (world order, not sorted) — exact integers commute regardless
+    tot = np.zeros(3, np.int64)
+    s = np.zeros(3, np.int64)
+    blobs = w.images.column("bytes")
+    fmts = w.images.column("fmt").to_pylist()
+    for i in range(w.images.num_rows):
+        pix = decode_image(blobs[i].as_buffer(), fmts[i])
+        flat = pix.reshape(-1, 3).astype(np.int64)
+        tot += pix.shape[0] * pix.shape[1]
+        s += flat.sum(axis=0)
+    for c, name in enumerate(["r", "g", "b"]):
+        assert int(df.loc[name, "n_pixels"]) == int(tot[c])
+        assert float(df.loc[name, "mean"]) == pytest.approx(
+            s[c] / tot[c], abs=5.1e-5)
+        assert 0 <= df.loc[name, "px_min"] <= df.loc[name, "px_max"] <= 255
+        assert df.loc[name, "std"] <= (df.loc[name, "px_max"]
+                                       - df.loc[name, "px_min"]) / 2 + 1e-9
+    assert image_channel_stats_violations(SF).empty
+
+
+def test_image_aspect_buckets_conservation_and_check(ray_session):
+    from doonop_ray.ops.checks import image_aspect_buckets_violations
+    from doonop_ray.pipelines.flagship import world_for
+
+    df = mm.image_aspect_buckets(SF)
+    w = world_for(SF)
+    assert int(df["n_images"].sum()) == w.images.num_rows
+    assert int(df["total_pixels"].sum()) == int(
+        (w.images.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+         * w.images.column("h").to_numpy(zero_copy_only=False).astype(
+             np.int64)).sum())
+    assert df["bucket"].is_unique
+    assert image_aspect_buckets_violations(SF).empty
+
+
+def test_image_check_tamper_detection(ray_session, monkeypatch):
+    """Each new check must actually FIRE when the op under test lies."""
+    from doonop_ray.ops import checks as ck
+
+    good_stats = mm.image_channel_stats(SF)
+
+    def bad_stats(sf_dir):
+        out = good_stats.copy()
+        out.loc[0, "mean"] = out.loc[0, "mean"] + 0.5
+        return out
+
+    monkeypatch.setattr(mm, "image_channel_stats", bad_stats)
+    assert (ck.image_channel_stats_violations(SF)["kind"]
+            == "moments").any()
+    monkeypatch.undo()
+
+    good_buckets = mm.image_aspect_buckets(SF)
+
+    def bad_buckets(sf_dir):
+        out = good_buckets.copy()
+        out.loc[0, "n_images"] = out.loc[0, "n_images"] + 1
+        return out
+
+    monkeypatch.setattr(mm, "image_aspect_buckets", bad_buckets)
+    kinds = set(ck.image_aspect_buckets_violations(SF)["kind"])
+    assert "counts" in kinds and "conservation" in kinds
