@@ -76,6 +76,10 @@ OPS_BENCH = [
     "events_value_mad",
     # continuation-7: RAG chunking explode
     "chunk_documents",
+    # continuation-8: image training-prep aggregates (decode-heavy
+    # moment partials; metadata-only bucketing)
+    "image_channel_stats",
+    "image_aspect_buckets",
 ]
 
 

@@ -443,14 +443,19 @@ def curate_images(sf_dir: str) -> pd.DataFrame:
 
 
 class ChannelMomentPartials:
-    """Actor-pool stage: decode each image of the batch (repo codec)
-    and reduce the BATCH to exactly three rows — per-channel pixel
-    count / sum / sum-of-squares / min / max. Pixel values are uint8,
-    so the sums are EXACT int64 integers (<< 2^63 even at 10^8 images),
-    which makes the downstream merge order-independent: any two correct
-    implementations agree bit-for-bit, not just to a tolerance. The
-    driver merge is a 3-row groupby; nothing corpus-sized leaves the
-    stage."""
+    """Decode each image of the batch (repo codec) and reduce the BATCH
+    to exactly three rows — per-channel pixel count / sum /
+    sum-of-squares / min / max. Pixel values are uint8, so the sums are
+    EXACT int64 integers (<< 2^63 even at 10^8 images), which makes the
+    downstream merge order-independent: any two correct implementations
+    agree bit-for-bit, not just to a tolerance. The driver merge is a
+    3-row groupby; nothing corpus-sized leaves the stage.
+
+    Dispatched as a TASK-pool ``map_batches`` via
+    ``make_channel_moments_fn`` (per-worker ``_cached`` construction, the
+    ``make_fetch_fn`` pattern) — a fresh actor pool per query paid ~5 s
+    of spawn+init before the first decode; cached task-side state reuses
+    the long-lived Ray workers instead."""
 
     def __init__(self, images_ref):
         from ..codec import decode_image
@@ -468,23 +473,6 @@ class ChannelMomentPartials:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        idx = pc.index_in(batch.column("image_id"),
-                          value_set=self.tab.column("image_id"))
-        fmts = pc.take(self.tab.column("fmt"), idx)
-        n = np.zeros(3, np.int64)
-        s = np.zeros(3, np.int64)
-        ss = np.zeros(3, np.int64)
-        mn = np.full(3, 255, np.int64)
-        mx = np.zeros(3, np.int64)
-        for i in range(len(batch)):
-            j = idx[i].as_py()
-            pix = self._decode(self._blobs[j].as_buffer(), fmts[i].as_py())
-            flat = pix.reshape(-1, 3).astype(np.int64)
-            n += pix.shape[0] * pix.shape[1]
-            s += flat.sum(axis=0)
-            ss += (flat * flat).sum(axis=0)
-            mn = np.minimum(mn, flat.min(axis=0))
-            mx = np.maximum(mx, flat.max(axis=0))
         if len(batch) == 0:  # typed empty partial (empty-world safety)
             return pa.table({
                 "channel": pa.array([], pa.string()),
@@ -494,11 +482,44 @@ class ChannelMomentPartials:
                 "mn": pa.array([], pa.int64()),
                 "mx": pa.array([], pa.int64()),
             })
+        idx = pc.index_in(batch.column("image_id"),
+                          value_set=self.tab.column("image_id"))
+        src = np.asarray(idx)
+        fmts = pc.take(self.tab.column("fmt"), idx).to_pylist()
+        n = np.zeros(3, np.int64)
+        s = np.zeros(3, np.int64)
+        ss = np.zeros(3, np.int64)
+        mn = np.full(3, 255, np.int64)
+        mx = np.zeros(3, np.int64)
+        for i in range(len(batch)):
+            pix = self._decode(self._blobs[int(src[i])].as_buffer(), fmts[i])
+            flat = pix.reshape(-1, 3).astype(np.int64)
+            n += pix.shape[0] * pix.shape[1]
+            s += flat.sum(axis=0)
+            ss += (flat * flat).sum(axis=0)
+            mn = np.minimum(mn, flat.min(axis=0))
+            mx = np.maximum(mx, flat.max(axis=0))
         return pa.table({
             "channel": pa.array(["r", "g", "b"]),
             "n": pa.array(n), "s": pa.array(s), "ss": pa.array(ss),
             "mn": pa.array(mn), "mx": pa.array(mx),
         })
+
+
+def make_channel_moments_fn(images_ref):
+    """Task-pool wrapper: per-worker cached ChannelMomentPartials (the
+    ``stages.fetch.make_fetch_fn`` idiom — state built once per Ray
+    worker, zero-copy over the broadcast table, no actor-pool spawn
+    latency)."""
+    from ..stages.fetch import _cached
+
+    key = ("chan_moments",
+           getattr(images_ref, "hex", lambda: id(images_ref))())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached(key, lambda: ChannelMomentPartials(images_ref))(batch)
+
+    return fn
 
 
 def image_channel_stats(sf_dir: str) -> pd.DataFrame:
@@ -507,7 +528,8 @@ def image_channel_stats(sf_dir: str) -> pd.DataFrame:
     payloads — the preprocessing aggregate every image-training recipe
     needs before the first epoch (the "dataset mean/std" constants).
 
-    Scale shape: an actor pool decodes once per image and emits one
+    Scale shape: a task-pool stage (per-worker cached state over the
+    broadcast payload table) decodes once per image and emits one
     3-row int64 moment partial PER BATCH; the exchange ships only those
     3-row partials into a 3-key groupby (Sum/Min/Max) — a 100 TB corpus
     moves kilobytes after the decode stage. Sums are exact integers
@@ -524,14 +546,12 @@ def image_channel_stats(sf_dir: str) -> pd.DataFrame:
     w = world_for(sf_dir)
     images_ref = ray.put(w.images)
     ids = w.images.select(["image_id"])
-    step = max(1, -(-len(ids) // 16))
+    step = max(1, -(-len(ids) // 32))
     blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
     agg = (rd.from_arrow(blocks).map_batches(
-        ChannelMomentPartials,
-        fn_constructor_args=(images_ref,),
+        make_channel_moments_fn(images_ref),
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, 8),
+        batch_size=1024,
         num_cpus=1,
     # fanin before the 3-key merge (sketches.py tree-combine idiom):
     # without it the sort-shuffle makes one partition per partial block
