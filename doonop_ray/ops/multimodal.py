@@ -323,13 +323,14 @@ def video_frame_means(sf_dir: str) -> pd.DataFrame:
 def image_resize_means(sf_dir: str) -> pd.DataFrame:
     """Image pipeline over the crawl world's real payload bytes:
     broadcast images table → actor-pool decode+resize."""
-    import ray
     import ray.data as rd
 
-    from ..pipelines.flagship import world_for
+    from ..pipelines.flagship import _refs_for, tier_of, world_for
 
     w = world_for(sf_dir)
-    images_ref = ray.put(w.images)
+    # session-cached broadcast ref — re-putting the payload table per
+    # query re-ships GBs into the object store for nothing
+    _, images_ref = _refs_for(tier_of(sf_dir), w)
     ids = w.images.select(["image_id"])
     step = max(1, -(-len(ids) // 16))
     blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
@@ -416,13 +417,12 @@ def curate_images(sf_dir: str) -> pd.DataFrame:
     """Image curation gate: decode + quality features + keep decision
     for every image of the tier's world (actor pool over the broadcast
     payload table; one row per image)."""
-    import ray
     import ray.data as rd
 
-    from ..pipelines.flagship import world_for
+    from ..pipelines.flagship import _refs_for, tier_of, world_for
 
     w = world_for(sf_dir)
-    images_ref = ray.put(w.images)
+    _, images_ref = _refs_for(tier_of(sf_dir), w)
     ids = w.images.select(["image_id"])
     step = max(1, -(-len(ids) // 16))
     blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
@@ -536,15 +536,16 @@ def image_channel_stats(sf_dir: str) -> pd.DataFrame:
     (uint8 pixels), so the result is independent of batch boundaries
     and merge order; ``image_channel_stats_violations`` exploits that
     for a bit-exact independent recompute."""
-    import ray
     import ray.data as rd
     from ray.data.aggregate import Max, Min, Sum
 
-    from ..pipelines.flagship import world_for
+    from ..pipelines.flagship import _refs_for, tier_of, world_for
     from .common import r4
 
     w = world_for(sf_dir)
-    images_ref = ray.put(w.images)
+    # session-cached broadcast ref (also keeps the per-worker _cached
+    # key stable across repeat queries, so decoder state is reused)
+    _, images_ref = _refs_for(tier_of(sf_dir), w)
     ids = w.images.select(["image_id"])
     step = max(1, -(-len(ids) // 32))
     blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
