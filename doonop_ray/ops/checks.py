@@ -1693,14 +1693,24 @@ def image_channel_stats_violations(sf_dir: str) -> pd.DataFrame:
 
     want_rows = {}
     if tab.num_rows:
+        import math
+
         for c, name in enumerate(["r", "g", "b"]):
+            # same exact-integer-ratio formulas as the op (s/n and
+            # (ss*n - s*s)/(n*n) are correctly-rounded at any size, so
+            # equality is bitwise) — but accumulated by an independent
+            # sequential pass
             mean = s[c] / n[c]
-            var = ss[c] / n[c] - mean * mean
+            var = (ss[c] * n[c] - s[c] * s[c]) / (n[c] * n[c])
             want_rows[name] = dict(
                 n_pixels=n[c], mean=float(r4(mean)),
-                std=float(r4(max(var, 0.0) ** 0.5)),
+                std=float(r4(math.sqrt(max(var, 0.0)))),
                 px_min=mn[c], px_max=mx[c])
 
+    got_ch = got["channel"].tolist()
+    for name in sorted({c for c in got_ch if got_ch.count(c) > 1}):
+        bad_c.append(name)
+        bad_k.append("dup_channel")
     got_rows = {r["channel"]: r for _, r in got.iterrows()}
     for name in sorted(set(want_rows) | set(got_rows)):
         wr, gr = want_rows.get(name), got_rows.get(name)
@@ -1759,6 +1769,14 @@ def image_aspect_buckets_violations(sf_dir: str) -> pd.DataFrame:
 
     bad_b: list[int] = []
     bad_k: list[str] = []
+    got_b = [int(b) for b in got["bucket"].tolist()]
+    for b in sorted({x for x in got_b if got_b.count(x) > 1}):
+        bad_b.append(b)
+        bad_k.append("dup_bucket")
+    for b in sorted({x for x in got_b
+                     if not 0 <= x < len(ASPECT_BUCKETS)}):
+        bad_b.append(b)
+        bad_k.append("bucket_range")
     got_rows = {int(r["bucket"]): r for _, r in got.iterrows()}
     for b in range(len(ASPECT_BUCKETS)):
         gr = got_rows.get(b)

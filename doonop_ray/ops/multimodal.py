@@ -24,6 +24,8 @@ unless asked).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -232,15 +234,11 @@ class ImageResizer:
 
     def __init__(self, images_ref, size: int = 16):
         from ..codec import decode_image
-        from ..stages.fetch import _combined_view, _deref
+        from ..stages.fetch import _combined_view, _deref, blob_view
 
         t = _deref(images_ref)
         self.tab = _combined_view(t.select(["image_id", "fmt"]))
-        blobs = t.column("bytes")
-        if isinstance(blobs, pa.ChunkedArray):
-            blobs = blobs.chunk(0) if blobs.num_chunks == 1 \
-                else blobs.combine_chunks()
-        self._blobs = blobs
+        self._blobs = blob_view(t)
         self._decode = decode_image
         self.size = size
 
@@ -325,12 +323,12 @@ def image_resize_means(sf_dir: str) -> pd.DataFrame:
     broadcast images table → actor-pool decode+resize."""
     import ray.data as rd
 
-    from ..pipelines.flagship import _refs_for, tier_of, world_for
+    from ..pipelines.flagship import _ref_for, tier_of, world_for
 
     w = world_for(sf_dir)
     # session-cached broadcast ref — re-putting the payload table per
     # query re-ships GBs into the object store for nothing
-    _, images_ref = _refs_for(tier_of(sf_dir), w)
+    images_ref = _ref_for(tier_of(sf_dir), w, "images")
     ids = w.images.select(["image_id"])
     step = max(1, -(-len(ids) // 16))
     blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
@@ -363,15 +361,11 @@ class ImageCurator:
 
     def __init__(self, images_ref):
         from ..codec import decode_image
-        from ..stages.fetch import _combined_view, _deref
+        from ..stages.fetch import _combined_view, _deref, blob_view
 
         t = _deref(images_ref)
         self.tab = _combined_view(t.select(["image_id", "fmt"]))
-        blobs = t.column("bytes")
-        if isinstance(blobs, pa.ChunkedArray):
-            blobs = blobs.chunk(0) if blobs.num_chunks == 1 \
-                else blobs.combine_chunks()
-        self._blobs = blobs
+        self._blobs = blob_view(t)
         self._decode = decode_image
 
     @classmethod
@@ -419,10 +413,10 @@ def curate_images(sf_dir: str) -> pd.DataFrame:
     payload table; one row per image)."""
     import ray.data as rd
 
-    from ..pipelines.flagship import _refs_for, tier_of, world_for
+    from ..pipelines.flagship import _ref_for, tier_of, world_for
 
     w = world_for(sf_dir)
-    _, images_ref = _refs_for(tier_of(sf_dir), w)
+    images_ref = _ref_for(tier_of(sf_dir), w, "images")
     ids = w.images.select(["image_id"])
     step = max(1, -(-len(ids) // 16))
     blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
@@ -459,15 +453,11 @@ class ChannelMomentPartials:
 
     def __init__(self, images_ref):
         from ..codec import decode_image
-        from ..stages.fetch import _combined_view, _deref
+        from ..stages.fetch import _combined_view, _deref, blob_view
 
         t = _deref(images_ref)
         self.tab = _combined_view(t.select(["image_id", "fmt"]))
-        blobs = t.column("bytes")
-        if isinstance(blobs, pa.ChunkedArray):
-            blobs = blobs.chunk(0) if blobs.num_chunks == 1 \
-                else blobs.combine_chunks()
-        self._blobs = blobs
+        self._blobs = blob_view(t)
         self._decode = decode_image
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -539,13 +529,13 @@ def image_channel_stats(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from ray.data.aggregate import Max, Min, Sum
 
-    from ..pipelines.flagship import _refs_for, tier_of, world_for
+    from ..pipelines.flagship import _ref_for, tier_of, world_for
     from .common import r4
 
     w = world_for(sf_dir)
     # session-cached broadcast ref (also keeps the per-worker _cached
     # key stable across repeat queries, so decoder state is reused)
-    _, images_ref = _refs_for(tier_of(sf_dir), w)
+    images_ref = _ref_for(tier_of(sf_dir), w, "images")
     ids = w.images.select(["image_id"])
     step = max(1, -(-len(ids) // 32))
     blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
@@ -567,11 +557,18 @@ def image_channel_stats(sf_dir: str) -> pd.DataFrame:
 
     agg = _ensure_cols(agg, {"channel": "str", "n": "int64", "s": "int64",
                              "ss": "int64", "mn": "int64", "mx": "int64"})
-    n = agg["n"].to_numpy(np.float64)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        mean = agg["s"].to_numpy(np.float64) / n
-        var = agg["ss"].to_numpy(np.float64) / n - mean * mean
-        std = np.sqrt(np.maximum(var, 0.0))
+    # Derive mean/std through PYTHON BIG-INT arithmetic: s/n and
+    # (ss*n - s*s)/(n*n) are correctly-rounded quotients of exact
+    # integers at ANY corpus size, whereas converting s to float64
+    # first would round above 2^53 (~1.4e11 pixels) and could disagree
+    # with the integrity check's independent recompute by an ulp.
+    mean, std = [], []
+    for si, ssi, ni in zip(agg["s"].tolist(), agg["ss"].tolist(),
+                           agg["n"].tolist()):
+        si, ssi, ni = int(si), int(ssi), int(ni)
+        mean.append(si / ni if ni else float("nan"))
+        std.append(math.sqrt(max((ssi * ni - si * si) / (ni * ni), 0.0))
+                   if ni else float("nan"))
     res = pd.DataFrame({
         "channel": agg["channel"].astype("str"),
         "n_pixels": agg["n"].astype("int64"),
@@ -621,7 +618,7 @@ def image_aspect_buckets(sf_dir: str) -> pd.DataFrame:
     from .common import r4
 
     w = world_for(sf_dir)
-    meta = w.images.select(["image_id", "w", "h"])
+    meta = w.images.select(["w", "h"])
     step = max(1, -(-meta.num_rows // 16))
     blocks = [meta.slice(i, step) for i in range(0, meta.num_rows, step)]
     nb = len(ASPECT_BUCKETS)

@@ -34,16 +34,42 @@ _TIERS = {
 }
 _WORLD_CACHE_VERSION = 6  # v6: cheap-truth expected_pixels/_caption rewrite
 _CACHE: dict[str, World] = {}
-_REF_CACHE: dict[str, tuple] = {}  # tier -> (pages_ref, images_ref)
+_REF_CACHE: dict[str, dict] = {}  # tier -> {"pages": ref, "images": ref}
+_REF_SESSION: list[str] = [""]  # job id the cache belongs to
+
+
+def _ref_for(tier: str, w, table: str):
+    """Session-cached ``ray.put`` ref of ONE (pre-combined) world table.
+
+    Lazy per table — an image-only session must not pay object-store
+    residency for the pages table (GBs at the scale tiers). The cache is
+    invalidated when the Ray job id changes: refs minted under a
+    previous ``ray.init`` are dangling after a shutdown/restart in the
+    same process, and handing one to a worker raises owner-died instead
+    of recomputing."""
+    import ray
+
+    if ray.is_initialized():
+        job = ray.get_runtime_context().get_job_id()
+        if job != _REF_SESSION[0]:
+            _REF_CACHE.clear()
+            _REF_SESSION[0] = job
+    else:
+        # no live session: any cached refs are dangling; the ray.put
+        # below auto-initializes (the package never calls ray.init)
+        _REF_CACHE.clear()
+        _REF_SESSION[0] = ""
+    refs = _REF_CACHE.setdefault(tier, {})
+    if table not in refs:
+        refs[table] = ray.put(getattr(w, table))
+        if not _REF_SESSION[0]:
+            _REF_SESSION[0] = ray.get_runtime_context().get_job_id()
+    return refs[table]
 
 
 def _refs_for(tier: str, w):
-    """Session-cached ray.put refs of the (pre-combined) world tables."""
-    import ray
-
-    if tier not in _REF_CACHE:
-        _REF_CACHE[tier] = (ray.put(w.pages), ray.put(w.images))
-    return _REF_CACHE[tier]
+    """(pages_ref, images_ref) — both tables, for the crawl path."""
+    return _ref_for(tier, w, "pages"), _ref_for(tier, w, "images")
 
 
 def tier_of(sf_dir: str) -> str:

@@ -183,6 +183,21 @@ class Fetcher:
 _STATE_CACHE: dict = {}
 
 
+def blob_view(t: pa.Table, column: str = "bytes") -> pa.Array:
+    """Zero-copy single-Array view of a blob column.
+
+    ``prep_images_table`` guarantees a single-chunk large_binary column,
+    so ``chunk(0)`` is a view over the shared plasma buffers; the
+    ``combine_chunks`` fallback (a full memcpy — see Validator.__init__'s
+    warning) only runs for tables that skipped prep. Shared by every
+    stage that slices payload bytes (Validator-style offset machinery
+    aside)."""
+    b = t.column(column)
+    if isinstance(b, pa.ChunkedArray):
+        return b.chunk(0) if b.num_chunks == 1 else b.combine_chunks()
+    return b
+
+
 def _cached(key, build):
     st = _STATE_CACHE.get(key)
     if st is None:

@@ -233,3 +233,44 @@ def test_image_check_tamper_detection(ray_session, monkeypatch):
     monkeypatch.setattr(mm, "image_aspect_buckets", bad_buckets)
     kinds = set(ck.image_aspect_buckets_violations(SF)["kind"])
     assert "counts" in kinds and "conservation" in kinds
+    monkeypatch.undo()
+
+    def dup_channel(sf_dir):
+        import pandas as pd
+
+        return pd.concat([good_stats, good_stats.iloc[:1]],
+                         ignore_index=True)
+
+    monkeypatch.setattr(mm, "image_channel_stats", dup_channel)
+    assert (ck.image_channel_stats_violations(SF)["kind"]
+            == "dup_channel").any()
+    monkeypatch.undo()
+
+    def rogue_bucket(sf_dir):
+        out = good_buckets.copy()
+        extra = out.iloc[:1].copy()
+        extra["bucket"] = 99
+        extra["n_images"] = 0
+        import pandas as pd
+
+        return pd.concat([out, extra], ignore_index=True)
+
+    monkeypatch.setattr(mm, "image_aspect_buckets", rogue_bucket)
+    assert (ck.image_aspect_buckets_violations(SF)["kind"]
+            == "bucket_range").any()
+
+
+def test_ref_cache_invalidates_on_session_change(ray_session):
+    """_ref_for must mint fresh refs when the Ray job id changes —
+    refs from a previous ray.init are dangling after restart (simulated
+    here by faking the recorded session stamp)."""
+    from doonop_ray.pipelines import flagship as fl
+
+    w = fl.world_for(SF)
+    tier = fl.tier_of(SF)
+    r1 = fl._ref_for(tier, w, "images")
+    assert fl._ref_for(tier, w, "images") == r1  # cached within session
+    fl._REF_SESSION[0] = "stale-job-id"
+    r2 = fl._ref_for(tier, w, "images")
+    assert r2 != r1  # cache cleared, fresh put
+    assert fl._ref_for(tier, w, "images") == r2  # re-cached
