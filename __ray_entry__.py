@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_aspect_buckets": multimodal.image_aspect_buckets,
         "image_aspect_buckets_violations":
             checks.image_aspect_buckets_violations,
+        "score_images_model": multimodal.score_images_model,
+        "image_model_score_violations":
+            checks.image_model_score_violations,
         # stream-shaped windows
         "events_hourly": windows.events_hourly,
         "events_gap_fill": windows.events_gap_fill,
@@ -1337,6 +1340,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_aspect_buckets_violations": """
             SELECT CAST(NULL AS BIGINT) AS bucket,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "image_model_score_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE
         """,

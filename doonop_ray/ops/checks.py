@@ -1801,3 +1801,66 @@ def image_aspect_buckets_violations(sf_dir: str) -> pd.DataFrame:
     return finish(pd.DataFrame({
         "bucket": pd.Series(bad_b, dtype="int64"),
         "kind": pd.Series(bad_k, dtype="str")}), ["bucket", "kind"])
+
+
+def image_model_score_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
+    """``score_images_model`` rechecked three ways: exactly one row per
+    world image (ID_SET / DUP_ID), every score in [0, 1] with
+    keep == (score >= 0.5), and for a deterministic stride-sample a
+    DRIVER-side recompute — raw ``codec.decode_image`` over table-sliced
+    blobs + the shared forward pass — must reproduce the r4 score
+    bit-for-bit (the query's path goes through the per-worker cached
+    blob-view machinery; the model arithmetic is shared by contract,
+    the decode path and coverage accounting are independent). Returns
+    (image_id, kind) violation rows — expected empty."""
+    from ..codec import decode_image
+    from ..ops.multimodal import (_IMG_MODEL_SIZE, ImageModelScorer,
+                                  image_model_weights, score_images_model)
+    from ..pipelines.flagship import world_for
+    from .common import r4
+
+    got = score_images_model(sf_dir)
+    w = world_for(sf_dir)
+
+    bad_i: list[str] = []
+    bad_k: list[str] = []
+    world_ids = w.images.column("image_id").to_pylist()
+    out_ids = got["image_id"].tolist()
+    if len(out_ids) != len(set(out_ids)):
+        dups = pd.Series(out_ids)
+        for i in sorted(dups[dups.duplicated()].unique()):
+            bad_i.append(i)
+            bad_k.append("dup_id")
+    for i in sorted(set(world_ids) ^ set(out_ids)):
+        bad_i.append(i)
+        bad_k.append("id_set_mismatch")
+
+    sc = got["score"].to_numpy(np.float64)
+    keep = got["keep"].to_numpy()
+    bad_rng = (sc < 0.0) | (sc > 1.0) | (keep != (sc >= 0.5))
+    for i in sorted(np.asarray(got["image_id"])[bad_rng]):
+        bad_i.append(i)
+        bad_k.append("range_or_keep")
+
+    ids_sorted = sorted(world_ids)
+    step = max(1, len(ids_sorted) // sample)
+    picked = sorted(set(ids_sorted[::step][:sample]))
+    import pyarrow.compute as pcmp
+
+    pick_arr = pa.array(picked, pa.string())
+    sub = w.images.filter(
+        pcmp.is_in(w.images.column("image_id"), value_set=pick_arr))
+    bias, wv = image_model_weights()
+    want = {}
+    for r in sub.to_pylist():
+        pix = decode_image(r["bytes"], r["fmt"])
+        want[r["image_id"]] = float(r4(ImageModelScorer.score_of(
+            pix, bias, wv, _IMG_MODEL_SIZE)))
+    rows = got.set_index("image_id")["score"]
+    for iid in picked:
+        if iid in rows.index and float(rows.loc[iid]) != want[iid]:
+            bad_i.append(iid)
+            bad_k.append("score")
+    return finish(pd.DataFrame({
+        "image_id": pd.Series(bad_i, dtype="str"),
+        "kind": pd.Series(bad_k, dtype="str")}), ["image_id", "kind"])

@@ -668,3 +668,130 @@ def image_aspect_buckets(sf_dir: str) -> pd.DataFrame:
                           / np.maximum(agg["n"].to_numpy(np.float64), 1)),
     })
     return finish(res, ["bucket"])
+
+
+# ---------------------------------------------------------------------------
+# batched model inference over images (the CLIP/aesthetic-scorer shape)
+# ---------------------------------------------------------------------------
+
+# fixed "model" checkpoint: a seeded linear head over 8x8x3 resized
+# pixels — stands in for a trained aesthetic/NSFW scorer; a real
+# deployment swaps the weights ref for a loaded checkpoint, everything
+# else (broadcast-once, per-worker deserialize, vectorized batch
+# forward) is the production shape
+_IMG_MODEL_SEED = 20260819
+_IMG_MODEL_SIZE = 8
+
+
+def image_model_weights(size: int = _IMG_MODEL_SIZE):
+    """(bias, weight_vector[size*size*3]) — deterministic fake
+    checkpoint, identical for query and integrity check."""
+    rng = np.random.default_rng(_IMG_MODEL_SEED)
+    w = rng.normal(0.0, 0.05, size * size * 3)
+    return float(rng.normal(0.0, 0.1)), w
+
+
+class ImageModelScorer:
+    """Model-inference stage over image payloads: decode (repo codec),
+    nearest-neighbor resize to the model's input geometry, one linear
+    forward + sigmoid per image — weights deserialized ONCE per worker
+    from a broadcast ref (the ``_ModelScorer`` batched-inference
+    pattern on the image axis). Dispatched as a task-pool
+    ``map_batches`` via ``make_image_scorer_fn``."""
+
+    def __init__(self, images_ref, weights_ref, size: int = _IMG_MODEL_SIZE):
+        from ..codec import decode_image
+        from ..stages.fetch import _combined_view, _deref, blob_view
+        from .common import bcast_get
+
+        t = _deref(images_ref)
+        self.tab = _combined_view(t.select(["image_id", "fmt"]))
+        self._blobs = blob_view(t)
+        self._decode = decode_image
+        self.bias, self.w = bcast_get(weights_ref)
+        self.size = size
+
+    @staticmethod
+    def score_of(pix, bias: float, w, size: int) -> float:
+        """Shared forward pass (query + violation check both call this
+        on their OWN decodes; the check's independence is in the decode
+        path and the coverage accounting, not the model arithmetic —
+        same contract as ``ImageCurator.stats_of``)."""
+        h, wd = pix.shape[:2]
+        yi = (np.arange(size) * h) // size
+        xi = (np.arange(size) * wd) // size
+        x = pix[yi][:, xi].astype(np.float64).ravel() / 255.0
+        z = bias + float(np.dot(x, w))
+        return 1.0 / (1.0 + np.exp(-z))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(batch) == 0:
+            return pa.table({
+                "image_id": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+                "keep": pa.array([], pa.bool_()),
+            })
+        idx = pc.index_in(batch.column("image_id"),
+                          value_set=self.tab.column("image_id"))
+        src = np.asarray(idx)
+        fmts = pc.take(self.tab.column("fmt"), idx).to_pylist()
+        scores = np.empty(len(batch), np.float64)
+        for i in range(len(batch)):
+            pix = self._decode(self._blobs[int(src[i])].as_buffer(), fmts[i])
+            scores[i] = self.score_of(pix, self.bias, self.w, self.size)
+        from .common import r4
+
+        scores = r4(scores)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "score": pa.array(scores, pa.float64()),
+            "keep": pa.array(scores >= 0.5),
+        })
+
+
+def make_image_scorer_fn(images_ref, weights_ref):
+    """Task-pool wrapper with per-worker cached model state (the
+    ``make_channel_moments_fn`` idiom)."""
+    from ..stages.fetch import _cached
+
+    key = ("img_model",
+           getattr(images_ref, "hex", lambda: id(images_ref))(),
+           getattr(weights_ref, "hex", lambda: id(weights_ref))())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached(
+            key, lambda: ImageModelScorer(images_ref, weights_ref))(batch)
+
+    return fn
+
+
+def score_images_model(sf_dir: str) -> pd.DataFrame:
+    """Model-based scoring of every image of the tier's world — the
+    batched-inference gate (aesthetic/NSFW scoring) an image-curation
+    pipeline runs between decode and dataset write. One row per image:
+    (image_id, score, keep).
+
+    Scale shape: weights ship once (``ray.put``), deserialize once per
+    worker; the payload table is the session-cached broadcast; scoring
+    streams metadata-only output. At 100 TB this is decode-bound, and
+    the stage parallelizes to the full CPU count with no exchange."""
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.flagship import _ref_for, tier_of, world_for
+
+    w = world_for(sf_dir)
+    images_ref = _ref_for(tier_of(sf_dir), w, "images")
+    wref = ray.put(image_model_weights())
+    ids = w.images.select(["image_id"])
+    step = max(1, -(-len(ids) // 32))
+    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
+    ds = rd.from_arrow(blocks).map_batches(
+        make_image_scorer_fn(images_ref, wref),
+        batch_format="pyarrow",
+        batch_size=1024,
+        num_cpus=1,
+    )
+    return finish(ds.to_pandas(), ["image_id"])

@@ -274,3 +274,45 @@ def test_ref_cache_invalidates_on_session_change(ray_session):
     r2 = fl._ref_for(tier, w, "images")
     assert r2 != r1  # cache cleared, fresh put
     assert fl._ref_for(tier, w, "images") == r2  # re-cached
+
+
+def test_score_images_model_pinned(ray_session):
+    """Batched image inference: one row per world image, scores pinned
+    against a direct recompute for a sample, check empty, and the check
+    fires on a tampered score."""
+    from doonop_ray.codec import decode_image
+    from doonop_ray.ops.checks import image_model_score_violations
+    from doonop_ray.pipelines.flagship import world_for
+
+    df = mm.score_images_model(SF)
+    w = world_for(SF)
+    assert len(df) == w.images.num_rows
+    assert df["score"].between(0, 1).all()
+    assert (df["keep"] == (df["score"] >= 0.5)).all()
+    # pin three images against a direct recompute
+    bias, wv = mm.image_model_weights()
+    meta = {r["image_id"]: r for r in w.images.slice(0, 3).to_pylist()}
+    sub = df.set_index("image_id")
+    from doonop_ray.ops.common import r4
+
+    for iid, r in meta.items():
+        pix = decode_image(r["bytes"], r["fmt"])
+        want = float(r4(mm.ImageModelScorer.score_of(
+            pix, bias, wv, mm._IMG_MODEL_SIZE)))
+        assert float(sub.loc[iid, "score"]) == want
+    assert image_model_score_violations(SF).empty
+
+
+def test_image_model_check_tamper(ray_session, monkeypatch):
+    from doonop_ray.ops import checks as ck
+
+    good = mm.score_images_model(SF)
+
+    def bad(sf_dir):
+        out = good.copy()
+        out.loc[0, "score"] = 1.5  # out of range AND wrong vs recompute
+        return out
+
+    monkeypatch.setattr(mm, "score_images_model", bad)
+    kinds = set(ck.image_model_score_violations(SF)["kind"])
+    assert "range_or_keep" in kinds
