@@ -77,9 +77,11 @@ OPS_BENCH = [
     # continuation-7: RAG chunking explode
     "chunk_documents",
     # continuation-8: image training-prep aggregates (decode-heavy
-    # moment partials; metadata-only bucketing)
+    # moment partials; metadata-only bucketing) + batched image model
+    # inference
     "image_channel_stats",
     "image_aspect_buckets",
+    "score_images_model",
 ]
 
 
