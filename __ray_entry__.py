@@ -234,6 +234,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_images_model": multimodal.score_images_model,
         "image_model_score_violations":
             checks.image_model_score_violations,
+        "caption_image_alignment": multimodal.caption_image_alignment,
+        "caption_alignment_violations":
+            checks.caption_alignment_violations,
+        "image_sharpness": multimodal.image_sharpness,
+        "image_sharpness_violations":
+            checks.image_sharpness_violations,
         # stream-shaped windows
         "events_hourly": windows.events_hourly,
         "events_gap_fill": windows.events_gap_fill,
@@ -1344,6 +1350,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE FALSE
         """,
         "image_model_score_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "caption_alignment_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "image_sharpness_violations": """
             SELECT CAST(NULL AS VARCHAR) AS image_id,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE

@@ -82,6 +82,8 @@ OPS_BENCH = [
     "image_channel_stats",
     "image_aspect_buckets",
     "score_images_model",
+    "caption_image_alignment",
+    "image_sharpness",
 ]
 
 

@@ -1864,3 +1864,131 @@ def image_model_score_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
     return finish(pd.DataFrame({
         "image_id": pd.Series(bad_i, dtype="str"),
         "kind": pd.Series(bad_k, dtype="str")}), ["image_id", "kind"])
+
+
+def caption_alignment_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
+    """``caption_image_alignment`` rechecked three ways: exactly one row
+    per world image (ID_SET / DUP_ID), every score in [-1, 1] with
+    keep == (alignment >= ALIGN_KEEP_MIN), and for a deterministic
+    stride-sample a DRIVER-side recompute — raw ``codec.decode_image``
+    over table-sliced blobs + the shared dual-encoder forward — must
+    reproduce the r4 score bit-for-bit (the query's path goes through
+    the per-worker cached blob-view machinery and the broadcast
+    projection; the tower arithmetic is shared by contract, the decode
+    path, caption sourcing and coverage accounting are independent).
+    Returns (image_id, kind) violation rows — expected empty."""
+    from ..codec import decode_image
+    from ..ops.multimodal import (ALIGN_KEEP_MIN, CaptionAlignmentScorer,
+                                  alignment_proj, caption_image_alignment)
+    from ..pipelines.flagship import world_for
+    from .common import r4
+
+    got = caption_image_alignment(sf_dir)
+    w = world_for(sf_dir)
+
+    bad_i: list[str] = []
+    bad_k: list[str] = []
+    world_ids = w.images.column("image_id").to_pylist()
+    out_ids = got["image_id"].tolist()
+    if len(out_ids) != len(set(out_ids)):
+        dups = pd.Series(out_ids)
+        for i in sorted(dups[dups.duplicated()].unique()):
+            bad_i.append(i)
+            bad_k.append("dup_id")
+    for i in sorted(set(world_ids) ^ set(out_ids)):
+        bad_i.append(i)
+        bad_k.append("id_set_mismatch")
+
+    sc = got["alignment"].to_numpy(np.float64)
+    keep = got["keep"].to_numpy()
+    bad_rng = (sc < -1.0) | (sc > 1.0) | (keep != (sc >= ALIGN_KEEP_MIN))
+    for i in sorted(np.asarray(got["image_id"])[bad_rng]):
+        bad_i.append(i)
+        bad_k.append("range_or_keep")
+
+    ids_sorted = sorted(world_ids)
+    step = max(1, len(ids_sorted) // sample)
+    picked = sorted(set(ids_sorted[::step][:sample]))
+    import pyarrow.compute as pcmp
+
+    pick_arr = pa.array(picked, pa.string())
+    sub = w.images.filter(
+        pcmp.is_in(w.images.column("image_id"), value_set=pick_arr))
+    proj = alignment_proj()
+    want = {}
+    for r in sub.to_pylist():
+        pix = decode_image(r["bytes"], r["fmt"])
+        want[r["image_id"]] = float(r4(CaptionAlignmentScorer.alignment_of(
+            pix, r["caption"], proj)))
+    rows = got.set_index("image_id")["alignment"]
+    for iid in picked:
+        if iid in rows.index and float(rows.loc[iid]) != want[iid]:
+            bad_i.append(iid)
+            bad_k.append("score")
+    return finish(pd.DataFrame({
+        "image_id": pd.Series(bad_i, dtype="str"),
+        "kind": pd.Series(bad_k, dtype="str")}), ["image_id", "kind"])
+
+
+def image_sharpness_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
+    """``image_sharpness`` rechecked three ways: exactly one row per
+    world image (ID_SET / DUP_ID), edge_ratio in [0, 1] and
+    sharpness >= 0 with keep == (sharpness >= SHARP_KEEP_MIN), and for
+    a deterministic stride-sample a DRIVER-side recompute (raw
+    ``codec.decode_image`` + the shared Laplacian arithmetic) must
+    reproduce BOTH r4 features bit-for-bit. Returns (image_id, kind)
+    violation rows — expected empty."""
+    from ..codec import decode_image
+    from ..ops.multimodal import (SHARP_KEEP_MIN, ImageSharpnessStage,
+                                  image_sharpness)
+    from ..pipelines.flagship import world_for
+    from .common import r4
+
+    got = image_sharpness(sf_dir)
+    w = world_for(sf_dir)
+
+    bad_i: list[str] = []
+    bad_k: list[str] = []
+    world_ids = w.images.column("image_id").to_pylist()
+    out_ids = got["image_id"].tolist()
+    if len(out_ids) != len(set(out_ids)):
+        dups = pd.Series(out_ids)
+        for i in sorted(dups[dups.duplicated()].unique()):
+            bad_i.append(i)
+            bad_k.append("dup_id")
+    for i in sorted(set(world_ids) ^ set(out_ids)):
+        bad_i.append(i)
+        bad_k.append("id_set_mismatch")
+
+    sh = got["sharpness"].to_numpy(np.float64)
+    er = got["edge_ratio"].to_numpy(np.float64)
+    keep = got["keep"].to_numpy()
+    bad_rng = ((sh < 0.0) | (er < 0.0) | (er > 1.0)
+               | (keep != (sh >= SHARP_KEEP_MIN)))
+    for i in sorted(np.asarray(got["image_id"])[bad_rng]):
+        bad_i.append(i)
+        bad_k.append("range_or_keep")
+
+    ids_sorted = sorted(world_ids)
+    step = max(1, len(ids_sorted) // sample)
+    picked = sorted(set(ids_sorted[::step][:sample]))
+    import pyarrow.compute as pcmp
+
+    pick_arr = pa.array(picked, pa.string())
+    sub = w.images.filter(
+        pcmp.is_in(w.images.column("image_id"), value_set=pick_arr))
+    want = {}
+    for r in sub.to_pylist():
+        pix = decode_image(r["bytes"], r["fmt"])
+        s, e = ImageSharpnessStage.sharpness_of(pix)
+        want[r["image_id"]] = (float(r4(s)), float(r4(e)))
+    g = got.set_index("image_id")
+    for iid in picked:
+        if iid in g.index and (
+                float(g.loc[iid, "sharpness"]),
+                float(g.loc[iid, "edge_ratio"])) != want[iid]:
+            bad_i.append(iid)
+            bad_k.append("score")
+    return finish(pd.DataFrame({
+        "image_id": pd.Series(bad_i, dtype="str"),
+        "kind": pd.Series(bad_k, dtype="str")}), ["image_id", "kind"])

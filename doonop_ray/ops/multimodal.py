@@ -795,3 +795,270 @@ def score_images_model(sf_dir: str) -> pd.DataFrame:
         num_cpus=1,
     )
     return finish(ds.to_pandas(), ["image_id"])
+
+
+# ---------------------------------------------------------------------------
+# caption–image alignment (CLIP-style dual-encoder filtering gate)
+# ---------------------------------------------------------------------------
+
+_ALIGN_DIM = 64
+_ALIGN_SIZE = 16
+_ALIGN_SEED = 20260820
+# fixed gate on the rounded score; median alignment on this world is
+# ~-0.03, so 0.0 splits the corpus and exercises both keep branches
+ALIGN_KEEP_MIN = 0.0
+
+
+def alignment_proj(dim: int = _ALIGN_DIM, size: int = _ALIGN_SIZE):
+    """Deterministic fake image-encoder checkpoint: a (dim, size·size·3)
+    Gaussian projection, identical for query and integrity check (the
+    ``image_model_weights`` contract on the dual-encoder axis)."""
+    rng = np.random.default_rng(_ALIGN_SEED)
+    return rng.normal(0.0, 1.0, (dim, size * size * 3))
+
+
+class CaptionAlignmentScorer:
+    """Dual-encoder alignment scoring over image+caption pairs — the
+    CLIP-style filtering gate an image-text curation pipeline runs to
+    drop mismatched pairs (the LAION recipe). Image tower: nearest-
+    neighbor resize to the model geometry, linear projection to a
+    d=64 embedding, L2 normalize. Text tower: signed feature hashing of
+    whitespace tokens (blake2b → (index, sign)), L2 normalize. Score =
+    cosine of the two embeddings.
+
+    Scale shape: the projection ships once (``ray.put``) and
+    deserializes once per worker; captions ride the broadcast payload
+    table (they are part of the input_hint row); output is
+    metadata-only. Decode-bound, no exchange — same profile as
+    ``ImageModelScorer``. Dispatched task-pool via
+    ``make_alignment_fn`` (per-worker cached state)."""
+
+    def __init__(self, images_ref, proj_ref,
+                 dim: int = _ALIGN_DIM, size: int = _ALIGN_SIZE):
+        from ..codec import decode_image
+        from ..stages.fetch import _combined_view, _deref, blob_view
+        from .common import bcast_get
+
+        t = _deref(images_ref)
+        self.tab = _combined_view(t.select(["image_id", "fmt", "caption"]))
+        self._blobs = blob_view(t)
+        self._decode = decode_image
+        self.proj = bcast_get(proj_ref)
+        self.dim = dim
+        self.size = size
+
+    @staticmethod
+    def embed_text(caption: str, dim: int = _ALIGN_DIM) -> np.ndarray:
+        """Signed-feature-hashing text tower (shared arithmetic; an
+        empty/all-collision caption embeds to the zero vector and
+        scores 0.0 by convention)."""
+        import hashlib
+
+        vec = np.zeros(dim, np.float64)
+        for tok in caption.split():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                "little")
+            vec[(h >> 1) % dim] += 1.0 if (h & 1) else -1.0
+        n = float(np.linalg.norm(vec))
+        return vec / n if n else vec
+
+    @classmethod
+    def alignment_of(cls, pix, caption: str, proj,
+                     dim: int = _ALIGN_DIM,
+                     size: int = _ALIGN_SIZE) -> float:
+        """Shared forward pass (query + violation check both call this
+        on their OWN decodes; the check's independence is in the decode
+        path and coverage accounting — the ``ImageModelScorer.score_of``
+        contract)."""
+        h, wd = pix.shape[:2]
+        yi = (np.arange(size) * h) // size
+        xi = (np.arange(size) * wd) // size
+        x = pix[yi][:, xi].astype(np.float64).ravel() / 255.0
+        e = proj @ x
+        n = float(np.linalg.norm(e))
+        if n:
+            e = e / n
+        return float(np.dot(e, cls.embed_text(caption, dim)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(batch) == 0:
+            return pa.table({
+                "image_id": pa.array([], pa.string()),
+                "alignment": pa.array([], pa.float64()),
+                "keep": pa.array([], pa.bool_()),
+            })
+        idx = pc.index_in(batch.column("image_id"),
+                          value_set=self.tab.column("image_id"))
+        src = np.asarray(idx)
+        fmts = pc.take(self.tab.column("fmt"), idx).to_pylist()
+        caps = pc.take(self.tab.column("caption"), idx).to_pylist()
+        scores = np.empty(len(batch), np.float64)
+        for i in range(len(batch)):
+            pix = self._decode(self._blobs[int(src[i])].as_buffer(), fmts[i])
+            scores[i] = self.alignment_of(
+                pix, caps[i], self.proj, self.dim, self.size)
+        from .common import r4
+
+        scores = r4(scores)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "alignment": pa.array(scores, pa.float64()),
+            "keep": pa.array(scores >= ALIGN_KEEP_MIN),
+        })
+
+
+def make_alignment_fn(images_ref, proj_ref):
+    """Task-pool wrapper with per-worker cached dual-encoder state."""
+    from ..stages.fetch import _cached
+
+    key = ("cap_align",
+           getattr(images_ref, "hex", lambda: id(images_ref))(),
+           getattr(proj_ref, "hex", lambda: id(proj_ref))())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached(
+            key, lambda: CaptionAlignmentScorer(images_ref, proj_ref))(batch)
+
+    return fn
+
+
+def caption_image_alignment(sf_dir: str) -> pd.DataFrame:
+    """CLIP-style caption–image alignment score for every image+caption
+    pair of the tier's world: (image_id, alignment, keep) — the
+    cross-modal filtering gate between decode and dataset write.
+
+    Scale shape: identical to ``score_images_model`` — broadcast
+    payload table + broadcast projection, per-worker cached towers,
+    decode-bound task pool, metadata-only output, no exchange."""
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.flagship import _ref_for, tier_of, world_for
+
+    w = world_for(sf_dir)
+    images_ref = _ref_for(tier_of(sf_dir), w, "images")
+    pref = ray.put(alignment_proj())
+    ids = w.images.select(["image_id"])
+    step = max(1, -(-len(ids) // 32))
+    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
+    ds = rd.from_arrow(blocks).map_batches(
+        make_alignment_fn(images_ref, pref),
+        batch_format="pyarrow",
+        batch_size=1024,
+        num_cpus=1,
+    )
+    return finish(ds.to_pandas(), ["image_id"])
+
+
+# ---------------------------------------------------------------------------
+# sharpness / focus measure (Laplacian variance gate)
+# ---------------------------------------------------------------------------
+
+# fixed gates: Laplacian variance on this world spans ~33–392 at the
+# 16–40 px tiers (median ~53) and ~32–50 at the 56–72 px bench tier
+# (larger images -> smoother per-pixel gradients), so 42 discriminates
+# at BOTH; |lap| > 8 marks an edge pixel
+SHARP_KEEP_MIN = 42.0
+_EDGE_T = 8.0
+
+
+class ImageSharpnessStage:
+    """Focus-measure stage: decode (repo codec), grayscale, 5-point
+    Laplacian over the interior, emit the classic variance-of-Laplacian
+    sharpness score plus the edge-pixel ratio — the blur-filtering gate
+    of an image-curation pipeline (a blurry crawl image has low
+    Laplacian variance regardless of brightness/contrast, which is why
+    this is a separate feature from ``ImageCurator``'s photometric
+    stats). Dispatched task-pool via ``make_sharpness_fn``."""
+
+    def __init__(self, images_ref):
+        from ..codec import decode_image
+        from ..stages.fetch import _combined_view, _deref, blob_view
+
+        t = _deref(images_ref)
+        self.tab = _combined_view(t.select(["image_id", "fmt"]))
+        self._blobs = blob_view(t)
+        self._decode = decode_image
+
+    @staticmethod
+    def sharpness_of(pix) -> tuple[float, float]:
+        """Shared feature arithmetic: (variance of 5-point Laplacian,
+        fraction of interior pixels with |lap| > _EDGE_T). Images
+        smaller than 3×3 have an empty interior and score (0, 0)."""
+        g = pix.astype(np.float64).mean(axis=2)
+        lap = (4.0 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+               - g[1:-1, :-2] - g[1:-1, 2:])
+        if lap.size == 0:
+            return 0.0, 0.0
+        return float(lap.var()), float(np.mean(np.abs(lap) > _EDGE_T))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(batch) == 0:
+            return pa.table({
+                "image_id": pa.array([], pa.string()),
+                "sharpness": pa.array([], pa.float64()),
+                "edge_ratio": pa.array([], pa.float64()),
+                "keep": pa.array([], pa.bool_()),
+            })
+        idx = pc.index_in(batch.column("image_id"),
+                          value_set=self.tab.column("image_id"))
+        src = np.asarray(idx)
+        fmts = pc.take(self.tab.column("fmt"), idx).to_pylist()
+        sh = np.empty(len(batch), np.float64)
+        er = np.empty(len(batch), np.float64)
+        for i in range(len(batch)):
+            pix = self._decode(self._blobs[int(src[i])].as_buffer(), fmts[i])
+            sh[i], er[i] = self.sharpness_of(pix)
+        from .common import r4
+
+        sh = r4(sh)
+        er = r4(er)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "sharpness": pa.array(sh, pa.float64()),
+            "edge_ratio": pa.array(er, pa.float64()),
+            "keep": pa.array(sh >= SHARP_KEEP_MIN),
+        })
+
+
+def make_sharpness_fn(images_ref):
+    """Task-pool wrapper with per-worker cached decoder state."""
+    from ..stages.fetch import _cached
+
+    key = ("img_sharp",
+           getattr(images_ref, "hex", lambda: id(images_ref))())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached(key, lambda: ImageSharpnessStage(images_ref))(batch)
+
+    return fn
+
+
+def image_sharpness(sf_dir: str) -> pd.DataFrame:
+    """Variance-of-Laplacian sharpness + edge-ratio for every image of
+    the tier's world: (image_id, sharpness, edge_ratio, keep) — the
+    blur gate of an image-curation pipeline.
+
+    Scale shape: broadcast payload table, per-worker cached state,
+    decode-bound task pool, metadata-only output, no exchange."""
+    import ray.data as rd
+
+    from ..pipelines.flagship import _ref_for, tier_of, world_for
+
+    w = world_for(sf_dir)
+    images_ref = _ref_for(tier_of(sf_dir), w, "images")
+    ids = w.images.select(["image_id"])
+    step = max(1, -(-len(ids) // 32))
+    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
+    ds = rd.from_arrow(blocks).map_batches(
+        make_sharpness_fn(images_ref),
+        batch_format="pyarrow",
+        batch_size=1024,
+        num_cpus=1,
+    )
+    return finish(ds.to_pandas(), ["image_id"])

@@ -316,3 +316,112 @@ def test_image_model_check_tamper(ray_session, monkeypatch):
     monkeypatch.setattr(mm, "score_images_model", bad)
     kinds = set(ck.image_model_score_violations(SF)["kind"])
     assert "range_or_keep" in kinds
+
+
+def test_caption_image_alignment_pinned(ray_session):
+    """Dual-encoder alignment: one row per world image, scores pinned
+    against a direct recompute, cross-modal sensitivity (a swapped
+    caption changes the score for at least one probe pair), check
+    empty."""
+    from doonop_ray.codec import decode_image
+    from doonop_ray.ops.checks import caption_alignment_violations
+    from doonop_ray.ops.common import r4
+    from doonop_ray.pipelines.flagship import world_for
+
+    df = mm.caption_image_alignment(SF)
+    w = world_for(SF)
+    assert len(df) == w.images.num_rows
+    assert df["alignment"].between(-1, 1).all()
+    assert (df["keep"] == (df["alignment"] >= mm.ALIGN_KEEP_MIN)).all()
+
+    proj = mm.alignment_proj()
+    rows = [r for r in w.images.slice(0, 3).to_pylist()]
+    sub = df.set_index("image_id")
+    for r in rows:
+        pix = decode_image(r["bytes"], r["fmt"])
+        want = float(r4(mm.CaptionAlignmentScorer.alignment_of(
+            pix, r["caption"], proj)))
+        assert float(sub.loc[r["image_id"], "alignment"]) == want
+    # cross-modal sensitivity: pairing image 0 with image 1's caption
+    # must move the score for at least one direction of the swap
+    pix0 = decode_image(rows[0]["bytes"], rows[0]["fmt"])
+    pix1 = decode_image(rows[1]["bytes"], rows[1]["fmt"])
+    a00 = mm.CaptionAlignmentScorer.alignment_of(pix0, rows[0]["caption"], proj)
+    a01 = mm.CaptionAlignmentScorer.alignment_of(pix0, rows[1]["caption"], proj)
+    a11 = mm.CaptionAlignmentScorer.alignment_of(pix1, rows[1]["caption"], proj)
+    assert a01 != a00 or a01 != a11
+    assert caption_alignment_violations(SF).empty
+
+
+def test_caption_alignment_check_tamper(ray_session, monkeypatch):
+    from doonop_ray.ops import checks as ck
+
+    good = mm.caption_image_alignment(SF)
+
+    def bad(sf_dir):
+        out = good.copy()
+        out.loc[0, "alignment"] = 1.5  # out of range AND wrong vs recompute
+        return out
+
+    monkeypatch.setattr(mm, "caption_image_alignment", bad)
+    kinds = set(ck.caption_alignment_violations(SF)["kind"])
+    assert "range_or_keep" in kinds
+
+
+def test_image_sharpness_pinned(ray_session):
+    """Laplacian-variance focus measure: one row per world image, both
+    features pinned against a direct recompute, both keep branches
+    exercised on this world, check empty."""
+    from doonop_ray.codec import decode_image
+    from doonop_ray.ops.checks import image_sharpness_violations
+    from doonop_ray.ops.common import r4
+    from doonop_ray.pipelines.flagship import world_for
+
+    df = mm.image_sharpness(SF)
+    w = world_for(SF)
+    assert len(df) == w.images.num_rows
+    assert (df["sharpness"] >= 0).all()
+    assert df["edge_ratio"].between(0, 1).all()
+    assert (df["keep"] == (df["sharpness"] >= mm.SHARP_KEEP_MIN)).all()
+    assert df["keep"].any() and (~df["keep"]).any()  # gate discriminates
+
+    sub = df.set_index("image_id")
+    for r in w.images.slice(0, 3).to_pylist():
+        pix = decode_image(r["bytes"], r["fmt"])
+        s, e = mm.ImageSharpnessStage.sharpness_of(pix)
+        assert float(sub.loc[r["image_id"], "sharpness"]) == float(r4(s))
+        assert float(sub.loc[r["image_id"], "edge_ratio"]) == float(r4(e))
+    assert image_sharpness_violations(SF).empty
+
+
+def test_image_sharpness_check_tamper(ray_session, monkeypatch):
+    from doonop_ray.ops import checks as ck
+
+    good = mm.image_sharpness(SF)
+
+    def bad(sf_dir):
+        out = good.copy()
+        out = out.drop(index=out.index[:1])  # drop a row -> id-set gap
+        return out
+
+    monkeypatch.setattr(mm, "image_sharpness", bad)
+    kinds = set(ck.image_sharpness_violations(SF)["kind"])
+    assert "id_set_mismatch" in kinds
+
+
+def test_sharpness_flat_image_scores_zero():
+    """A constant image has zero Laplacian everywhere -> (0, 0); a 2x2
+    image has an empty interior -> (0, 0) by convention."""
+    flat = np.full((8, 8, 3), 99, np.uint8)
+    assert mm.ImageSharpnessStage.sharpness_of(flat) == (0.0, 0.0)
+    tiny = np.zeros((2, 2, 3), np.uint8)
+    assert mm.ImageSharpnessStage.sharpness_of(tiny) == (0.0, 0.0)
+
+
+def test_alignment_empty_caption_scores_zero():
+    """The zero text embedding (empty caption) makes alignment exactly
+    0.0 regardless of the image."""
+    pix = np.random.default_rng(1).integers(
+        0, 255, (16, 16, 3)).astype(np.uint8)
+    assert mm.CaptionAlignmentScorer.alignment_of(
+        pix, "", mm.alignment_proj()) == 0.0
