@@ -1803,192 +1803,152 @@ def image_aspect_buckets_violations(sf_dir: str) -> pd.DataFrame:
         "kind": pd.Series(bad_k, dtype="str")}), ["bucket", "kind"])
 
 
+def _per_image_gate_violations(sf_dir: str, query_fn, val_cols: list[str],
+                               within_fn, recompute_fn,
+                               sample: int = 64) -> pd.DataFrame:
+    """Shared core for the per-image feature-gate checks
+    (``score_images_model`` / ``caption_image_alignment`` /
+    ``image_sharpness``), rechecking three ways:
+
+    - coverage: exactly one row per world image (DUP_ID /
+      ID_SET_MISMATCH);
+    - consistency: ``within_fn(got) -> bool array`` must hold per row
+      (RANGE_OR_KEEP). Callers express it POSITIVELY
+      (``(x >= lo) & (x <= hi) & ...``) so a NaN feature fails the
+      comparison and is flagged — never write the negated form, which
+      NaN slips through;
+    - recompute: for a deterministic stride-sample, a DRIVER-side
+      recompute — raw ``codec.decode_image`` over table-sliced blobs +
+      the op's shared feature arithmetic via
+      ``recompute_fn(world_row) -> tuple`` — must reproduce every r4
+      ``val_cols`` value bit-for-bit (SCORE). The query's path goes
+      through the per-worker cached blob-view machinery and broadcast
+      state; the feature arithmetic is shared by contract, the decode
+      path, metadata sourcing and coverage accounting are independent.
+      Duplicate-id outputs compare on the first occurrence (the dup is
+      already flagged by coverage) instead of crashing.
+
+    Returns (image_id, kind) violation rows — expected empty."""
+    from ..pipelines.flagship import world_for
+
+    got = query_fn(sf_dir)
+    w = world_for(sf_dir)
+
+    bad_i: list[str] = []
+    bad_k: list[str] = []
+    world_ids = w.images.column("image_id").to_pylist()
+    out_ids = got["image_id"].tolist()
+    if len(out_ids) != len(set(out_ids)):
+        dups = pd.Series(out_ids)
+        for i in sorted(dups[dups.duplicated()].unique()):
+            bad_i.append(i)
+            bad_k.append("dup_id")
+    for i in sorted(set(world_ids) ^ set(out_ids)):
+        bad_i.append(i)
+        bad_k.append("id_set_mismatch")
+
+    ok = np.asarray(within_fn(got), bool)
+    for i in sorted(np.asarray(got["image_id"])[~ok]):
+        bad_i.append(i)
+        bad_k.append("range_or_keep")
+
+    ids_sorted = sorted(world_ids)
+    step = max(1, len(ids_sorted) // sample)
+    picked = sorted(set(ids_sorted[::step][:sample]))
+    import pyarrow.compute as pcmp
+
+    pick_arr = pa.array(picked, pa.string())
+    sub = w.images.filter(
+        pcmp.is_in(w.images.column("image_id"), value_set=pick_arr))
+    want = {r["image_id"]: tuple(float(v) for v in recompute_fn(r))
+            for r in sub.to_pylist()}
+    have: dict[str, tuple] = {}
+    for tup in got[["image_id", *val_cols]].itertuples(index=False):
+        have.setdefault(tup[0], tuple(float(v) for v in tup[1:]))
+    for iid in picked:
+        if iid in have and have[iid] != want[iid]:
+            bad_i.append(iid)
+            bad_k.append("score")
+    return finish(pd.DataFrame({
+        "image_id": pd.Series(bad_i, dtype="str"),
+        "kind": pd.Series(bad_k, dtype="str")}), ["image_id", "kind"])
+
+
 def image_model_score_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
-    """``score_images_model`` rechecked three ways: exactly one row per
-    world image (ID_SET / DUP_ID), every score in [0, 1] with
-    keep == (score >= 0.5), and for a deterministic stride-sample a
-    DRIVER-side recompute — raw ``codec.decode_image`` over table-sliced
-    blobs + the shared forward pass — must reproduce the r4 score
-    bit-for-bit (the query's path goes through the per-worker cached
-    blob-view machinery; the model arithmetic is shared by contract,
-    the decode path and coverage accounting are independent). Returns
-    (image_id, kind) violation rows — expected empty."""
+    """``score_images_model`` through ``_per_image_gate_violations``:
+    coverage, score in [0, 1] with keep == (score >= 0.5), stride-sample
+    bit-exact recompute of the shared forward pass."""
     from ..codec import decode_image
     from ..ops.multimodal import (_IMG_MODEL_SIZE, ImageModelScorer,
                                   image_model_weights, score_images_model)
-    from ..pipelines.flagship import world_for
     from .common import r4
 
-    got = score_images_model(sf_dir)
-    w = world_for(sf_dir)
-
-    bad_i: list[str] = []
-    bad_k: list[str] = []
-    world_ids = w.images.column("image_id").to_pylist()
-    out_ids = got["image_id"].tolist()
-    if len(out_ids) != len(set(out_ids)):
-        dups = pd.Series(out_ids)
-        for i in sorted(dups[dups.duplicated()].unique()):
-            bad_i.append(i)
-            bad_k.append("dup_id")
-    for i in sorted(set(world_ids) ^ set(out_ids)):
-        bad_i.append(i)
-        bad_k.append("id_set_mismatch")
-
-    sc = got["score"].to_numpy(np.float64)
-    keep = got["keep"].to_numpy()
-    bad_rng = (sc < 0.0) | (sc > 1.0) | (keep != (sc >= 0.5))
-    for i in sorted(np.asarray(got["image_id"])[bad_rng]):
-        bad_i.append(i)
-        bad_k.append("range_or_keep")
-
-    ids_sorted = sorted(world_ids)
-    step = max(1, len(ids_sorted) // sample)
-    picked = sorted(set(ids_sorted[::step][:sample]))
-    import pyarrow.compute as pcmp
-
-    pick_arr = pa.array(picked, pa.string())
-    sub = w.images.filter(
-        pcmp.is_in(w.images.column("image_id"), value_set=pick_arr))
     bias, wv = image_model_weights()
-    want = {}
-    for r in sub.to_pylist():
+
+    def within(got):
+        sc = got["score"].to_numpy(np.float64)
+        keep = got["keep"].to_numpy()
+        return (sc >= 0.0) & (sc <= 1.0) & (keep == (sc >= 0.5))
+
+    def recompute(r):
         pix = decode_image(r["bytes"], r["fmt"])
-        want[r["image_id"]] = float(r4(ImageModelScorer.score_of(
-            pix, bias, wv, _IMG_MODEL_SIZE)))
-    rows = got.set_index("image_id")["score"]
-    for iid in picked:
-        if iid in rows.index and float(rows.loc[iid]) != want[iid]:
-            bad_i.append(iid)
-            bad_k.append("score")
-    return finish(pd.DataFrame({
-        "image_id": pd.Series(bad_i, dtype="str"),
-        "kind": pd.Series(bad_k, dtype="str")}), ["image_id", "kind"])
+        return (r4(ImageModelScorer.score_of(
+            pix, bias, wv, _IMG_MODEL_SIZE)),)
+
+    return _per_image_gate_violations(
+        sf_dir, score_images_model, ["score"], within, recompute, sample)
 
 
 def caption_alignment_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
-    """``caption_image_alignment`` rechecked three ways: exactly one row
-    per world image (ID_SET / DUP_ID), every score in [-1, 1] with
-    keep == (alignment >= ALIGN_KEEP_MIN), and for a deterministic
-    stride-sample a DRIVER-side recompute — raw ``codec.decode_image``
-    over table-sliced blobs + the shared dual-encoder forward — must
-    reproduce the r4 score bit-for-bit (the query's path goes through
-    the per-worker cached blob-view machinery and the broadcast
-    projection; the tower arithmetic is shared by contract, the decode
-    path, caption sourcing and coverage accounting are independent).
-    Returns (image_id, kind) violation rows — expected empty."""
+    """``caption_image_alignment`` through
+    ``_per_image_gate_violations``: coverage, alignment in [-1, 1] with
+    keep == (alignment >= ALIGN_KEEP_MIN), stride-sample bit-exact
+    recompute of the shared dual-encoder forward (the check sources the
+    caption from the raw world row, not the broadcast table)."""
     from ..codec import decode_image
     from ..ops.multimodal import (ALIGN_KEEP_MIN, CaptionAlignmentScorer,
                                   alignment_proj, caption_image_alignment)
-    from ..pipelines.flagship import world_for
     from .common import r4
 
-    got = caption_image_alignment(sf_dir)
-    w = world_for(sf_dir)
-
-    bad_i: list[str] = []
-    bad_k: list[str] = []
-    world_ids = w.images.column("image_id").to_pylist()
-    out_ids = got["image_id"].tolist()
-    if len(out_ids) != len(set(out_ids)):
-        dups = pd.Series(out_ids)
-        for i in sorted(dups[dups.duplicated()].unique()):
-            bad_i.append(i)
-            bad_k.append("dup_id")
-    for i in sorted(set(world_ids) ^ set(out_ids)):
-        bad_i.append(i)
-        bad_k.append("id_set_mismatch")
-
-    sc = got["alignment"].to_numpy(np.float64)
-    keep = got["keep"].to_numpy()
-    bad_rng = (sc < -1.0) | (sc > 1.0) | (keep != (sc >= ALIGN_KEEP_MIN))
-    for i in sorted(np.asarray(got["image_id"])[bad_rng]):
-        bad_i.append(i)
-        bad_k.append("range_or_keep")
-
-    ids_sorted = sorted(world_ids)
-    step = max(1, len(ids_sorted) // sample)
-    picked = sorted(set(ids_sorted[::step][:sample]))
-    import pyarrow.compute as pcmp
-
-    pick_arr = pa.array(picked, pa.string())
-    sub = w.images.filter(
-        pcmp.is_in(w.images.column("image_id"), value_set=pick_arr))
     proj = alignment_proj()
-    want = {}
-    for r in sub.to_pylist():
+
+    def within(got):
+        sc = got["alignment"].to_numpy(np.float64)
+        keep = got["keep"].to_numpy()
+        return (sc >= -1.0) & (sc <= 1.0) & (keep == (sc >= ALIGN_KEEP_MIN))
+
+    def recompute(r):
         pix = decode_image(r["bytes"], r["fmt"])
-        want[r["image_id"]] = float(r4(CaptionAlignmentScorer.alignment_of(
-            pix, r["caption"], proj)))
-    rows = got.set_index("image_id")["alignment"]
-    for iid in picked:
-        if iid in rows.index and float(rows.loc[iid]) != want[iid]:
-            bad_i.append(iid)
-            bad_k.append("score")
-    return finish(pd.DataFrame({
-        "image_id": pd.Series(bad_i, dtype="str"),
-        "kind": pd.Series(bad_k, dtype="str")}), ["image_id", "kind"])
+        return (r4(CaptionAlignmentScorer.alignment_of(
+            pix, r["caption"], proj)),)
+
+    return _per_image_gate_violations(
+        sf_dir, caption_image_alignment, ["alignment"], within, recompute,
+        sample)
 
 
 def image_sharpness_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
-    """``image_sharpness`` rechecked three ways: exactly one row per
-    world image (ID_SET / DUP_ID), edge_ratio in [0, 1] and
-    sharpness >= 0 with keep == (sharpness >= SHARP_KEEP_MIN), and for
-    a deterministic stride-sample a DRIVER-side recompute (raw
-    ``codec.decode_image`` + the shared Laplacian arithmetic) must
-    reproduce BOTH r4 features bit-for-bit. Returns (image_id, kind)
-    violation rows — expected empty."""
+    """``image_sharpness`` through ``_per_image_gate_violations``:
+    coverage, sharpness >= 0 and edge_ratio in [0, 1] with
+    keep == (sharpness >= SHARP_KEEP_MIN), stride-sample bit-exact
+    recompute of BOTH r4 features."""
     from ..codec import decode_image
     from ..ops.multimodal import (SHARP_KEEP_MIN, ImageSharpnessStage,
                                   image_sharpness)
-    from ..pipelines.flagship import world_for
     from .common import r4
 
-    got = image_sharpness(sf_dir)
-    w = world_for(sf_dir)
+    def within(got):
+        sh = got["sharpness"].to_numpy(np.float64)
+        er = got["edge_ratio"].to_numpy(np.float64)
+        keep = got["keep"].to_numpy()
+        return ((sh >= 0.0) & (er >= 0.0) & (er <= 1.0)
+                & (keep == (sh >= SHARP_KEEP_MIN)))
 
-    bad_i: list[str] = []
-    bad_k: list[str] = []
-    world_ids = w.images.column("image_id").to_pylist()
-    out_ids = got["image_id"].tolist()
-    if len(out_ids) != len(set(out_ids)):
-        dups = pd.Series(out_ids)
-        for i in sorted(dups[dups.duplicated()].unique()):
-            bad_i.append(i)
-            bad_k.append("dup_id")
-    for i in sorted(set(world_ids) ^ set(out_ids)):
-        bad_i.append(i)
-        bad_k.append("id_set_mismatch")
-
-    sh = got["sharpness"].to_numpy(np.float64)
-    er = got["edge_ratio"].to_numpy(np.float64)
-    keep = got["keep"].to_numpy()
-    bad_rng = ((sh < 0.0) | (er < 0.0) | (er > 1.0)
-               | (keep != (sh >= SHARP_KEEP_MIN)))
-    for i in sorted(np.asarray(got["image_id"])[bad_rng]):
-        bad_i.append(i)
-        bad_k.append("range_or_keep")
-
-    ids_sorted = sorted(world_ids)
-    step = max(1, len(ids_sorted) // sample)
-    picked = sorted(set(ids_sorted[::step][:sample]))
-    import pyarrow.compute as pcmp
-
-    pick_arr = pa.array(picked, pa.string())
-    sub = w.images.filter(
-        pcmp.is_in(w.images.column("image_id"), value_set=pick_arr))
-    want = {}
-    for r in sub.to_pylist():
+    def recompute(r):
         pix = decode_image(r["bytes"], r["fmt"])
         s, e = ImageSharpnessStage.sharpness_of(pix)
-        want[r["image_id"]] = (float(r4(s)), float(r4(e)))
-    g = got.set_index("image_id")
-    for iid in picked:
-        if iid in g.index and (
-                float(g.loc[iid, "sharpness"]),
-                float(g.loc[iid, "edge_ratio"])) != want[iid]:
-            bad_i.append(iid)
-            bad_k.append("score")
-    return finish(pd.DataFrame({
-        "image_id": pd.Series(bad_i, dtype="str"),
-        "kind": pd.Series(bad_k, dtype="str")}), ["image_id", "kind"])
+        return (r4(s), r4(e))
+
+    return _per_image_gate_violations(
+        sf_dir, image_sharpness, ["sharpness", "edge_ratio"], within,
+        recompute, sample)

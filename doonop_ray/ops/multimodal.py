@@ -691,23 +691,113 @@ def image_model_weights(size: int = _IMG_MODEL_SIZE):
     return float(rng.normal(0.0, 0.1)), w
 
 
-class ImageModelScorer:
+class _PerImageFeatureStage:
+    """Shared scaffold for the per-image feature gates
+    (``ImageModelScorer`` / ``CaptionAlignmentScorer`` /
+    ``ImageSharpnessStage``): deref the broadcast payload table once per
+    worker, zero-copy blob views, one decode per image, then delegate to
+    the subclass's feature arithmetic. Subclasses declare
+
+    - ``EXTRA_COLS`` — payload-table columns to ride alongside
+      image_id/fmt into ``features_of`` (e.g. ``caption``),
+    - ``FEATURES`` — ``(name, r4?)`` float64 feature columns emitted
+      after ``image_id`` (``r4?`` rounds for bit-exact recompute
+      checks),
+
+    and implement ``features_of(pix, *extras) -> tuple`` plus
+    ``keep_of(cols) -> bool array`` (computed from the ROUNDED columns
+    so query and integrity check agree bit-for-bit). All three are
+    dispatched task-pool via their ``make_*_fn`` wrappers — per-worker
+    cached state, decode-bound, metadata-only output, no exchange."""
+
+    EXTRA_COLS: tuple = ()
+    FEATURES: tuple = ()
+
+    def __init__(self, images_ref):
+        from ..codec import decode_image
+        from ..stages.fetch import _combined_view, _deref, blob_view
+
+        t = _deref(images_ref)
+        self.tab = _combined_view(
+            t.select(["image_id", "fmt", *self.EXTRA_COLS]))
+        self._blobs = blob_view(t)
+        self._decode = decode_image
+
+    def features_of(self, pix, *extras) -> tuple:
+        raise NotImplementedError
+
+    def keep_of(self, cols: dict) -> np.ndarray:
+        raise NotImplementedError
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(batch) == 0:  # typed empty (empty-world safety)
+            out = {"image_id": pa.array([], pa.string())}
+            for name, _ in self.FEATURES:
+                out[name] = pa.array([], pa.float64())
+            out["keep"] = pa.array([], pa.bool_())
+            return pa.table(out)
+        idx = pc.index_in(batch.column("image_id"),
+                          value_set=self.tab.column("image_id"))
+        src = np.asarray(idx)
+        fmts = pc.take(self.tab.column("fmt"), idx).to_pylist()
+        extras = [pc.take(self.tab.column(c), idx).to_pylist()
+                  for c in self.EXTRA_COLS]
+        rows = []
+        for i in range(len(batch)):
+            pix = self._decode(self._blobs[int(src[i])].as_buffer(), fmts[i])
+            rows.append(self.features_of(pix, *(e[i] for e in extras)))
+        from .common import r4
+
+        cols = {}
+        for j, (name, do_r4) in enumerate(self.FEATURES):
+            arr = np.array([r[j] for r in rows], np.float64)
+            cols[name] = r4(arr) if do_r4 else arr
+        out = {"image_id": batch.column("image_id")}
+        for name, _ in self.FEATURES:
+            out[name] = pa.array(cols[name], pa.float64())
+        out["keep"] = pa.array(self.keep_of(cols))
+        return pa.table(out)
+
+
+def _run_per_image_stage(sf_dir: str, fn, n_blocks: int = 32,
+                         batch_size: int = 1024) -> pd.DataFrame:
+    """Shared driver for the per-image feature gates: split the world's
+    id column into ``n_blocks`` Arrow blocks and stream them through a
+    task-pool ``map_batches`` (per-worker cached state via the ``fn``
+    wrapper). Output is one metadata row per image."""
+    import ray.data as rd
+
+    from ..pipelines.flagship import world_for
+
+    w = world_for(sf_dir)
+    ids = w.images.select(["image_id"])
+    step = max(1, -(-len(ids) // n_blocks))
+    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
+    ds = rd.from_arrow(blocks).map_batches(
+        fn,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+    )
+    return finish(ds.to_pandas(), ["image_id"])
+
+
+class ImageModelScorer(_PerImageFeatureStage):
     """Model-inference stage over image payloads: decode (repo codec),
     nearest-neighbor resize to the model's input geometry, one linear
     forward + sigmoid per image — weights deserialized ONCE per worker
     from a broadcast ref (the ``_ModelScorer`` batched-inference
-    pattern on the image axis). Dispatched as a task-pool
-    ``map_batches`` via ``make_image_scorer_fn``."""
+    pattern on the image axis). Dispatched task-pool via
+    ``make_image_scorer_fn``."""
+
+    FEATURES = (("score", True),)
 
     def __init__(self, images_ref, weights_ref, size: int = _IMG_MODEL_SIZE):
-        from ..codec import decode_image
-        from ..stages.fetch import _combined_view, _deref, blob_view
+        super().__init__(images_ref)
         from .common import bcast_get
 
-        t = _deref(images_ref)
-        self.tab = _combined_view(t.select(["image_id", "fmt"]))
-        self._blobs = blob_view(t)
-        self._decode = decode_image
         self.bias, self.w = bcast_get(weights_ref)
         self.size = size
 
@@ -724,31 +814,11 @@ class ImageModelScorer:
         z = bias + float(np.dot(x, w))
         return 1.0 / (1.0 + np.exp(-z))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def features_of(self, pix, *extras) -> tuple:
+        return (self.score_of(pix, self.bias, self.w, self.size),)
 
-        if len(batch) == 0:
-            return pa.table({
-                "image_id": pa.array([], pa.string()),
-                "score": pa.array([], pa.float64()),
-                "keep": pa.array([], pa.bool_()),
-            })
-        idx = pc.index_in(batch.column("image_id"),
-                          value_set=self.tab.column("image_id"))
-        src = np.asarray(idx)
-        fmts = pc.take(self.tab.column("fmt"), idx).to_pylist()
-        scores = np.empty(len(batch), np.float64)
-        for i in range(len(batch)):
-            pix = self._decode(self._blobs[int(src[i])].as_buffer(), fmts[i])
-            scores[i] = self.score_of(pix, self.bias, self.w, self.size)
-        from .common import r4
-
-        scores = r4(scores)
-        return pa.table({
-            "image_id": batch.column("image_id"),
-            "score": pa.array(scores, pa.float64()),
-            "keep": pa.array(scores >= 0.5),
-        })
+    def keep_of(self, cols: dict) -> np.ndarray:
+        return cols["score"] >= 0.5
 
 
 def make_image_scorer_fn(images_ref, weights_ref):
@@ -778,23 +848,14 @@ def score_images_model(sf_dir: str) -> pd.DataFrame:
     streams metadata-only output. At 100 TB this is decode-bound, and
     the stage parallelizes to the full CPU count with no exchange."""
     import ray
-    import ray.data as rd
 
     from ..pipelines.flagship import _ref_for, tier_of, world_for
 
     w = world_for(sf_dir)
     images_ref = _ref_for(tier_of(sf_dir), w, "images")
     wref = ray.put(image_model_weights())
-    ids = w.images.select(["image_id"])
-    step = max(1, -(-len(ids) // 32))
-    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
-    ds = rd.from_arrow(blocks).map_batches(
-        make_image_scorer_fn(images_ref, wref),
-        batch_format="pyarrow",
-        batch_size=1024,
-        num_cpus=1,
-    )
-    return finish(ds.to_pandas(), ["image_id"])
+    return _run_per_image_stage(
+        sf_dir, make_image_scorer_fn(images_ref, wref))
 
 
 # ---------------------------------------------------------------------------
@@ -817,7 +878,7 @@ def alignment_proj(dim: int = _ALIGN_DIM, size: int = _ALIGN_SIZE):
     return rng.normal(0.0, 1.0, (dim, size * size * 3))
 
 
-class CaptionAlignmentScorer:
+class CaptionAlignmentScorer(_PerImageFeatureStage):
     """Dual-encoder alignment scoring over image+caption pairs — the
     CLIP-style filtering gate an image-text curation pipeline runs to
     drop mismatched pairs (the LAION recipe). Image tower: nearest-
@@ -828,21 +889,17 @@ class CaptionAlignmentScorer:
 
     Scale shape: the projection ships once (``ray.put``) and
     deserializes once per worker; captions ride the broadcast payload
-    table (they are part of the input_hint row); output is
-    metadata-only. Decode-bound, no exchange — same profile as
-    ``ImageModelScorer``. Dispatched task-pool via
-    ``make_alignment_fn`` (per-worker cached state)."""
+    table (they are part of the input_hint row); decode-bound task
+    pool, no exchange — same profile as ``ImageModelScorer``."""
+
+    EXTRA_COLS = ("caption",)
+    FEATURES = (("alignment", True),)
 
     def __init__(self, images_ref, proj_ref,
                  dim: int = _ALIGN_DIM, size: int = _ALIGN_SIZE):
-        from ..codec import decode_image
-        from ..stages.fetch import _combined_view, _deref, blob_view
+        super().__init__(images_ref)
         from .common import bcast_get
 
-        t = _deref(images_ref)
-        self.tab = _combined_view(t.select(["image_id", "fmt", "caption"]))
-        self._blobs = blob_view(t)
-        self._decode = decode_image
         self.proj = bcast_get(proj_ref)
         self.dim = dim
         self.size = size
@@ -881,33 +938,12 @@ class CaptionAlignmentScorer:
             e = e / n
         return float(np.dot(e, cls.embed_text(caption, dim)))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def features_of(self, pix, caption) -> tuple:
+        return (self.alignment_of(
+            pix, caption, self.proj, self.dim, self.size),)
 
-        if len(batch) == 0:
-            return pa.table({
-                "image_id": pa.array([], pa.string()),
-                "alignment": pa.array([], pa.float64()),
-                "keep": pa.array([], pa.bool_()),
-            })
-        idx = pc.index_in(batch.column("image_id"),
-                          value_set=self.tab.column("image_id"))
-        src = np.asarray(idx)
-        fmts = pc.take(self.tab.column("fmt"), idx).to_pylist()
-        caps = pc.take(self.tab.column("caption"), idx).to_pylist()
-        scores = np.empty(len(batch), np.float64)
-        for i in range(len(batch)):
-            pix = self._decode(self._blobs[int(src[i])].as_buffer(), fmts[i])
-            scores[i] = self.alignment_of(
-                pix, caps[i], self.proj, self.dim, self.size)
-        from .common import r4
-
-        scores = r4(scores)
-        return pa.table({
-            "image_id": batch.column("image_id"),
-            "alignment": pa.array(scores, pa.float64()),
-            "keep": pa.array(scores >= ALIGN_KEEP_MIN),
-        })
+    def keep_of(self, cols: dict) -> np.ndarray:
+        return cols["alignment"] >= ALIGN_KEEP_MIN
 
 
 def make_alignment_fn(images_ref, proj_ref):
@@ -934,23 +970,14 @@ def caption_image_alignment(sf_dir: str) -> pd.DataFrame:
     payload table + broadcast projection, per-worker cached towers,
     decode-bound task pool, metadata-only output, no exchange."""
     import ray
-    import ray.data as rd
 
     from ..pipelines.flagship import _ref_for, tier_of, world_for
 
     w = world_for(sf_dir)
     images_ref = _ref_for(tier_of(sf_dir), w, "images")
     pref = ray.put(alignment_proj())
-    ids = w.images.select(["image_id"])
-    step = max(1, -(-len(ids) // 32))
-    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
-    ds = rd.from_arrow(blocks).map_batches(
-        make_alignment_fn(images_ref, pref),
-        batch_format="pyarrow",
-        batch_size=1024,
-        num_cpus=1,
-    )
-    return finish(ds.to_pandas(), ["image_id"])
+    return _run_per_image_stage(
+        sf_dir, make_alignment_fn(images_ref, pref))
 
 
 # ---------------------------------------------------------------------------
@@ -965,23 +992,16 @@ SHARP_KEEP_MIN = 42.0
 _EDGE_T = 8.0
 
 
-class ImageSharpnessStage:
+class ImageSharpnessStage(_PerImageFeatureStage):
     """Focus-measure stage: decode (repo codec), grayscale, 5-point
     Laplacian over the interior, emit the classic variance-of-Laplacian
     sharpness score plus the edge-pixel ratio — the blur-filtering gate
     of an image-curation pipeline (a blurry crawl image has low
     Laplacian variance regardless of brightness/contrast, which is why
     this is a separate feature from ``ImageCurator``'s photometric
-    stats). Dispatched task-pool via ``make_sharpness_fn``."""
+    stats)."""
 
-    def __init__(self, images_ref):
-        from ..codec import decode_image
-        from ..stages.fetch import _combined_view, _deref, blob_view
-
-        t = _deref(images_ref)
-        self.tab = _combined_view(t.select(["image_id", "fmt"]))
-        self._blobs = blob_view(t)
-        self._decode = decode_image
+    FEATURES = (("sharpness", True), ("edge_ratio", True))
 
     @staticmethod
     def sharpness_of(pix) -> tuple[float, float]:
@@ -995,35 +1015,11 @@ class ImageSharpnessStage:
             return 0.0, 0.0
         return float(lap.var()), float(np.mean(np.abs(lap) > _EDGE_T))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def features_of(self, pix, *extras) -> tuple:
+        return self.sharpness_of(pix)
 
-        if len(batch) == 0:
-            return pa.table({
-                "image_id": pa.array([], pa.string()),
-                "sharpness": pa.array([], pa.float64()),
-                "edge_ratio": pa.array([], pa.float64()),
-                "keep": pa.array([], pa.bool_()),
-            })
-        idx = pc.index_in(batch.column("image_id"),
-                          value_set=self.tab.column("image_id"))
-        src = np.asarray(idx)
-        fmts = pc.take(self.tab.column("fmt"), idx).to_pylist()
-        sh = np.empty(len(batch), np.float64)
-        er = np.empty(len(batch), np.float64)
-        for i in range(len(batch)):
-            pix = self._decode(self._blobs[int(src[i])].as_buffer(), fmts[i])
-            sh[i], er[i] = self.sharpness_of(pix)
-        from .common import r4
-
-        sh = r4(sh)
-        er = r4(er)
-        return pa.table({
-            "image_id": batch.column("image_id"),
-            "sharpness": pa.array(sh, pa.float64()),
-            "edge_ratio": pa.array(er, pa.float64()),
-            "keep": pa.array(sh >= SHARP_KEEP_MIN),
-        })
+    def keep_of(self, cols: dict) -> np.ndarray:
+        return cols["sharpness"] >= SHARP_KEEP_MIN
 
 
 def make_sharpness_fn(images_ref):
@@ -1046,19 +1042,8 @@ def image_sharpness(sf_dir: str) -> pd.DataFrame:
 
     Scale shape: broadcast payload table, per-worker cached state,
     decode-bound task pool, metadata-only output, no exchange."""
-    import ray.data as rd
-
     from ..pipelines.flagship import _ref_for, tier_of, world_for
 
     w = world_for(sf_dir)
     images_ref = _ref_for(tier_of(sf_dir), w, "images")
-    ids = w.images.select(["image_id"])
-    step = max(1, -(-len(ids) // 32))
-    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
-    ds = rd.from_arrow(blocks).map_batches(
-        make_sharpness_fn(images_ref),
-        batch_format="pyarrow",
-        batch_size=1024,
-        num_cpus=1,
-    )
-    return finish(ds.to_pandas(), ["image_id"])
+    return _run_per_image_stage(sf_dir, make_sharpness_fn(images_ref))

@@ -3,6 +3,7 @@ deterministic fake audio/video payloads, real image codec path; values
 pinned against pure-python recomputation."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from doonop_ray.ops import multimodal as mm
@@ -342,14 +343,17 @@ def test_caption_image_alignment_pinned(ray_session):
         want = float(r4(mm.CaptionAlignmentScorer.alignment_of(
             pix, r["caption"], proj)))
         assert float(sub.loc[r["image_id"], "alignment"]) == want
-    # cross-modal sensitivity: pairing image 0 with image 1's caption
-    # must move the score for at least one direction of the swap
+    # cross-modal sensitivity, both towers: swapping the CAPTION under
+    # a fixed image moves the score (text tower live), and swapping the
+    # IMAGE under a fixed caption moves it too (image tower live) — the
+    # one-sided OR form would pass even with a dead image tower
     pix0 = decode_image(rows[0]["bytes"], rows[0]["fmt"])
     pix1 = decode_image(rows[1]["bytes"], rows[1]["fmt"])
     a00 = mm.CaptionAlignmentScorer.alignment_of(pix0, rows[0]["caption"], proj)
     a01 = mm.CaptionAlignmentScorer.alignment_of(pix0, rows[1]["caption"], proj)
     a11 = mm.CaptionAlignmentScorer.alignment_of(pix1, rows[1]["caption"], proj)
-    assert a01 != a00 or a01 != a11
+    assert a01 != a00  # caption swap moves the score
+    assert a01 != a11  # image swap moves the score
     assert caption_alignment_violations(SF).empty
 
 
@@ -366,6 +370,26 @@ def test_caption_alignment_check_tamper(ray_session, monkeypatch):
     monkeypatch.setattr(mm, "caption_image_alignment", bad)
     kinds = set(ck.caption_alignment_violations(SF)["kind"])
     assert "range_or_keep" in kinds
+
+
+def test_caption_alignment_check_nan_and_dup(ray_session, monkeypatch):
+    """NaN scores must not slip through the positive-form range gate,
+    and a duplicated id (first sorted id is always in the stride
+    sample) must be REPORTED, not crash the recompute compare."""
+    from doonop_ray.ops import checks as ck
+
+    good = mm.caption_image_alignment(SF)
+
+    def bad(sf_dir):
+        out = good.copy()
+        out.loc[1, "alignment"] = float("nan")  # keep stays False
+        out.loc[1, "keep"] = False
+        return pd.concat([out.iloc[:1], out], ignore_index=True)  # dup row 0
+
+    monkeypatch.setattr(mm, "caption_image_alignment", bad)
+    kinds = set(ck.caption_alignment_violations(SF)["kind"])
+    assert "range_or_keep" in kinds  # the NaN row
+    assert "dup_id" in kinds
 
 
 def test_image_sharpness_pinned(ray_session):
