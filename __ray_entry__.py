@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_sharpness": multimodal.image_sharpness,
         "image_sharpness_violations":
             checks.image_sharpness_violations,
+        "image_text_retrieval": multimodal.image_text_retrieval,
+        "retrieval_eval_violations":
+            checks.retrieval_eval_violations,
         # stream-shaped windows
         "events_hourly": windows.events_hourly,
         "events_gap_fill": windows.events_gap_fill,
@@ -1360,6 +1363,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE FALSE
         """,
         "image_sharpness_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "retrieval_eval_violations": """
             SELECT CAST(NULL AS VARCHAR) AS image_id,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE

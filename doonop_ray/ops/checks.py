@@ -1952,3 +1952,72 @@ def image_sharpness_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
     return _per_image_gate_violations(
         sf_dir, image_sharpness, ["sharpness", "edge_ratio"], within,
         recompute, sample)
+
+
+def retrieval_eval_violations(sf_dir: str) -> pd.DataFrame:
+    """``image_text_retrieval`` rechecked by a FULL independent
+    driver-side recompute — feasible because the candidate pool is the
+    fixed-size sample, not the corpus: re-pick the sample ids, decode
+    each query image with raw ``codec.decode_image`` over table-sliced
+    blobs, rebuild both towers' embeddings, and re-rank with the shared
+    ``retrieval_ranks`` rule. Every (rank, hit1, hit5) row must match
+    exactly, flags must be consistent with the rank, ranks must lie in
+    [1, Q], and the output id set must equal the sample. Returns
+    (image_id, kind) violation rows — expected empty."""
+    from ..codec import decode_image
+    from ..ops.multimodal import (_RETRIEVAL_Q, CaptionAlignmentScorer,
+                                  _retrieval_sample, alignment_proj,
+                                  image_text_retrieval, retrieval_ranks)
+    from ..pipelines.flagship import world_for
+
+    got = image_text_retrieval(sf_dir)
+    w = world_for(sf_dir)
+    picked = _retrieval_sample(w, _RETRIEVAL_Q)
+
+    bad_i: list[str] = []
+    bad_k: list[str] = []
+    out_ids = got["image_id"].tolist()
+    if len(out_ids) != len(set(out_ids)):
+        dups = pd.Series(out_ids)
+        for i in sorted(dups[dups.duplicated()].unique()):
+            bad_i.append(i)
+            bad_k.append("dup_id")
+    for i in sorted(set(picked) ^ set(out_ids)):
+        bad_i.append(i)
+        bad_k.append("id_set_mismatch")
+
+    q = len(picked)
+    rk = got["rank"].to_numpy(np.int64)
+    ok = ((rk >= 1) & (rk <= max(q, 1))
+          & (got["hit1"].to_numpy() == (rk == 1))
+          & (got["hit5"].to_numpy() == (rk <= 5)))
+    for i in sorted(np.asarray(got["image_id"])[~ok]):
+        bad_i.append(i)
+        bad_k.append("range_or_flags")
+
+    if picked:
+        import pyarrow.compute as pcmp
+
+        pick_arr = pa.array(picked, pa.string())
+        sub = w.images.filter(
+            pcmp.is_in(w.images.column("image_id"), value_set=pick_arr))
+        rows = {r["image_id"]: r for r in sub.to_pylist()}
+        proj = alignment_proj()
+        img_emb = np.stack([
+            CaptionAlignmentScorer.embed_image(
+                decode_image(rows[i]["bytes"], rows[i]["fmt"]), proj)
+            for i in picked])
+        txt_emb = np.stack([
+            CaptionAlignmentScorer.embed_text(rows[i]["caption"])
+            for i in picked])
+        want = dict(zip(picked, retrieval_ranks(img_emb, txt_emb)))
+        have: dict[str, int] = {}
+        for iid, r in zip(out_ids, rk):
+            have.setdefault(iid, int(r))
+        for iid in picked:
+            if iid in have and have[iid] != int(want[iid]):
+                bad_i.append(iid)
+                bad_k.append("rank")
+    return finish(pd.DataFrame({
+        "image_id": pd.Series(bad_i, dtype="str"),
+        "kind": pd.Series(bad_k, dtype="str")}), ["image_id", "kind"])

@@ -920,6 +920,19 @@ class CaptionAlignmentScorer(_PerImageFeatureStage):
         n = float(np.linalg.norm(vec))
         return vec / n if n else vec
 
+    @staticmethod
+    def embed_image(pix, proj, size: int = _ALIGN_SIZE) -> np.ndarray:
+        """Image tower: nearest-neighbor resize, linear projection,
+        L2 normalize (shared arithmetic — ``alignment_of`` and the
+        retrieval eval both rank with exactly this embedding)."""
+        h, wd = pix.shape[:2]
+        yi = (np.arange(size) * h) // size
+        xi = (np.arange(size) * wd) // size
+        x = pix[yi][:, xi].astype(np.float64).ravel() / 255.0
+        e = proj @ x
+        n = float(np.linalg.norm(e))
+        return e / n if n else e
+
     @classmethod
     def alignment_of(cls, pix, caption: str, proj,
                      dim: int = _ALIGN_DIM,
@@ -928,15 +941,8 @@ class CaptionAlignmentScorer(_PerImageFeatureStage):
         on their OWN decodes; the check's independence is in the decode
         path and coverage accounting — the ``ImageModelScorer.score_of``
         contract)."""
-        h, wd = pix.shape[:2]
-        yi = (np.arange(size) * h) // size
-        xi = (np.arange(size) * wd) // size
-        x = pix[yi][:, xi].astype(np.float64).ravel() / 255.0
-        e = proj @ x
-        n = float(np.linalg.norm(e))
-        if n:
-            e = e / n
-        return float(np.dot(e, cls.embed_text(caption, dim)))
+        return float(np.dot(cls.embed_image(pix, proj, size),
+                            cls.embed_text(caption, dim)))
 
     def features_of(self, pix, caption) -> tuple:
         return (self.alignment_of(
@@ -1047,3 +1053,133 @@ def image_sharpness(sf_dir: str) -> pd.DataFrame:
     w = world_for(sf_dir)
     images_ref = _ref_for(tier_of(sf_dir), w, "images")
     return _run_per_image_stage(sf_dir, make_sharpness_fn(images_ref))
+
+
+# ---------------------------------------------------------------------------
+# image→text retrieval evaluation (recall@k over in-batch candidates)
+# ---------------------------------------------------------------------------
+
+_RETRIEVAL_Q = 128
+
+
+def _retrieval_sample(w, n_queries: int) -> list[str]:
+    """Deterministic stride-sample of query image ids (the checks'
+    picking convention, shared by query and violation check)."""
+    ids_sorted = sorted(w.images.column("image_id").to_pylist())
+    if not ids_sorted:
+        return []
+    step = max(1, len(ids_sorted) // n_queries)
+    return sorted(set(ids_sorted[::step][:n_queries]))
+
+
+def make_image_embed_fn(images_ref, proj_ref):
+    """Task-pool wrapper emitting (image_id, embedding list<float64>)
+    through the cached ``CaptionAlignmentScorer`` image tower."""
+    from ..stages.fetch import _cached
+
+    key = ("cap_align",  # share the alignment gate's worker state
+           getattr(images_ref, "hex", lambda: id(images_ref))(),
+           getattr(proj_ref, "hex", lambda: id(proj_ref))())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(batch) == 0:
+            return pa.table({
+                "image_id": pa.array([], pa.string()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            })
+        st = _cached(
+            key, lambda: CaptionAlignmentScorer(images_ref, proj_ref))
+        idx = pc.index_in(batch.column("image_id"),
+                          value_set=st.tab.column("image_id"))
+        src = np.asarray(idx)
+        fmts = pc.take(st.tab.column("fmt"), idx).to_pylist()
+        embs = []
+        for i in range(len(batch)):
+            pix = st._decode(st._blobs[int(src[i])].as_buffer(), fmts[i])
+            embs.append(st.embed_image(pix, st.proj, st.size).tolist())
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "embedding": pa.array(embs, pa.list_(pa.float64())),
+        })
+
+    return fn
+
+
+def retrieval_ranks(img_emb: np.ndarray, txt_emb: np.ndarray) -> np.ndarray:
+    """Optimistic 1-indexed rank of the TRUE caption for each query
+    image: scores = img_emb @ txt_emb.T (row i's true caption is column
+    i), rank_i = 1 + #{j: S[i,j] > S[i,i]} — ties resolve in favor of
+    the true caption (deterministic; shared by query and check)."""
+    if len(img_emb) == 0:
+        return np.zeros(0, np.int64)
+    s = img_emb @ txt_emb.T
+    own = np.diag(s)
+    return 1 + (s > own[:, None]).sum(axis=1).astype(np.int64)
+
+
+def image_text_retrieval(sf_dir: str,
+                         n_queries: int = _RETRIEVAL_Q) -> pd.DataFrame:
+    """Image→text retrieval evaluation — the standard dual-encoder
+    quality metric (CLIP-style recall@k with in-batch candidates): for
+    a deterministic stride-sample of query images, embed each image
+    (distributed decode + the alignment gate's image tower) and rank
+    its TRUE caption against the sample's other captions by cosine.
+    One row per query image: (image_id, rank, hit1, hit5).
+
+    Scale shape: the candidate pool is the FIXED-SIZE sample (in-batch
+    negatives — the standard protocol), so the driver-side score matrix
+    is Q×Q at any corpus size; the distributed part is the decode-bound
+    embedding stage over only the sampled ids (pruned id blocks through
+    the broadcast payload table). Corpus recall@1/@5 are one mean()
+    over the returned frame."""
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.flagship import _ref_for, tier_of, world_for
+
+    w = world_for(sf_dir)
+    picked = _retrieval_sample(w, n_queries)
+    if not picked:
+        return finish(pd.DataFrame({
+            "image_id": pd.Series([], dtype="str"),
+            "rank": pd.Series([], dtype="int64"),
+            "hit1": pd.Series([], dtype="bool"),
+            "hit5": pd.Series([], dtype="bool"),
+        }), ["image_id"])
+    images_ref = _ref_for(tier_of(sf_dir), w, "images")
+    pref = ray.put(alignment_proj())
+    ids = pa.table({"image_id": pa.array(picked, pa.string())})
+    step = max(1, -(-len(ids) // 8))
+    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
+    emb = rd.from_arrow(blocks).map_batches(
+        make_image_embed_fn(images_ref, pref),
+        batch_format="pyarrow",
+        batch_size=1024,
+        num_cpus=1,
+    ).to_pandas().sort_values("image_id", kind="mergesort")
+    img_emb = np.asarray(emb["embedding"].tolist(), np.float64)
+
+    # caption pool: the sampled images' true captions, in the SAME
+    # sorted-id order (column i is row i's true caption) — a pruned
+    # filter on the metadata columns, never the payload bytes
+    import pyarrow.compute as pcmp
+
+    pick_arr = pa.array(picked, pa.string())
+    cap_tab = w.images.filter(
+        pcmp.is_in(w.images.column("image_id"), value_set=pick_arr)
+    ).select(["image_id", "caption"])
+    caps = dict(zip(cap_tab.column("image_id").to_pylist(),
+                    cap_tab.column("caption").to_pylist()))
+    txt_emb = np.stack([
+        CaptionAlignmentScorer.embed_text(caps[i])
+        for i in emb["image_id"]])
+
+    rank = retrieval_ranks(img_emb, txt_emb)
+    return finish(pd.DataFrame({
+        "image_id": emb["image_id"].astype("str").to_numpy(),
+        "rank": rank,
+        "hit1": rank == 1,
+        "hit5": rank <= 5,
+    }), ["image_id"])

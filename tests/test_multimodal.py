@@ -449,3 +449,53 @@ def test_alignment_empty_caption_scores_zero():
         0, 255, (16, 16, 3)).astype(np.uint8)
     assert mm.CaptionAlignmentScorer.alignment_of(
         pix, "", mm.alignment_proj()) == 0.0
+
+
+def test_image_text_retrieval_pinned(ray_session):
+    """Retrieval eval: one row per sampled image, ranks in [1, Q] with
+    consistent hit flags, full-recompute check empty, and the ranking
+    rule pinned on a hand-built score matrix."""
+    from doonop_ray.ops.checks import retrieval_eval_violations
+    from doonop_ray.pipelines.flagship import world_for
+
+    df = mm.image_text_retrieval(SF)
+    w = world_for(SF)
+    picked = mm._retrieval_sample(w, mm._RETRIEVAL_Q)
+    assert sorted(df["image_id"]) == picked
+    q = len(picked)
+    assert df["rank"].between(1, q).all()
+    assert (df["hit1"] == (df["rank"] == 1)).all()
+    assert (df["hit5"] == (df["rank"] <= 5)).all()
+    assert retrieval_eval_violations(SF).empty
+
+    # ranking rule: identity towers -> everything retrieves at rank 1;
+    # an adversarial matrix pins the optimistic tie handling
+    eye = np.eye(3)
+    assert list(mm.retrieval_ranks(eye, eye)) == [1, 1, 1]
+    img = np.array([[1.0, 0.0], [0.0, 1.0]])
+    txt = np.array([[0.0, 1.0], [0.0, 1.0]])  # txt0 == txt1: tie
+    # scores row0 = [0, 0] -> tie with own -> optimistic rank 1;
+    # row1 = [1, 1] -> tie -> rank 1
+    assert list(mm.retrieval_ranks(img, txt)) == [1, 1]
+    txt2 = np.array([[0.0, 1.0], [1.0, 0.0]])  # true caption strictly worse
+    # row0: own=txt0 score 0, other=1 -> rank 2
+    assert list(mm.retrieval_ranks(img, txt2)) == [2, 2]
+
+
+def test_retrieval_check_tamper(ray_session, monkeypatch):
+    from doonop_ray.ops import checks as ck
+
+    good = mm.image_text_retrieval(SF)
+
+    def bad(sf_dir):
+        out = good.copy()
+        # corrupt a rank but keep flags consistent -> only the full
+        # recompute can catch it
+        out.loc[0, "rank"] = max(2, int(out.loc[0, "rank"]) % 5 + 2)
+        out.loc[0, "hit1"] = False
+        out.loc[0, "hit5"] = bool(out.loc[0, "rank"] <= 5)
+        return out
+
+    monkeypatch.setattr(mm, "image_text_retrieval", bad)
+    kinds = set(ck.retrieval_eval_violations(SF)["kind"])
+    assert "rank" in kinds
