@@ -1852,9 +1852,9 @@ def _per_image_gate_violations(sf_dir: str, query_fn, val_cols: list[str],
         bad_i.append(i)
         bad_k.append("range_or_keep")
 
-    ids_sorted = sorted(world_ids)
-    step = max(1, len(ids_sorted) // sample)
-    picked = sorted(set(ids_sorted[::step][:sample]))
+    from ..ops.multimodal import _retrieval_sample
+
+    picked = _retrieval_sample(w, sample)
     import pyarrow.compute as pcmp
 
     pick_arr = pa.array(picked, pa.string())
@@ -1987,8 +1987,11 @@ def retrieval_eval_violations(sf_dir: str) -> pd.DataFrame:
         bad_k.append("id_set_mismatch")
 
     q = len(picked)
-    rk = got["rank"].to_numpy(np.int64)
-    ok = ((rk >= 1) & (rk <= max(q, 1))
+    # read ranks as float so a NaN/fractional rank is FLAGGED by the
+    # positive-form gate, never a conversion crash (the
+    # _per_image_gate_violations NaN convention)
+    rk = got["rank"].to_numpy(np.float64)
+    ok = ((rk >= 1) & (rk <= max(q, 1)) & (rk == np.floor(rk))
           & (got["hit1"].to_numpy() == (rk == 1))
           & (got["hit5"].to_numpy() == (rk <= 5)))
     for i in sorted(np.asarray(got["image_id"])[~ok]):
@@ -2011,11 +2014,11 @@ def retrieval_eval_violations(sf_dir: str) -> pd.DataFrame:
             CaptionAlignmentScorer.embed_text(rows[i]["caption"])
             for i in picked])
         want = dict(zip(picked, retrieval_ranks(img_emb, txt_emb)))
-        have: dict[str, int] = {}
+        have: dict[str, float] = {}
         for iid, r in zip(out_ids, rk):
-            have.setdefault(iid, int(r))
+            have.setdefault(iid, float(r))  # NaN-safe: NaN != want flags
         for iid in picked:
-            if iid in have and have[iid] != int(want[iid]):
+            if iid in have and have[iid] != float(want[iid]):
                 bad_i.append(iid)
                 bad_k.append("rank")
     return finish(pd.DataFrame({

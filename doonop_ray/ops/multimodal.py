@@ -729,25 +729,31 @@ class _PerImageFeatureStage:
     def keep_of(self, cols: dict) -> np.ndarray:
         raise NotImplementedError
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def decoded(self, batch: pa.Table):
+        """Yield (pix, *extras) per batch row — the shared broadcast-
+        table lookup + decode dispatch (``__call__`` and the retrieval
+        embed fn both go through this single copy)."""
         import pyarrow.compute as pc
 
-        if len(batch) == 0:  # typed empty (empty-world safety)
-            out = {"image_id": pa.array([], pa.string())}
-            for name, _ in self.FEATURES:
-                out[name] = pa.array([], pa.float64())
-            out["keep"] = pa.array([], pa.bool_())
-            return pa.table(out)
         idx = pc.index_in(batch.column("image_id"),
                           value_set=self.tab.column("image_id"))
         src = np.asarray(idx)
         fmts = pc.take(self.tab.column("fmt"), idx).to_pylist()
         extras = [pc.take(self.tab.column(c), idx).to_pylist()
                   for c in self.EXTRA_COLS]
-        rows = []
         for i in range(len(batch)):
             pix = self._decode(self._blobs[int(src[i])].as_buffer(), fmts[i])
-            rows.append(self.features_of(pix, *(e[i] for e in extras)))
+            yield (pix, *(e[i] for e in extras))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # typed empty (empty-world safety)
+            out = {"image_id": pa.array([], pa.string())}
+            for name, _ in self.FEATURES:
+                out[name] = pa.array([], pa.float64())
+            out["keep"] = pa.array([], pa.bool_())
+            return pa.table(out)
+        rows = [self.features_of(pix, *extras)
+                for pix, *extras in self.decoded(batch)]
         from .common import r4
 
         cols = {}
@@ -759,6 +765,35 @@ class _PerImageFeatureStage:
             out[name] = pa.array(cols[name], pa.float64())
         out["keep"] = pa.array(self.keep_of(cols))
         return pa.table(out)
+
+
+_BCAST_CACHE: dict = {}
+_BCAST_SESSION = [""]
+
+
+def _session_put(tag: str, build):
+    """Session-cached ``ray.put`` of a deterministic checkpoint (the
+    ``flagship._ref_for`` idiom): a stable ref across repeat queries
+    keeps the per-worker ``_cached`` state keys stable too, so
+    towers/weights deserialize once per worker per SESSION — a fresh
+    put per call would mint a new key and evict the very state the
+    wrappers try to reuse. Invalidated when the Ray job id changes
+    (refs minted under a previous ``ray.init`` are dangling)."""
+    import ray
+
+    if ray.is_initialized():
+        job = ray.get_runtime_context().get_job_id()
+        if job != _BCAST_SESSION[0]:
+            _BCAST_CACHE.clear()
+            _BCAST_SESSION[0] = job
+    else:
+        _BCAST_CACHE.clear()
+        _BCAST_SESSION[0] = ""
+    if tag not in _BCAST_CACHE:
+        _BCAST_CACHE[tag] = ray.put(build())
+        if not _BCAST_SESSION[0]:
+            _BCAST_SESSION[0] = ray.get_runtime_context().get_job_id()
+    return _BCAST_CACHE[tag]
 
 
 def _run_per_image_stage(sf_dir: str, fn, n_blocks: int = 32,
@@ -847,13 +882,11 @@ def score_images_model(sf_dir: str) -> pd.DataFrame:
     worker; the payload table is the session-cached broadcast; scoring
     streams metadata-only output. At 100 TB this is decode-bound, and
     the stage parallelizes to the full CPU count with no exchange."""
-    import ray
-
     from ..pipelines.flagship import _ref_for, tier_of, world_for
 
     w = world_for(sf_dir)
     images_ref = _ref_for(tier_of(sf_dir), w, "images")
-    wref = ray.put(image_model_weights())
+    wref = _session_put("img_model_w", image_model_weights)
     return _run_per_image_stage(
         sf_dir, make_image_scorer_fn(images_ref, wref))
 
@@ -975,13 +1008,11 @@ def caption_image_alignment(sf_dir: str) -> pd.DataFrame:
     Scale shape: identical to ``score_images_model`` — broadcast
     payload table + broadcast projection, per-worker cached towers,
     decode-bound task pool, metadata-only output, no exchange."""
-    import ray
-
     from ..pipelines.flagship import _ref_for, tier_of, world_for
 
     w = world_for(sf_dir)
     images_ref = _ref_for(tier_of(sf_dir), w, "images")
-    pref = ray.put(alignment_proj())
+    pref = _session_put("align_proj", alignment_proj)
     return _run_per_image_stage(
         sf_dir, make_alignment_fn(images_ref, pref))
 
@@ -1077,13 +1108,14 @@ def make_image_embed_fn(images_ref, proj_ref):
     through the cached ``CaptionAlignmentScorer`` image tower."""
     from ..stages.fetch import _cached
 
-    key = ("cap_align",  # share the alignment gate's worker state
+    # same key as make_alignment_fn: with the session-cached proj ref
+    # (_session_put) the alignment gate's per-worker scorer state is
+    # genuinely shared, not evicted
+    key = ("cap_align",
            getattr(images_ref, "hex", lambda: id(images_ref))(),
            getattr(proj_ref, "hex", lambda: id(proj_ref))())
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         if len(batch) == 0:
             return pa.table({
                 "image_id": pa.array([], pa.string()),
@@ -1091,14 +1123,8 @@ def make_image_embed_fn(images_ref, proj_ref):
             })
         st = _cached(
             key, lambda: CaptionAlignmentScorer(images_ref, proj_ref))
-        idx = pc.index_in(batch.column("image_id"),
-                          value_set=st.tab.column("image_id"))
-        src = np.asarray(idx)
-        fmts = pc.take(st.tab.column("fmt"), idx).to_pylist()
-        embs = []
-        for i in range(len(batch)):
-            pix = st._decode(st._blobs[int(src[i])].as_buffer(), fmts[i])
-            embs.append(st.embed_image(pix, st.proj, st.size).tolist())
+        embs = [st.embed_image(pix, st.proj, st.size).tolist()
+                for pix, *_ in st.decoded(batch)]
         return pa.table({
             "image_id": batch.column("image_id"),
             "embedding": pa.array(embs, pa.list_(pa.float64())),
@@ -1134,7 +1160,6 @@ def image_text_retrieval(sf_dir: str,
     embedding stage over only the sampled ids (pruned id blocks through
     the broadcast payload table). Corpus recall@1/@5 are one mean()
     over the returned frame."""
-    import ray
     import ray.data as rd
 
     from ..pipelines.flagship import _ref_for, tier_of, world_for
@@ -1149,7 +1174,7 @@ def image_text_retrieval(sf_dir: str,
             "hit5": pd.Series([], dtype="bool"),
         }), ["image_id"])
     images_ref = _ref_for(tier_of(sf_dir), w, "images")
-    pref = ray.put(alignment_proj())
+    pref = _session_put("align_proj", alignment_proj)
     ids = pa.table({"image_id": pa.array(picked, pa.string())})
     step = max(1, -(-len(ids) // 8))
     blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
