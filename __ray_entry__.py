@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_text_retrieval": multimodal.image_text_retrieval,
         "retrieval_eval_violations":
             checks.retrieval_eval_violations,
+        "curate_image_text_pairs": multimodal.curate_image_text_pairs,
+        "pair_curation_violations":
+            checks.pair_curation_violations,
         # stream-shaped windows
         "events_hourly": windows.events_hourly,
         "events_gap_fill": windows.events_gap_fill,
@@ -1368,6 +1371,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE FALSE
         """,
         "retrieval_eval_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS image_id,
+                   CAST(NULL AS VARCHAR) AS kind
+            WHERE FALSE
+        """,
+        "pair_curation_violations": """
             SELECT CAST(NULL AS VARCHAR) AS image_id,
                    CAST(NULL AS VARCHAR) AS kind
             WHERE FALSE

@@ -84,6 +84,7 @@ OPS_BENCH = [
     "score_images_model",
     "caption_image_alignment",
     "image_sharpness",
+    "curate_image_text_pairs",
 ]
 
 

@@ -2024,3 +2024,45 @@ def retrieval_eval_violations(sf_dir: str) -> pd.DataFrame:
     return finish(pd.DataFrame({
         "image_id": pd.Series(bad_i, dtype="str"),
         "kind": pd.Series(bad_k, dtype="str")}), ["image_id", "kind"])
+
+
+def pair_curation_violations(sf_dir: str, sample: int = 64) -> pd.DataFrame:
+    """``curate_image_text_pairs`` through
+    ``_per_image_gate_violations``: coverage, every feature in range
+    with keep == the shared gate conjunction over the rounded columns
+    (``PairCurationStage.keep_mask``), and a stride-sample bit-exact
+    recompute of ALL SEVEN fused features from raw decodes."""
+    from ..codec import decode_image
+    from ..ops.multimodal import (_IMG_MODEL_SIZE, CaptionAlignmentScorer,
+                                  ImageCurator, ImageModelScorer,
+                                  ImageSharpnessStage, PairCurationStage,
+                                  alignment_proj, curate_image_text_pairs,
+                                  image_model_weights)
+    from .common import r4
+
+    bias, wv = image_model_weights()
+    proj = alignment_proj()
+    cols = ["brightness", "contrast", "min_side", "sharpness",
+            "edge_ratio", "score", "alignment"]
+
+    def within(got):
+        c = {k: got[k].to_numpy(np.float64) for k in cols}
+        rng_ok = ((c["brightness"] >= 0.0) & (c["brightness"] <= 1.0)
+                  & (c["contrast"] >= 0.0) & (c["min_side"] >= 1.0)
+                  & (c["sharpness"] >= 0.0)
+                  & (c["edge_ratio"] >= 0.0) & (c["edge_ratio"] <= 1.0)
+                  & (c["score"] >= 0.0) & (c["score"] <= 1.0)
+                  & (c["alignment"] >= -1.0) & (c["alignment"] <= 1.0))
+        return rng_ok & (got["keep"].to_numpy()
+                         == PairCurationStage.keep_mask(c))
+
+    def recompute(r):
+        pix = decode_image(r["bytes"], r["fmt"])
+        b, c, _a, ms, _k = ImageCurator.stats_of(pix)
+        sh, er = ImageSharpnessStage.sharpness_of(pix)
+        sc = ImageModelScorer.score_of(pix, bias, wv, _IMG_MODEL_SIZE)
+        al = CaptionAlignmentScorer.alignment_of(pix, r["caption"], proj)
+        return tuple(r4(v) for v in (b, c, float(ms), sh, er, sc, al))
+
+    return _per_image_gate_violations(
+        sf_dir, curate_image_text_pairs, cols, within, recompute, sample)

@@ -1208,3 +1208,96 @@ def image_text_retrieval(sf_dir: str,
         "hit1": rank == 1,
         "hit5": rank <= 5,
     }), ["image_id"])
+
+
+# ---------------------------------------------------------------------------
+# fused pair curation (all gates, one decode)
+# ---------------------------------------------------------------------------
+
+
+class PairCurationStage(_PerImageFeatureStage):
+    """Fused image+caption pair-curation gate — the full LAION-style
+    filter stack (photometric quality, blur, model score, caption
+    alignment) evaluated in ONE decode per image. The separate gate
+    queries each pay their own decode; a production curation pipeline
+    runs the gates together, and at 100 TB the decode IS the cost, so
+    fusing 4 gates into one pass is ~4× cheaper than chaining them.
+    Feature arithmetic is the SAME statics the individual gates use
+    (``ImageCurator.stats_of``, ``ImageSharpnessStage.sharpness_of``,
+    ``ImageModelScorer.score_of``,
+    ``CaptionAlignmentScorer.alignment_of``), so the fused columns
+    match the individual queries' r4 outputs bit-for-bit. keep = ALL
+    gates pass, thresholds applied to the ROUNDED columns."""
+
+    EXTRA_COLS = ("caption",)
+    FEATURES = (("brightness", True), ("contrast", True),
+                ("min_side", True), ("sharpness", True),
+                ("edge_ratio", True), ("score", True),
+                ("alignment", True))
+
+    def __init__(self, images_ref, weights_ref, proj_ref):
+        super().__init__(images_ref)
+        from .common import bcast_get
+
+        self.bias, self.w = bcast_get(weights_ref)
+        self.proj = bcast_get(proj_ref)
+
+    def features_of(self, pix, caption) -> tuple:
+        b, c, _aspect, min_side, _keep = ImageCurator.stats_of(pix)
+        sh, er = ImageSharpnessStage.sharpness_of(pix)
+        sc = ImageModelScorer.score_of(pix, self.bias, self.w,
+                                       _IMG_MODEL_SIZE)
+        al = CaptionAlignmentScorer.alignment_of(pix, caption, self.proj)
+        return (b, c, float(min_side), sh, er, sc, al)
+
+    @staticmethod
+    def keep_mask(cols: dict) -> np.ndarray:
+        """Shared gate conjunction over the ROUNDED feature columns
+        (query + violation check both apply this to their own
+        features)."""
+        return ((cols["brightness"] >= ImageCurator.BRIGHT_LO)
+                & (cols["brightness"] <= ImageCurator.BRIGHT_HI)
+                & (cols["contrast"] >= ImageCurator.CONTRAST_MIN)
+                & (cols["min_side"] >= ImageCurator.MIN_SIDE)
+                & (cols["sharpness"] >= SHARP_KEEP_MIN)
+                & (cols["score"] >= 0.5)
+                & (cols["alignment"] >= ALIGN_KEEP_MIN))
+
+    def keep_of(self, cols: dict) -> np.ndarray:
+        return self.keep_mask(cols)
+
+
+def make_pair_curation_fn(images_ref, weights_ref, proj_ref):
+    """Task-pool wrapper with per-worker cached fused-gate state."""
+    from ..stages.fetch import _cached
+
+    key = ("pair_curate",
+           getattr(images_ref, "hex", lambda: id(images_ref))(),
+           getattr(weights_ref, "hex", lambda: id(weights_ref))(),
+           getattr(proj_ref, "hex", lambda: id(proj_ref))())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached(key, lambda: PairCurationStage(
+            images_ref, weights_ref, proj_ref))(batch)
+
+    return fn
+
+
+def curate_image_text_pairs(sf_dir: str) -> pd.DataFrame:
+    """Fused pair-curation gate over the tier's world: every image
+    decoded ONCE, all four filter families evaluated (photometric,
+    blur, model score, caption alignment), one metadata row per image
+    with the full feature vector and the conjunction keep decision —
+    the end-to-end LAION filter as a single Ray Data stage.
+
+    Scale shape: broadcast payload table + both checkpoints ship once
+    per session (``_session_put``); per-worker cached fused state; one
+    decode-bound task pool; no exchange."""
+    from ..pipelines.flagship import _ref_for, tier_of, world_for
+
+    w = world_for(sf_dir)
+    images_ref = _ref_for(tier_of(sf_dir), w, "images")
+    wref = _session_put("img_model_w", image_model_weights)
+    pref = _session_put("align_proj", alignment_proj)
+    return _run_per_image_stage(
+        sf_dir, make_pair_curation_fn(images_ref, wref, pref))

@@ -499,3 +499,51 @@ def test_retrieval_check_tamper(ray_session, monkeypatch):
     monkeypatch.setattr(mm, "image_text_retrieval", bad)
     kinds = set(ck.retrieval_eval_violations(SF)["kind"])
     assert "rank" in kinds
+
+
+def test_curate_image_text_pairs_fused(ray_session):
+    """Fused pair curation: one row per world image, every fused column
+    bit-equal to the corresponding individual gate query (same statics,
+    same r4), keep == the gate conjunction, check empty."""
+    from doonop_ray.ops.checks import pair_curation_violations
+    from doonop_ray.ops.common import r4
+    from doonop_ray.pipelines.flagship import world_for
+
+    df = mm.curate_image_text_pairs(SF).set_index("image_id")
+    w = world_for(SF)
+    assert len(df) == w.images.num_rows
+
+    sh = mm.image_sharpness(SF).set_index("image_id")
+    assert (df["sharpness"] == sh["sharpness"]).all()
+    assert (df["edge_ratio"] == sh["edge_ratio"]).all()
+    sc = mm.score_images_model(SF).set_index("image_id")
+    assert (df["score"] == sc["score"]).all()
+    al = mm.caption_image_alignment(SF).set_index("image_id")
+    assert (df["alignment"] == al["alignment"]).all()
+    cu = mm.curate_images(SF).set_index("image_id")
+    assert (df["brightness"].to_numpy()
+            == r4(cu["brightness"].to_numpy())).all()
+    assert (df["min_side"] == cu["min_side"].astype(float)).all()
+
+    cols = {k: df[k].to_numpy(np.float64) for k in
+            ("brightness", "contrast", "min_side", "sharpness",
+             "edge_ratio", "score", "alignment")}
+    assert (df["keep"].to_numpy()
+            == mm.PairCurationStage.keep_mask(cols)).all()
+    assert pair_curation_violations(SF).empty
+
+
+def test_pair_curation_check_tamper(ray_session, monkeypatch):
+    from doonop_ray.ops import checks as ck
+
+    good = mm.curate_image_text_pairs(SF)
+
+    def bad(sf_dir):
+        out = good.copy()
+        # flip one keep with features untouched -> conjunction breaks
+        out.loc[0, "keep"] = not out.loc[0, "keep"]
+        return out
+
+    monkeypatch.setattr(mm, "curate_image_text_pairs", bad)
+    kinds = set(ck.pair_curation_violations(SF)["kind"])
+    assert "range_or_keep" in kinds
