@@ -1227,7 +1227,11 @@ class PairCurationStage(_PerImageFeatureStage):
     ``ImageModelScorer.score_of``,
     ``CaptionAlignmentScorer.alignment_of``), so the fused columns
     match the individual queries' r4 outputs bit-for-bit. keep = ALL
-    gates pass, thresholds applied to the ROUNDED columns."""
+    gates pass, thresholds applied to the ROUNDED columns — which makes
+    the fused decision reproducible from the emitted frame but can
+    differ from ``curate_images``' UNROUNDED photometric gate for raw
+    values within 5e-5 of a threshold (a measure-zero boundary; zero
+    divergence on the test worlds)."""
 
     EXTRA_COLS = ("caption",)
     FEATURES = (("brightness", True), ("contrast", True),

@@ -523,6 +523,8 @@ def test_curate_image_text_pairs_fused(ray_session):
     cu = mm.curate_images(SF).set_index("image_id")
     assert (df["brightness"].to_numpy()
             == r4(cu["brightness"].to_numpy())).all()
+    assert (df["contrast"].to_numpy()
+            == r4(cu["contrast"].to_numpy())).all()
     assert (df["min_side"] == cu["min_side"].astype(float)).all()
 
     cols = {k: df[k].to_numpy(np.float64) for k in
