@@ -1862,8 +1862,11 @@ def _per_image_gate_violations(sf_dir: str, query_fn, val_cols: list[str],
         pcmp.is_in(w.images.column("image_id"), value_set=pick_arr))
     want = {r["image_id"]: tuple(float(v) for v in recompute_fn(r))
             for r in sub.to_pylist()}
+    # vectorized pre-trim to the sampled ids before the per-row tuple
+    # build — `got` is corpus-sized, `picked` is <= sample rows
+    sub_got = got.loc[got["image_id"].isin(picked), ["image_id", *val_cols]]
     have: dict[str, tuple] = {}
-    for tup in got[["image_id", *val_cols]].itertuples(index=False):
+    for tup in sub_got.itertuples(index=False):
         have.setdefault(tup[0], tuple(float(v) for v in tup[1:]))
     for iid in picked:
         if iid in have and have[iid] != want[iid]:

@@ -354,3 +354,37 @@ def finish(df: pd.DataFrame, sort_by: list[str] | None = None) -> pd.DataFrame:
     if sort_by:
         df = df.sort_values(sort_by, kind="mergesort")
     return df.reset_index(drop=True)
+
+
+_SPUT_CACHE: dict = {}  # key -> ObjectRef, valid for _SPUT_SESSION[0]
+_SPUT_SESSION: list = [""]  # Ray job id the cached refs belong to
+
+
+def session_put(key, build):
+    """Session-cached ``ray.put``: one broadcast ref per ``key`` per Ray
+    session. A fresh put per call would mint a new ref — re-shipping
+    the object AND rotating every downstream per-worker ``_cached``
+    state key, evicting the very state those wrappers reuse. The cache
+    is invalidated when the Ray job id changes: refs minted under a
+    previous ``ray.init`` are dangling after a shutdown/restart in the
+    same process, and handing one to a worker raises owner-died instead
+    of recomputing. Shared by ``flagship._ref_for`` (world tables) and
+    ``multimodal._session_put`` (model checkpoints) — one copy of the
+    invalidation state machine."""
+    import ray
+
+    if ray.is_initialized():
+        job = ray.get_runtime_context().get_job_id()
+        if job != _SPUT_SESSION[0]:
+            _SPUT_CACHE.clear()
+            _SPUT_SESSION[0] = job
+    else:
+        # no live session: any cached refs are dangling; the ray.put
+        # below auto-initializes (the package never calls ray.init)
+        _SPUT_CACHE.clear()
+        _SPUT_SESSION[0] = ""
+    if key not in _SPUT_CACHE:
+        _SPUT_CACHE[key] = ray.put(build())
+        if not _SPUT_SESSION[0]:
+            _SPUT_SESSION[0] = ray.get_runtime_context().get_job_id()
+    return _SPUT_CACHE[key]

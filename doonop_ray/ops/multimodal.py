@@ -767,56 +767,45 @@ class _PerImageFeatureStage:
         return pa.table(out)
 
 
-_BCAST_CACHE: dict = {}
-_BCAST_SESSION = [""]
-
-
 def _session_put(tag: str, build):
-    """Session-cached ``ray.put`` of a deterministic checkpoint (the
-    ``flagship._ref_for`` idiom): a stable ref across repeat queries
-    keeps the per-worker ``_cached`` state keys stable too, so
-    towers/weights deserialize once per worker per SESSION — a fresh
-    put per call would mint a new key and evict the very state the
-    wrappers try to reuse. Invalidated when the Ray job id changes
-    (refs minted under a previous ``ray.init`` are dangling)."""
-    import ray
+    """Session-cached ``ray.put`` of a deterministic checkpoint — a
+    stable ref across repeat queries keeps the per-worker ``_cached``
+    state keys stable too, so towers/weights deserialize once per
+    worker per SESSION. One shared invalidation state machine:
+    ``ops.common.session_put``."""
+    from .common import session_put
 
-    if ray.is_initialized():
-        job = ray.get_runtime_context().get_job_id()
-        if job != _BCAST_SESSION[0]:
-            _BCAST_CACHE.clear()
-            _BCAST_SESSION[0] = job
-    else:
-        _BCAST_CACHE.clear()
-        _BCAST_SESSION[0] = ""
-    if tag not in _BCAST_CACHE:
-        _BCAST_CACHE[tag] = ray.put(build())
-        if not _BCAST_SESSION[0]:
-            _BCAST_SESSION[0] = ray.get_runtime_context().get_job_id()
-    return _BCAST_CACHE[tag]
+    return session_put(("ckpt", tag), build)
 
 
-def _run_per_image_stage(sf_dir: str, fn, n_blocks: int = 32,
-                         batch_size: int = 1024) -> pd.DataFrame:
-    """Shared driver for the per-image feature gates: split the world's
-    id column into ``n_blocks`` Arrow blocks and stream them through a
-    task-pool ``map_batches`` (per-worker cached state via the ``fn``
-    wrapper). Output is one metadata row per image."""
+def _map_id_blocks(ids: pa.Table, fn, n_blocks: int,
+                   batch_size: int = 1024) -> pd.DataFrame:
+    """Split an id table into ``n_blocks`` Arrow blocks and stream them
+    through a task-pool ``map_batches`` (per-worker cached state via
+    the ``fn`` wrapper); raw frame out. The single copy of the
+    block-partitioning boilerplate — the gate driver and the retrieval
+    embedding stage both use it."""
     import ray.data as rd
 
-    from ..pipelines.flagship import world_for
-
-    w = world_for(sf_dir)
-    ids = w.images.select(["image_id"])
     step = max(1, -(-len(ids) // n_blocks))
     blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
-    ds = rd.from_arrow(blocks).map_batches(
+    return rd.from_arrow(blocks).map_batches(
         fn,
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
-    )
-    return finish(ds.to_pandas(), ["image_id"])
+    ).to_pandas()
+
+
+def _run_per_image_stage(sf_dir: str, fn, n_blocks: int = 32,
+                         batch_size: int = 1024) -> pd.DataFrame:
+    """Shared driver for the per-image feature gates: the world's id
+    column through ``_map_id_blocks``, one metadata row per image."""
+    from ..pipelines.flagship import world_for
+
+    w = world_for(sf_dir)
+    return finish(_map_id_blocks(w.images.select(["image_id"]), fn,
+                                 n_blocks, batch_size), ["image_id"])
 
 
 class ImageModelScorer(_PerImageFeatureStage):
@@ -1160,8 +1149,6 @@ def image_text_retrieval(sf_dir: str,
     embedding stage over only the sampled ids (pruned id blocks through
     the broadcast payload table). Corpus recall@1/@5 are one mean()
     over the returned frame."""
-    import ray.data as rd
-
     from ..pipelines.flagship import _ref_for, tier_of, world_for
 
     w = world_for(sf_dir)
@@ -1176,14 +1163,9 @@ def image_text_retrieval(sf_dir: str,
     images_ref = _ref_for(tier_of(sf_dir), w, "images")
     pref = _session_put("align_proj", alignment_proj)
     ids = pa.table({"image_id": pa.array(picked, pa.string())})
-    step = max(1, -(-len(ids) // 8))
-    blocks = [ids.slice(i, step) for i in range(0, len(ids), step)]
-    emb = rd.from_arrow(blocks).map_batches(
-        make_image_embed_fn(images_ref, pref),
-        batch_format="pyarrow",
-        batch_size=1024,
-        num_cpus=1,
-    ).to_pandas().sort_values("image_id", kind="mergesort")
+    emb = _map_id_blocks(
+        ids, make_image_embed_fn(images_ref, pref), n_blocks=8,
+    ).sort_values("image_id", kind="mergesort")
     img_emb = np.asarray(emb["embedding"].tolist(), np.float64)
 
     # caption pool: the sampled images' true captions, in the SAME

@@ -34,37 +34,21 @@ _TIERS = {
 }
 _WORLD_CACHE_VERSION = 6  # v6: cheap-truth expected_pixels/_caption rewrite
 _CACHE: dict[str, World] = {}
-_REF_CACHE: dict[str, dict] = {}  # tier -> {"pages": ref, "images": ref}
-_REF_SESSION: list[str] = [""]  # job id the cache belongs to
+# shared session marker (ops.common.session_put owns the state machine;
+# the alias keeps the mutable list poke-able for the stale-session test)
+from ..ops.common import _SPUT_SESSION as _REF_SESSION  # noqa: E402
 
 
 def _ref_for(tier: str, w, table: str):
     """Session-cached ``ray.put`` ref of ONE (pre-combined) world table.
 
     Lazy per table — an image-only session must not pay object-store
-    residency for the pages table (GBs at the scale tiers). The cache is
-    invalidated when the Ray job id changes: refs minted under a
-    previous ``ray.init`` are dangling after a shutdown/restart in the
-    same process, and handing one to a worker raises owner-died instead
-    of recomputing."""
-    import ray
+    residency for the pages table (GBs at the scale tiers). Session
+    validity / dangling-ref invalidation lives in the shared
+    ``ops.common.session_put`` state machine."""
+    from ..ops.common import session_put
 
-    if ray.is_initialized():
-        job = ray.get_runtime_context().get_job_id()
-        if job != _REF_SESSION[0]:
-            _REF_CACHE.clear()
-            _REF_SESSION[0] = job
-    else:
-        # no live session: any cached refs are dangling; the ray.put
-        # below auto-initializes (the package never calls ray.init)
-        _REF_CACHE.clear()
-        _REF_SESSION[0] = ""
-    refs = _REF_CACHE.setdefault(tier, {})
-    if table not in refs:
-        refs[table] = ray.put(getattr(w, table))
-        if not _REF_SESSION[0]:
-            _REF_SESSION[0] = ray.get_runtime_context().get_job_id()
-    return refs[table]
+    return session_put(("world", tier, table), lambda: getattr(w, table))
 
 
 def _refs_for(tier: str, w):
