@@ -227,6 +227,13 @@ def run_scaling(sf_dir: str) -> dict:
         "sf": r_hi["sf"],
         "machine_ceiling": ceil,
         "efficiency_vs_ceiling": round(eff / ceil["ceiling"], 3),
+        # bracket disagreement >0.15 means the host's parallel capacity
+        # moved mid-run (probes swing 0.61-0.88 within minutes on this
+        # sandbox); the raw ratio then measures the window, not the
+        # engine — runs 22 and 31 in BASELINE.md are the recorded cases
+        **({"volatile_window": True}
+           if abs(ceil_pre["ceiling"] - ceil_post["ceiling"]) > 0.15
+           else {}),
         **({"degraded_window_reprobe": reprobe} if reprobe else {}),
     }
 
