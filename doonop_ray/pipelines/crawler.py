@@ -113,15 +113,18 @@ class SeenRouterShard(SeenCore):
         self.n_ingested = 0
         self._push_futs: list = []
 
-    def ingest(self, items: list[tuple[str, int]]) -> None:
+    def ingest(self, urls: list[str], depths: list[int]) -> None:
+        """urls/depths are parallel arrays (one batched message per seen
+        shard per chunk — the router pre-partitions, so no per-link
+        tuples cross the wire)."""
         import ray
 
-        self.n_ingested += len(items)
-        mask = self.check_and_add([u for u, _ in items])
+        self.n_ingested += len(urls)
+        mask = self.check_and_add(urls)
         per: dict[int, list[tuple[str, int]]] = {}
-        for it, new in zip(items, mask):
+        for u, d, new in zip(urls, depths, mask):
             if new:
-                per.setdefault(host_shard_of(it[0], self.num_frontier), []).append(it)
+                per.setdefault(host_shard_of(u, self.num_frontier), []).append((u, d))
         for f, it in per.items():
             self._push_futs.append(self.frontier_handles[f].push.remote(it))
         if len(self._push_futs) >= 64:  # bound the outstanding-push queue
@@ -155,47 +158,77 @@ def make_link_router(seen_handles, frontier_handles, retry_policy: str,
     counter table so the chunk task returns counters, not artifacts."""
 
     def route(batch: pa.Table) -> pa.Table:
-        batch_now = now_ms if now_ms is not None else time.monotonic() * 1000.0
-        statuses = batch.column("status").to_pylist()
-        urls = batch.column("url").to_pylist()
-        depths = batch.column("depth").to_numpy()
-        links_col = batch.column("links").to_pylist()
-        n_links = np.zeros(len(batch), dtype=np.int32)
+        import pyarrow.compute as pc
+        from zlib import crc32
 
-        # ---- candidate links → seen/router shards (first discovery wins)
-        per_seen: list[list[tuple[str, int]]] = [[] for _ in range(num_seen)]
-        for i, (st, links, d) in enumerate(zip(statuses, links_col, depths)):
-            if st != "ok":
-                continue
-            nd = int(d) + 1
-            n_links[i] = len(links)
-            for u in links:
-                per_seen[shard_of(u, num_seen)].append((u, nd))
-        for s, items in enumerate(per_seen):
-            if items:
-                seen_handles[s].ingest.remote(items)
+        batch_now = now_ms if now_ms is not None else time.monotonic() * 1000.0
+        st = batch.column("status")
+        ok_mask = pc.equal(st, "ok")
+        okb = ok_mask.to_numpy(zero_copy_only=False)
+        lens = (
+            pc.list_value_length(batch.column("links"))
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_links = np.where(okb, lens, 0).astype(np.int32)
+
+        # ---- candidate links → seen/router shards (first discovery wins;
+        # vectorized: flatten the Arrow list column once, hash every link
+        # with crc32, stable-argsort into shard runs, ONE batched ingest
+        # message per shard — no per-link Python tuples)
+        if n_links.sum():
+            ok_tb = batch.filter(ok_mask)
+            flat_urls = pc.list_flatten(ok_tb.column("links")).to_pylist()
+            ok_lens = lens[okb]
+            depths_rep = np.repeat(
+                ok_tb.column("depth").to_numpy(zero_copy_only=False).astype(np.int64)
+                + 1,
+                ok_lens,
+            )
+            shard = (
+                np.fromiter(
+                    (crc32(u.encode("utf-8", "surrogatepass")) for u in flat_urls),
+                    dtype=np.int64,
+                    count=len(flat_urls),
+                )
+                % num_seen
+            )
+            order = np.argsort(shard, kind="stable")  # stable ⇒ within-shard
+            ss = shard[order]                         # page order preserved
+            bounds = np.searchsorted(ss, np.arange(num_seen + 1))
+            urls_sorted = np.asarray(flat_urls, dtype=object)[order]
+            depths_sorted = depths_rep[order]
+            for s in range(num_seen):
+                a, b = int(bounds[s]), int(bounds[s + 1])
+                if b > a:
+                    seen_handles[s].ingest.remote(
+                        urls_sorted[a:b].tolist(), depths_sorted[a:b].tolist()
+                    )
 
         # ---- timeouts → retry lanes (retry.rs:24-36 accounting); the
         # attempt number rides along so redelivered batches (Ray task
         # retry) are recognized as stale and ignored — exactly-once
-        # retry accounting without coordination ----
-        if retry_policy != "no":
-            attempts = batch.column("attempt").to_numpy()
-            per_retry: list[list[tuple[str, int, int]]] = [
-                [] for _ in range(num_frontier)
-            ]
-            for st, u, d, at in zip(statuses, urls, depths, attempts):
-                if st == "timeout":
-                    per_retry[host_shard_of(u, num_frontier)].append(
-                        (u, int(d), int(at))
-                    )
-            for f, items in enumerate(per_retry):
-                if items:
-                    frontier_handles[f].keep_retry_batch.remote(items, batch_now)
+        # retry accounting without coordination. Timeouts are rare, so
+        # the per-row host_shard_of loop runs on the FILTERED rows only.
+        to_mask = pc.equal(st, "timeout")
+        n_to = int(pc.sum(to_mask).as_py() or 0)
+        if retry_policy != "no" and n_to:
+            tt = batch.filter(to_mask)
+            per_retry: dict[int, list[tuple[str, int, int]]] = {}
+            for u, d, at in zip(
+                tt.column("url").to_pylist(),
+                tt.column("depth").to_numpy(zero_copy_only=False),
+                tt.column("attempt").to_numpy(zero_copy_only=False),
+            ):
+                per_retry.setdefault(host_shard_of(u, num_frontier), []).append(
+                    (u, int(d), int(at))
+                )
+            for f, items in per_retry.items():
+                frontier_handles[f].keep_retry_batch.remote(items, batch_now)
 
-        n_ok = sum(s == "ok" for s in statuses)
-        n_to = sum(s == "timeout" for s in statuses)
-        n_err = sum(s == "error" for s in statuses)
+        n_ok = int(np.count_nonzero(okb))
+        n_err = int(pc.sum(pc.equal(st, "error")).as_py() or 0)
         total_links = int(n_links.sum())
         if counters_only:
             return pa.table({
