@@ -25,10 +25,12 @@ as any sort-merge join; pre-aggregate per key before joining (as the
 Q3/Q5/Q7/Q9 rewrites do) so group sizes stay O(1).
 
 Assumptions (documented per the brief's "document the partitioning
-assumption" rule): join keys are non-null; for how='inner'/'left'/
-'outer' the RIGHT side has at most one row per key (the orders/customer
-primary-key shape — ``pc.index_in`` takes the first match);
-'semi'/'anti' accept duplicate right keys.
+assumption" rule): join keys are non-null. Duplicate keys are legal on
+BOTH sides for every ``how``: inner/left/outer expand many-to-many
+(each left row joins every same-key right row, SQL semantics) via
+vectorized run alignment over the sorted block — right-side key runs
+are detected once, ``pc.index_in`` maps each left row to its run, and
+``np.repeat`` expands matches without any per-row Python.
 """
 
 from __future__ import annotations
@@ -62,8 +64,9 @@ def shuffle_join(left, right, key: str, left_cols: list[str],
     """Join two Datasets on ``key``; returns a Dataset with columns
     ``[key] + left_cols (+ right_cols for inner/left)``.
 
-    how='inner': left rows matched to the unique right row per key.
-    how='left' : unmatched left rows keep null right columns.
+    how='inner': left rows matched to every same-key right row
+                 (many-to-many expansion, SQL INNER JOIN semantics).
+    how='left' : inner plus unmatched left rows with null right columns.
     how='semi' : left rows whose key appears on the right (no right cols).
     how='anti' : left rows whose key does NOT appear on the right.
     how='outer': 'left' plus unmatched RIGHT rows with null left columns
@@ -127,16 +130,49 @@ def shuffle_join(left, right, key: str, left_cols: list[str],
             if how == "anti":
                 m = pc.invert(m)
             return lt.filter(m).select(out_cols)
-        idx = pc.index_in(lt[key], value_set=rkeys)
-        cols = {key: lt[key]}
+        # many-to-many via run alignment: both sub-tables inherit the
+        # block's key sort, so each right key is one contiguous run
+        nl, nr = len(lt), len(rt)
+        if nr > 1:
+            change = pc.not_equal(
+                rkeys.slice(1), rkeys.slice(0, nr - 1)
+            ).to_numpy(zero_copy_only=False)
+            rstarts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        else:
+            rstarts = np.zeros(min(nr, 1), dtype=np.int64)
+        rlens = np.diff(np.concatenate((rstarts, [nr]))).astype(np.int64)
+        run_keys = rkeys.take(pa.array(rstarts, pa.int64()))
+        idx_run = pc.index_in(lt[key], value_set=run_keys)
+        matched = pc.is_valid(idx_run).to_numpy(zero_copy_only=False)
+        idxf = (
+            idx_run.fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if len(rstarts) == 0:
+            base = np.zeros(nl, dtype=np.int64)
+            cnt = np.zeros(nl, dtype=np.int64)
+        else:
+            base = rstarts[idxf]
+            cnt = np.where(matched, rlens[idxf], 0)
+        # inner drops unmatched left rows; left/outer keep them as one
+        # null-padded output row
+        out_cnt = cnt if how == "inner" else np.maximum(cnt, 1)
+        li = np.repeat(np.arange(nl, dtype=np.int64), out_cnt)
+        total = int(out_cnt.sum())
+        csum = np.concatenate(([0], np.cumsum(out_cnt)))[:-1]
+        offset = np.arange(total, dtype=np.int64) - np.repeat(csum, out_cnt)
+        ri_valid = np.repeat(matched, out_cnt)
+        ri = pa.array(np.repeat(base, out_cnt) + offset, pa.int64(),
+                      mask=~ri_valid)
+        li_arr = pa.array(li, pa.int64())
+        cols = {key: pc.take(lt[key].combine_chunks(), li_arr)}
         for c in left_cols:
-            cols[c] = lt[c]
+            cols[c] = pc.take(lt[c].combine_chunks(), li_arr)
         for c in right_cols:
-            cols[c] = pc.take(rt[c].combine_chunks(), idx)
+            cols[c] = pc.take(rt[c].combine_chunks(), ri)
         out = pa.table({c: cols[c] for c in out_cols})
-        if how == "inner":
-            out = out.filter(pc.is_valid(idx))
-        elif how == "outer":
+        if how == "outer":
             # append right rows whose key has no left match (null left cols)
             um = pc.invert(pc.is_in(rt[key], value_set=lt[key].combine_chunks()))
             ru = rt.filter(um)

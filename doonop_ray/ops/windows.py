@@ -2,9 +2,11 @@
 
 Ray Data has no event-time windows (ray_guide.md "Streaming-shaped
 workloads"); windows are expressed as groupby over computed window keys
-(tumbling) and per-key ``map_groups`` with sorted-by-ts pandas logic
-(sessionization) — the partitioning assumption (all events of one
-user/key fit one group) is stated per function.
+(tumbling) and per-key sorted Arrow/numpy logic through
+``grouped_apply`` (one distributed sort, vectorized group-boundary
+detection, plain-call per group — no per-group pandas round-trip) —
+the partitioning assumption (all events of one user/key fit one group)
+is stated per function.
 """
 
 from __future__ import annotations
@@ -54,25 +56,27 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     by user_id hash and sessionize within partitions).
     """
 
-    gap = pd.Timedelta(minutes=gap_minutes)
+    from .common import grouped_apply
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        new_session = g["ts"].diff() > gap
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new_session.sum()) + 1],
-                "n_events": [len(g)],
-            }
-        )
+    gap_us = gap_minutes * 60 * 1_000_000
 
-    out = (
-        read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sess, batch_format="pandas")
-        .to_pandas()
-    )
+    def sess(g: pa.Table) -> pa.Table:
+        ts = np.sort(
+            pc.cast(g["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy(
+                zero_copy_only=False))
+        n_sessions = int((np.diff(ts) > gap_us).sum()) + 1
+        return pa.table({
+            "user_id": pc.cast(g["user_id"].slice(0, 1), pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_events": pa.array([len(g)], pa.int64()),
+        })
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_sessions": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64())})
+    out = grouped_apply(
+        read(sf_dir, "events", ["user_id", "ts"]),
+        "user_id", sess, empty).to_pandas()
     out = _ensure_cols(out, {"user_id": "int64", "n_sessions": "int64",
                              "n_events": "int64"})
     return finish(out, ["user_id"])
@@ -138,27 +142,42 @@ def events_sliding_counts(sf_dir: str, window_hours: int = 2,
 def events_last_order(sf_dir: str) -> pd.DataFrame:
     """As-of join (ray_guide "As-of / range join"): for every event, the
     most recent order of the same key at or before the event time —
-    per-key sort + pd.merge_asof inside map_groups. Key: user_id ==
+    per-key sort + vectorized searchsorted as-of inside
+    ``grouped_apply``. Key: user_id ==
     o_custkey % 150 (the synthetic tables share no FK; the modulus makes
     a deterministic one). Partitioning assumption: one key's rows fit a
     group."""
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["side"] == "e"][["ts", "event_id"]].sort_values("ts")
-        # tie-break same-ts orders by orderkey so merge_asof's last-match
-        # equals the oracle's MAX(o_orderkey) deterministically
-        od = g[g["side"] == "o"][["ts", "o_orderkey"]].sort_values(
-            ["ts", "o_orderkey"], kind="mergesort")
-        if ev.empty:
-            return pd.DataFrame(columns=["event_id", "o_orderkey"])
-        if od.empty:
-            out = ev[["event_id"]].copy()
-            out["o_orderkey"] = pd.Series([pd.NA] * len(out), dtype="Int64")
-            return out
-        m = pd.merge_asof(ev, od, on="ts", direction="backward")
-        return m[["event_id", "o_orderkey"]]
+    from .common import grouped_apply
 
-    import pyarrow as pa
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "o_orderkey": pa.array([], pa.int64())})
+
+    def asof(g: pa.Table) -> pa.Table:
+        e_mask = pc.equal(g["side"], "e")
+        ev = g.filter(e_mask)
+        if len(ev) == 0:
+            return empty
+        ev_id = pc.cast(ev["event_id"], pa.int64())
+        od = g.filter(pc.invert(e_mask))
+        if len(od) == 0:
+            return pa.table({"event_id": ev_id,
+                             "o_orderkey": pa.nulls(len(ev), pa.int64())})
+        ev_ts = pc.cast(ev["ts"], pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        od_ts = pc.cast(od["ts"], pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        od_key = pc.cast(od["o_orderkey"], pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # tie-break same-ts orders by orderkey ascending so the
+        # backward-as-of last match is the oracle's MAX(o_orderkey)
+        order = np.lexsort((od_key, od_ts))
+        od_ts_s, od_key_s = od_ts[order], od_key[order]
+        pos = np.searchsorted(od_ts_s, ev_ts, side="right") - 1
+        hit = pos >= 0
+        vals = od_key_s[np.maximum(pos, 0)]
+        okey = pa.array(np.where(hit, vals, 0), pa.int64(), mask=~hit)
+        return pa.table({"event_id": ev_id, "o_orderkey": okey})
 
     ev = read(sf_dir, "events", ["event_id", "ts", "user_id"]).map_batches(
         lambda t: pa.table(
@@ -185,12 +204,7 @@ def events_last_order(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    out = (
-        ev.union(od)
-        .groupby("key")
-        .map_groups(asof, batch_format="pandas")
-        .to_pandas()
-    )
+    out = grouped_apply(ev.union(od), "key", asof, empty).to_pandas()
     out = _ensure_cols(out, {"event_id": "int64", "o_orderkey": "Int64"})
     out["event_id"] = out["event_id"].astype("int64")
     out["o_orderkey"] = out["o_orderkey"].astype("Int64")
@@ -200,42 +214,57 @@ def events_last_order(sf_dir: str) -> pd.DataFrame:
 def event_value_median(sf_dir: str) -> pd.DataFrame:
     """Per-type median (linear-interpolated) of value, rounded 4."""
 
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "median_value": [r4(np.percentile(g["value"].to_numpy(), 50))],
-            }
-        )
+    from .common import grouped_apply
 
-    out = (
-        read(sf_dir, "events", ["event_type", "value"])
-        .groupby("event_type")
-        .map_groups(med, batch_format="pandas")
-        .to_pandas()
-    )
+    def med(g: pa.Table) -> pa.Table:
+        v = g["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "median_value": pa.array(
+                [float(r4(np.percentile(v, 50)))], pa.float64()),
+        })
+
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "median_value": pa.array([], pa.float64())})
+    out = grouped_apply(
+        read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", med, empty).to_pandas()
     out = _ensure_cols(out, {"event_type": "str", "median_value": "float64"})
     return finish(out, ["event_type"])
 
 
 def events_rolling_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
     """Per-user rolling mean over the last ``window`` events (ordered by
-    ts): the ROWS BETWEEN window-function shape via per-key sorted pandas
-    rolling inside map_groups."""
+    ts): the ROWS BETWEEN window-function shape via per-key sorted
+    cumulative window sums inside ``grouped_apply``."""
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        g["rolling_avg"] = r4(
-            g["value"].rolling(window, min_periods=1).mean().to_numpy()
-        )
-        return g[["event_id", "user_id", "rolling_avg"]]
+    from .common import grouped_apply
 
-    out = (
-        read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(roll, batch_format="pandas")
-        .to_pandas()
-    )
+    def roll(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                            ("event_id", "ascending")])
+        g = g.take(idx)
+        v = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(v)
+        # window sum accumulated earliest-term-first (same order a
+        # sequential engine adds the window), then / count
+        acc = np.zeros(n, np.float64)
+        cnt = np.zeros(n, np.float64)
+        for j in range(window - 1, -1, -1):
+            acc[j:] += v[: n - j]
+            cnt[j:] += 1.0
+        return pa.table({
+            "event_id": pc.cast(g["event_id"], pa.int64()),
+            "user_id": pc.cast(g["user_id"], pa.int64()),
+            "rolling_avg": pa.array(r4(acc / cnt), pa.float64()),
+        })
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "rolling_avg": pa.array([], pa.float64())})
+    out = grouped_apply(
+        read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        "user_id", roll, empty).to_pandas()
     out = _ensure_cols(out, {"event_id": "int64", "user_id": "int64",
                              "rolling_avg": "float64"})
     out["event_id"] = out["event_id"].astype("int64")
@@ -249,21 +278,29 @@ def events_top_users_per_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
     distributed, then ranks inside the tiny per-type groups."""
     from ray.data.aggregate import Sum
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sum_value", "user_id"],
-                          ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    from .common import grouped_apply
 
-    out = (
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("sum_value", "descending"),
+                                            ("user_id", "ascending")])
+        g = g.take(idx.slice(0, k))
+        return pa.table({
+            "event_type": g["event_type"],
+            "user_id": pc.cast(g["user_id"], pa.int64()),
+            "sum_value": g["sum_value"],
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+        })
+
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "user_id": pa.array([], pa.int64()),
+                      "sum_value": pa.array([], pa.float64()),
+                      "rank": pa.array([], pa.int64())})
+    sums = (
         read(sf_dir, "events", ["event_type", "user_id", "value"])
         .groupby(["event_type", "user_id"])
         .aggregate(Sum("value", alias_name="sum_value"))
-        .groupby("event_type")
-        .map_groups(topk, batch_format="pandas")
-        .to_pandas()
     )
+    out = grouped_apply(sums, "event_type", topk, empty).to_pandas()
     out = _ensure_cols(out, {"event_type": "str", "user_id": "int64",
                              "sum_value": "float64", "rank": "int64"})
     out["sum_value"] = r4(out["sum_value"])
@@ -279,20 +316,28 @@ def orders_events_range_join(sf_dir: str, days: int = 7) -> pd.DataFrame:
     user_id == o_custkey % 150 (the deterministic FK the as-of join
     uses). Partitioning assumption: one key's rows fit a group."""
 
-    horizon = np.timedelta64(days, "D")
+    from .common import grouped_apply
 
-    def count_in_range(g: pd.DataFrame) -> pd.DataFrame:
-        od = g[g["side"] == "o"]
-        if od.empty:
-            return pd.DataFrame(columns=["o_orderkey", "n_events"])
+    horizon_us = days * 86_400 * 1_000_000
+    empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64())})
+
+    def count_in_range(g: pa.Table) -> pa.Table:
+        o_mask = pc.equal(g["side"], "o")
+        od = g.filter(o_mask)
+        if len(od) == 0:
+            return empty
+        ev = g.filter(pc.invert(o_mask))
         ev_ts = np.sort(
-            g.loc[g["side"] == "e", "ts"].to_numpy(dtype="datetime64[us]"))
-        starts = od["ts"].to_numpy(dtype="datetime64[us]")
+            pc.cast(ev["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy(
+                zero_copy_only=False))
+        starts = pc.cast(od["ts"], pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
         lo = np.searchsorted(ev_ts, starts, side="left")
-        hi = np.searchsorted(ev_ts, starts + horizon, side="left")
-        return pd.DataFrame({
-            "o_orderkey": od["o_orderkey"].to_numpy(dtype=np.int64),
-            "n_events": (hi - lo).astype(np.int64),
+        hi = np.searchsorted(ev_ts, starts + horizon_us, side="left")
+        return pa.table({
+            "o_orderkey": pc.cast(od["o_orderkey"], pa.int64()),
+            "n_events": pa.array((hi - lo).astype(np.int64)),
         })
 
     ev = read(sf_dir, "events", ["ts", "user_id"]).map_batches(
@@ -315,12 +360,7 @@ def orders_events_range_join(sf_dir: str, days: int = 7) -> pd.DataFrame:
         }),
         batch_format="pyarrow",
     )
-    out = (
-        ev.union(od)
-        .groupby("key")
-        .map_groups(count_in_range, batch_format="pandas")
-        .to_pandas()
-    )
+    out = grouped_apply(ev.union(od), "key", count_in_range, empty).to_pandas()
     out = _ensure_cols(out, {"o_orderkey": "int64", "n_events": "int64"})
     out = out.astype({"o_orderkey": "int64", "n_events": "int64"})
     return finish(out, ["o_orderkey"])

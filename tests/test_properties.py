@@ -289,21 +289,69 @@ def test_shuffle_join_hot_key_straddles_many_blocks(ray_session):
     assert len(anti) == 99  # keys 1..100 minus key 7
 
 
-def test_shuffle_join_inner_takes_first_right_match(ray_session):
-    """Documented contract: inner/left assume a unique-keyed right side;
-    with duplicates, pc.index_in semantics (FIRST match in the block's
-    right-row order) apply rather than a cross-product — pin it so a
-    future rewrite doesn't silently change to many-to-many."""
+def test_shuffle_join_inner_expands_duplicate_right_keys(ray_session):
+    """Contract: inner/left/outer expand many-to-many (SQL semantics) —
+    a duplicate-keyed right side yields one output row per (left row,
+    matching right row) pair, not a silent first-match."""
     import pyarrow as pa
     import ray.data as rd
 
     from doonop_ray.ops.join import shuffle_join
 
-    left = rd.from_arrow(pa.table({"key": [1, 2], "lv": [10, 20]}))
+    left = rd.from_arrow(pa.table({"key": [1, 1, 2], "lv": [10, 11, 20]}))
     right = rd.from_arrow(pa.table({"key": [1, 1, 3], "rv": [7, 8, 9]}))
-    got = shuffle_join(left, right, "key", ["lv"], ["rv"], "inner").to_pandas()
-    assert len(got) == 1  # key 1 only, one row (no cross product)
-    assert got.iloc[0]["key"] == 1 and got.iloc[0]["rv"] in (7, 8)
+    got = shuffle_join(left, right, "key", ["lv"], ["rv"],
+                       "inner").to_pandas()
+    got = got.sort_values(["lv", "rv"]).reset_index(drop=True)
+    assert len(got) == 4  # 2 left rows x 2 right rows for key 1
+    assert got["key"].tolist() == [1, 1, 1, 1]
+    assert got["lv"].tolist() == [10, 10, 11, 11]
+    assert got["rv"].tolist() == [7, 8, 7, 8]
+
+
+@st.composite
+def dup_join_inputs(draw):
+    """Both sides carry duplicate keys (the many-to-many shape)."""
+    nl = draw(st.integers(1, 400))
+    nr = draw(st.integers(1, 400))
+    n_keys = draw(st.integers(1, 60))
+    seed = draw(st.integers(0, 2**31 - 1))
+    blocks = draw(st.integers(1, 7))
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, n_keys, nl), rng.integers(-1000, 1000, nl),
+            rng.integers(0, n_keys, nr), rng.integers(-1000, 1000, nr),
+            blocks)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+@given(dup_join_inputs())
+@settings(max_examples=6, deadline=None)
+def test_shuffle_join_many_to_many_matches_pandas(ray_session, how, data):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doonop_ray.ops.join import shuffle_join
+
+    lkeys, lvals, rkeys, rvals, blocks = data
+    left = rd.from_arrow(pa.table({"key": lkeys, "lv": lvals})).repartition(
+        blocks)
+    right = rd.from_arrow(pa.table({"key": rkeys, "rv": rvals})).repartition(
+        max(1, blocks - 1))
+    got = shuffle_join(left, right, "key", ["lv"], ["rv"], how).to_pandas()
+    if not len(got.columns):  # all-empty Ray result loses its schema
+        got = pd.DataFrame({"key": [], "lv": [], "rv": []})
+    got = got.sort_values(["key", "lv", "rv"],
+                          kind="mergesort").reset_index(drop=True)
+    exp = pd.DataFrame({"key": lkeys, "lv": lvals}).merge(
+        pd.DataFrame({"key": rkeys, "rv": rvals}), on="key", how=how)
+    exp = exp.sort_values(["key", "lv", "rv"],
+                          kind="mergesort").reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ("key", "lv", "rv"):
+        g = got[c].to_numpy(dtype=float)
+        x = exp[c].to_numpy(dtype=float)
+        assert ((g == x) | (np.isnan(g) & np.isnan(x))).all(), c
 
 
 @pytest.mark.parametrize("small_max", [65536, 0],
