@@ -38,6 +38,23 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     checkpoint_every_waves: int = 1
     seen_mode: str = "exact"            # "exact" | "cuckoo" | "both"
+    seen_capacity_per_shard: int | None = None
+                                        # cuckoo slots per seen shard.
+                                        # None → derived from
+                                        # expected_total_urls (1.3×
+                                        # headroom split across shards)
+                                        # when set, else 1<<18. Past
+                                        # capacity the filter degrades
+                                        # to an exact overflow stash
+                                        # (no false negatives, but
+                                        # unbounded memory) — stash
+                                        # occupancy is surfaced in the
+                                        # wave/stream metrics so an
+                                        # undersized run is visible.
+    expected_total_urls: int | None = None
+                                        # frontier-budget hint (seed
+                                        # count × expected expansion)
+                                        # used to size the seen shards
     use_actor_pools: bool = False       # True: per-wave actor pools (real
                                         # model-loading fetchers); False:
                                         # tasks + per-worker state cache

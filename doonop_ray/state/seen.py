@@ -168,6 +168,16 @@ class SeenCore:
     def __len__(self) -> int:
         return len(self.exact) if self.mode == "exact" else self.filter.count
 
+    def occupancy(self) -> dict[str, int]:
+        """Memory-budget telemetry: ``stash`` > 0 means the cuckoo table
+        is effectively full and membership is degrading toward an
+        unbounded exact set — size ``seen_capacity_per_shard`` up."""
+        return {
+            "count": len(self),
+            "stash": len(self.filter.overflow),
+            "slots": self.filter.n_buckets * _BUCKET,
+        }
+
     def snapshot(self) -> bytes:
         return pickle.dumps(
             {

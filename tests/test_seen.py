@@ -56,3 +56,36 @@ def test_seen_snapshot_restore():
     s2.restore(blob)
     assert np.array_equal(s2.filter.table, s.filter.table)
     assert s2.check_and_add(["u5", "new"]) == [False, True]
+
+def test_occupancy_budgeted_capacity_keeps_stash_empty():
+    """A shard sized for its load (the derived seen_capacity_per_shard
+    path) absorbs the full URL set without touching the overflow stash —
+    the memory budget holds."""
+    n = 20_000
+    s = SeenCore("cuckoo", capacity=int(n * 1.3))
+    s.check_and_add([f"https://h{i % 97}.com/p/{i}" for i in range(n)])
+    occ = s.occupancy()
+    assert occ["count"] == n
+    assert occ["stash"] == 0
+    assert occ["slots"] >= n
+
+
+def test_occupancy_overload_visible_and_correct():
+    """4× over nominal capacity: membership stays exact (no false
+    negatives) and the degradation is VISIBLE — stash occupancy is
+    nonzero and bounded by the overload (≤ 2 stash entries per URL past
+    the table's fill capacity)."""
+    cap = 2048
+    s = SeenCore("cuckoo", capacity=cap)
+    urls = [f"https://z{i % 13}.com/q/{i}" for i in range(4 * cap)]
+    s.check_and_add(urls)
+    occ = s.occupancy()
+    # a handful of inserts may be dropped by cuckoo false positives
+    # (documented: an FP drops a URL exactly once) — count stays close
+    assert len(urls) - 16 <= occ["count"] <= len(urls)
+    assert occ["stash"] > 0  # undersized run is visible in telemetry
+    # every url past the table's slot count costs at most 2 stash
+    # entries (both candidate buckets recorded)
+    assert occ["stash"] <= 2 * (len(urls) - occ["slots"] // 2)
+    # no false negatives even in overload
+    assert s.check_and_add(urls[:500]) == [False] * 500
