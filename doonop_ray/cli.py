@@ -61,8 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--webdriver-url", default="http://localhost:4444",
                    help="WebDriver hub address (cfg.rs:86-88; parsed "
                         "and validated; transport stubbed)")
-    p.add_argument("--world", required=True,
-                   help="synthetic world dir (pages/images/robots/seeds parquet)")
+    p.add_argument("--world", default=None,
+                   help="synthetic world dir (pages/images/robots/seeds "
+                        "parquet); required unless --http")
+    p.add_argument("--http", action="store_true",
+                   help="crawl over real HTTP with the urllib transport "
+                        "(loopback or live; replaces the synthetic world "
+                        "tables — no image validation)")
     p.add_argument("--out", default="/tmp/doonop_out/cli")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-every-sec", type=float, default=None,
@@ -125,7 +130,9 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit(
             f"Failed to parse a webdriver address {args.webdriver_url!r}")
 
-    w = read_world(args.world)
+    if not args.http and not args.world:
+        raise SystemExit("--world DIR is required (or pass --http)")
+    w = read_world(args.world) if not args.http else None
     cfg = CrawlConfig(
         extractor=extractor,
         seeds=seeds,
@@ -146,13 +153,39 @@ def main(argv: list[str] | None = None) -> int:
     if args.max_per_host is not None:
         cfg.max_per_host_per_wave = args.max_per_host
 
+    fetch_backend = None
+    if args.http:
+        from functools import partial
+
+        from .filters import FilterSpec
+        from .stages.http_fetch import HttpFetcher
+
+        fetch_backend = partial(
+            HttpFetcher,
+            FilterSpec(tuple(args.ignore), parse_domain_filters(args.filter)),
+            proxy=args.proxy,
+            page_load_timeout_s=args.page_load_time / 1000.0,
+            user_agent=args.robot,
+            extractor=extractor,
+        )
+
+    def _world_args():
+        if args.http:
+            robots = "http" if not args.no_robots else {}
+            return None, None, robots, 42, (16, 40)
+        return (w.pages, w.images, w.robots_map(), w.params.seed,
+                (w.params.img_min, w.params.img_max))
+
+    pages, images, robots_map, world_seed, img_bounds = _world_args()
+
     if args.conformance:
         from .pipelines.crawler import run_conformance
 
         res = run_conformance(
-            cfg, w.pages, w.images, w.robots_map(),
-            world_seed=w.params.seed,
-            img_bounds=(w.params.img_min, w.params.img_max),
+            cfg, pages, images, robots_map,
+            world_seed=world_seed,
+            img_bounds=img_bounds,
+            fetch_backend=fetch_backend,
         )
         stats = res["stats"]
         if args.json:
@@ -173,9 +206,10 @@ def main(argv: list[str] | None = None) -> int:
         # world params restored from params.json so pixel/caption truth
         # regenerates with the WRITER's seed and image bounds (ADVICE r1)
         crawler = RayCrawler(
-            cfg, w.pages, w.images, w.robots_map(), args.out,
-            world_seed=w.params.seed,
-            img_bounds=(w.params.img_min, w.params.img_max),
+            cfg, pages, images, robots_map, args.out,
+            world_seed=world_seed,
+            img_bounds=img_bounds,
+            fetch_backend=fetch_backend,
         )
         restore = crawler.install_signal_checkpoint()
         try:

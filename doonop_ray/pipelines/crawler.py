@@ -43,7 +43,9 @@ from ..config import CrawlConfig
 from ..filters import FilterSpec
 from ..oracle import clean_seeds
 from ..robots import RobotsCache, make_table_fetcher
-from ..stages.fetch import Fetcher, Validator, make_fetch_fn, make_validate_fn
+from ..stages.fetch import (Fetcher, Validator, identity_validate_fn,
+                            make_backend_fetch_fn, make_fetch_fn,
+                            make_validate_fn)
 from ..state.frontier import FrontierCore, FrontierShard
 from ..state.seen import SeenCore, host_shard_of, shard_of
 
@@ -339,19 +341,27 @@ def _run_stream_chunk(entries, fns_ref_box):
 class RayCrawler:
     """Scaled crawl over a synthetic world stored as Arrow tables."""
 
-    def __init__(self, cfg: CrawlConfig, pages: pa.Table, images: pa.Table,
+    def __init__(self, cfg: CrawlConfig, pages: pa.Table | None,
+                 images: pa.Table | None,
                  robots_map: dict[str, str], out_dir: str, world_seed: int = 42,
                  img_bounds: tuple[int, int] = (16, 40),
-                 pages_ref=None, images_ref=None, seeds_ds=None):
+                 pages_ref=None, images_ref=None, seeds_ds=None,
+                 fetch_backend=None):
         self.cfg = cfg
         self.img_bounds = img_bounds
+        # §2e fetcher-backend seam: a picklable zero-arg factory
+        # returning a batch fetcher (e.g. partial(HttpFetcher, filters))
+        # replaces the synthetic-table Fetcher+Validator pair; pages/
+        # images may then be None
+        self.fetch_backend = fetch_backend
         # combine chunks ONCE here (no-op when the caller pre-combined):
         # a worker-side combine_chunks would copy the whole broadcast
         # table in every worker (O(workers x table) memory traffic)
-        self.pages = pages.combine_chunks()
+        self.pages = pages.combine_chunks() if pages is not None else None
         from ..stages.fetch import prep_images_table
 
-        self.images = prep_images_table(images)
+        self.images = (prep_images_table(images)
+                       if images is not None else None)
         # callers may pass session-cached broadcast refs so repeated
         # crawls don't re-put multi-GB tables into the object store
         self._pages_ref = pages_ref
@@ -534,8 +544,13 @@ class RayCrawler:
             if seeds:
                 self._seed_frontier(ray, seeds)
 
-        pages_ref = self._pages_ref or ray.put(self.pages)
-        images_ref = self._images_ref or ray.put(self.images)
+        if self.fetch_backend is None:
+            pages_ref = self._pages_ref or ray.put(self.pages)
+            images_ref = self._images_ref or ray.put(self.images)
+            backend_fetch = None
+        else:
+            pages_ref = images_ref = None
+            backend_fetch = make_backend_fetch_fn(self.fetch_backend)
         self.wave = start_wave
         n_inflight = 1 if cfg.limit is not None else max(1, cfg.max_inflight_waves)
         executor = ThreadPoolExecutor(max_workers=n_inflight)
@@ -550,7 +565,15 @@ class RayCrawler:
             )
             step = -(-len(entries) // n_blocks)
             blocks = [wave_t.slice(i, step) for i in range(0, len(entries), step)]
-            if cfg.use_actor_pools:
+            if backend_fetch is not None:
+                # custom transport (e.g. HttpFetcher): session built once
+                # per worker, no synthetic payload to validate
+                ds = rd.from_arrow(blocks).map_batches(
+                    backend_fetch,
+                    batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size,
+                )
+            elif cfg.use_actor_pools:
                 ds = (
                     rd.from_arrow(blocks)
                     .map_batches(
@@ -893,13 +916,16 @@ class RayCrawler:
 
         run_dir = os.path.join(self.out_dir, f"run={run_idx:03d}")
         os.makedirs(run_dir, exist_ok=True)
-        pages_ref = self._pages_ref or ray.put(self.pages)
-        images_ref = self._images_ref or ray.put(self.images)
-
-        fetch_fn = make_fetch_fn(pages_ref, self.filters, cfg.extractor)
-        validate_fn = make_validate_fn(images_ref, self.world_seed,
-                                       img_min=self.img_bounds[0],
-                                       img_max=self.img_bounds[1])
+        if self.fetch_backend is None:
+            pages_ref = self._pages_ref or ray.put(self.pages)
+            images_ref = self._images_ref or ray.put(self.images)
+            fetch_fn = make_fetch_fn(pages_ref, self.filters, cfg.extractor)
+            validate_fn = make_validate_fn(images_ref, self.world_seed,
+                                           img_min=self.img_bounds[0],
+                                           img_max=self.img_bounds[1])
+        else:
+            fetch_fn = make_backend_fetch_fn(self.fetch_backend)
+            validate_fn = identity_validate_fn
         persist_fn = make_persist_fn(run_dir)
         route_fn = make_link_router(self.seen, self.frontier,
                                     cfg.retry_policy, cfg.num_seen_shards,
@@ -1380,20 +1406,38 @@ class RayCrawler:
 # ---------------------------------------------------------------------------
 
 
-def run_conformance(cfg: CrawlConfig, pages: pa.Table, images: pa.Table,
+def run_conformance(cfg: CrawlConfig, pages: pa.Table | None,
+                    images: pa.Table | None,
                     robots_map: dict[str, str], world_seed: int = 42,
-                    img_bounds: tuple[int, int] = (16, 40)):
+                    img_bounds: tuple[int, int] = (16, 40),
+                    fetch_backend=None):
     """Single-in-flight crawl using the engine's own operator classes
     (FrontierCore + SeenCore + RobotsCache + Fetcher + Validator batch
-    fns applied inline) — produces the reference's exact j=1 order."""
+    fns applied inline) — produces the reference's exact j=1 order.
+
+    ``fetch_backend`` (zero-arg factory) swaps in a custom transport
+    (e.g. the loopback HttpFetcher); image validation is then skipped —
+    payload truth is a synthetic-world notion."""
     filters = FilterSpec(tuple(cfg.ignore_regexes), cfg.allow_domains)
-    fetcher = Fetcher(pages, filters, cfg.extractor)
-    validator = Validator(images, world_seed, img_min=img_bounds[0], img_max=img_bounds[1])
+    if fetch_backend is not None:
+        fetcher = fetch_backend()
+        validator = None
+    else:
+        fetcher = Fetcher(pages, filters, cfg.extractor)
+        validator = Validator(images, world_seed, img_min=img_bounds[0],
+                              img_max=img_bounds[1])
     frontier = FrontierCore(
         cfg.retry_policy, cfg.retry_threshold_ms, cfg.retry_count, "lifo"
     )
     seen = SeenCore("exact" if cfg.seen_mode != "cuckoo" else "cuckoo")
-    robots = RobotsCache(make_table_fetcher(robots_map)) if cfg.use_robots else None
+    if not cfg.use_robots:
+        robots = None
+    elif robots_map == "http":
+        from ..robots import make_http_robots_fetcher
+
+        robots = RobotsCache(make_http_robots_fetcher())
+    else:
+        robots = RobotsCache(make_table_fetcher(robots_map))
 
     stats = CrawlStats()
     order: list[str] = []
@@ -1426,14 +1470,16 @@ def run_conformance(cfg: CrawlConfig, pages: pa.Table, images: pa.Table,
         if status != "ok":
             stats.errors += 1
             continue
-        v = validator(row)
+        v = validator(row) if validator is not None else row
         collected.append(
             {
                 "url": url,
                 "data": v.column("data")[0].as_py(),
                 "image_id": v.column("image_id")[0].as_py(),
-                "caption_ok": v.column("caption_ok")[0].as_py(),
-                "pixel_ok": v.column("pixel_ok")[0].as_py(),
+                "caption_ok": (v.column("caption_ok")[0].as_py()
+                               if validator is not None else None),
+                "pixel_ok": (v.column("pixel_ok")[0].as_py()
+                             if validator is not None else None),
             }
         )
         stats.collected += 1

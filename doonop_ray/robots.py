@@ -163,3 +163,48 @@ def make_table_fetcher(robots_map: dict[str, str]):
         return robots_map.get(host, "")
 
     return fetch
+
+def make_http_robots_fetcher(timeout: float = 5.0, scheme: str = "http",
+                             port: int | None = None):
+    """Live-HTTP robots fetcher (S5, robots.rs:35-51): GET
+    ``scheme://host/robots.txt``. Reference parity quirks:
+
+    - an IP-literal host has no ``domain()`` in the reference, which
+      skips robots entirely (robots.rs:16-19) → empty rules here;
+    - reqwest does NOT error on HTTP status, so a 404's body bytes
+      compile as the robots file (no rules → allow) — mirrored by
+      reading the HTTPError body;
+    - transport errors raise → cached None → URL silently dropped
+      (workload.rs:100-105).
+
+    Simplification vs the reference: the cache keys by HOST, so the
+    robots URL uses the default port unless ``port`` overrides it (the
+    reference rebuilds the robots URL from each page URL, keeping its
+    port — robots.rs:35-44); non-default-port crawls pass ``port``.
+    """
+
+    def fetch(host: str) -> str:
+        import ipaddress
+        import urllib.error
+        import urllib.request
+
+        try:
+            ipaddress.ip_address(host)
+            return ""  # IP host: reference skips robots (no domain)
+        except ValueError:
+            pass
+        netloc = host if port is None else f"{host}:{port}"
+        try:
+            with urllib.request.urlopen(
+                f"{scheme}://{netloc}/robots.txt", timeout=timeout
+            ) as r:
+                return r.read().decode("utf-8", "replace")
+        except urllib.error.HTTPError as e:
+            try:
+                return e.read().decode("utf-8", "replace")
+            except Exception:
+                return ""
+        except Exception as e:
+            raise RobotsFetchError(str(e)) from None
+
+    return fetch

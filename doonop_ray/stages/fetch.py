@@ -219,6 +219,29 @@ def make_fetch_fn(pages_ref, filters: FilterSpec, extractor=None):
     return fetch_fn
 
 
+def make_backend_fetch_fn(factory):
+    """Per-worker-cached CUSTOM fetch backend — the §2e fetcher-backend
+    seam at the data plane. ``factory`` is a picklable zero-arg callable
+    returning a batch fetcher with the Fetcher contract (e.g.
+    ``functools.partial(HttpFetcher, filters)``); each worker process
+    builds its session once (engine_builder.rs:93-136 semantics) and
+    reuses it for every chunk of the crawl."""
+    import uuid
+
+    key = ("custom_fetch", uuid.uuid4().hex)
+
+    def fetch_fn(batch: pa.Table) -> pa.Table:
+        return _cached(key, factory)(batch)
+
+    return fetch_fn
+
+
+def identity_validate_fn(batch: pa.Table) -> pa.Table:
+    """Pass-through validator for backends with no synthetic image
+    payload to validate (e.g. the HTTP transport)."""
+    return batch
+
+
 def make_validate_fn(images_ref, world_seed: int, emit_bytes: bool = False,
                      img_min: int = 16, img_max: int = 40):
     key = ("validate", getattr(images_ref, "hex", lambda: id(images_ref))())

@@ -263,9 +263,17 @@ class FrontierShard:
             self.core.set_politeness(host_rate_per_sec, host_burst)
         self.robot = robot
         self.n_retry_received = 0
-        self.robots = (
-            RobotsCache(make_table_fetcher(robots_map or {})) if use_robots else None
-        )
+        if not use_robots:
+            self.robots = None
+        elif robots_map == "http":
+            # live transport: fetch robots.txt over HTTP once per host
+            # (robots.rs:35-51); sentinel because an actor ctor can't
+            # take a closure without paying pickle for it
+            from ..robots import make_http_robots_fetcher
+
+            self.robots = RobotsCache(make_http_robots_fetcher())
+        else:
+            self.robots = RobotsCache(make_table_fetcher(robots_map or {}))
 
     def push(self, items: list[tuple[str, int]]) -> int:
         return self.core.push(items)

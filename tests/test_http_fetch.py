@@ -1,0 +1,211 @@
+"""Loopback-HTTP integration: the reference's own fixture pattern
+(docker-compose.yml:9-16 serves tests/www with ``python3 -m
+http.server``; the 2-page graph of tests/www/basic) stood up on
+127.0.0.1, driven end-to-end through HttpFetcher + the real crawl
+engine. Mirrors tests/crawling.rs:13-23's asserted stats
+(``visited 2, collected 2, errors 0, retries 0``).
+"""
+
+import json
+import subprocess
+import sys
+import threading
+from functools import partial
+from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from doonop_ray.filters import FilterSpec
+from doonop_ray.stages.http_fetch import HttpFetcher, harvest_links
+
+INDEX_HTML = """<!DOCTYPE html>
+<html><head><title>Index</title></head>
+<body><a href="./about.html">About</a></body></html>
+"""
+ABOUT_HTML = """<!DOCTYPE html>
+<html><head><title>About</title></head>
+<body><p>Nothing is here</p></body></html>
+"""
+
+
+@pytest.fixture(scope="module")
+def www(tmp_path_factory):
+    """Fixture site + loopback server; yields (base_url, root_dir)."""
+    root = tmp_path_factory.mktemp("www")
+    basic = root / "basic"
+    basic.mkdir()
+    (basic / "index.html").write_text(INDEX_HTML)
+    (basic / "about.html").write_text(ABOUT_HTML)
+    # extra pages for the filter/error tests
+    (basic / "deep.html").write_text(
+        '<a href="index.html">i</a><a name="no-href">skip</a>'
+        '<a href="sub/page.html">p</a>')
+    sub = basic / "sub"
+    sub.mkdir()
+    (sub / "page.html").write_text("<p>leaf</p>")
+
+    handler = partial(SimpleHTTPRequestHandler, directory=str(root))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, root
+    srv.shutdown()
+
+
+def test_harvest_links_document_order_skips_missing_href():
+    html = ('<a href="/a">A</a><div><a name="x">no href</a></div>'
+            '<a href="b.html">B</a><a href="">empty</a>')
+    assert harvest_links(html) == ["/a", "b.html", ""]
+
+
+def test_http_fetcher_batch_contract(www):
+    import pyarrow as pa
+
+    base, _ = www
+    f = HttpFetcher(FilterSpec((), None))
+    batch = pa.table({
+        "url": [f"{base}/basic/index.html", f"{base}/basic/missing.html"],
+        "attempt": pa.array([0, 0], pa.int32()),
+        "depth": pa.array([0, 0], pa.int32()),
+    })
+    out = f(batch)
+    assert out.column("status").to_pylist() == ["ok", "error"]
+    links = out.column("links").to_pylist()
+    assert links[0] == [f"{base}/basic/about.html"]  # absolutized
+    assert links[1] == []
+    assert "About" in out.column("data")[0].as_py()  # body text as data
+    assert out.column("latency_ms")[0].as_py() >= 1
+
+
+def test_http_fetcher_timeout_status():
+    """A connect timeout to a non-routable address reports 'timeout'
+    (retryable) — reference maps only timeouts to the retry lane."""
+    f = HttpFetcher(FilterSpec((), None), page_load_timeout_s=0.2)
+    import pyarrow as pa
+
+    batch = pa.table({
+        # RFC 5737 TEST-NET: guaranteed unrouted → connect timeout
+        "url": ["http://192.0.2.1:9/x"],
+        "attempt": pa.array([0], pa.int32()),
+        "depth": pa.array([0], pa.int32()),
+    })
+    out = f(batch)
+    assert out.column("status").to_pylist()[0] in ("timeout", "error")
+
+
+def test_http_fetch_loopback_conformance(www):
+    """crawling.rs:13-23 over a real socket: crawl the 2-page fixture
+    graph, assert order, stats and the default-UDF data values."""
+    from doonop_ray.config import CrawlConfig
+    from doonop_ray.functions.checkfile import default_extractor
+    from doonop_ray.pipelines.crawler import run_conformance
+
+    base, _ = www
+    seed = f"{base}/basic/index.html"
+    filters = FilterSpec((), None)
+    cfg = CrawlConfig(seeds=[seed], use_robots=True, retry_policy="first")
+    res = run_conformance(
+        cfg, None, None, "http",
+        fetch_backend=partial(HttpFetcher, filters,
+                              extractor=default_extractor()),
+    )
+    assert res["order"] == [seed, f"{base}/basic/about.html"]
+    assert res["stats"] == {"visited": 2, "collected": 2,
+                            "errors": 0, "retries": 0}
+    # default UDF: "return window.location.href" → the page URL
+    assert json.loads(res["collected"][0]["data"]) == seed
+    assert res["seen"] == {seed, f"{base}/basic/about.html"}
+
+
+def test_http_fetch_loopback_scaled(ray_session, www, tmp_path):
+    """The scaled engine (frontier/seen shards + wave pipeline) over the
+    real socket: same visited/collected set as conformance."""
+    from doonop_ray.config import CrawlConfig
+    from doonop_ray.pipelines.crawler import RayCrawler
+
+    base, _ = www
+    seed = f"{base}/basic/deep.html"
+    filters = FilterSpec((), None)
+    cfg = CrawlConfig(seeds=[seed], use_robots=True, engines=2,
+                      num_seen_shards=2, num_frontier_shards=2,
+                      wave_budget=8)
+    crawler = RayCrawler(
+        cfg, None, None, "http", str(tmp_path / "out"),
+        fetch_backend=partial(HttpFetcher, filters),
+    )
+    stats = crawler.run()
+    # deep → index, sub/page; index → about; about → ∅  (4 pages)
+    assert stats.visited == 4
+    assert stats.collected == 4
+    assert stats.errors == 0
+    assert crawler.seen_sets() == {
+        seed,
+        f"{base}/basic/index.html",
+        f"{base}/basic/about.html",
+        f"{base}/basic/sub/page.html",
+    }
+
+
+def test_http_ignore_filter_applied(www):
+    """-i regex filters drop matching links at harvest (engine.rs:51-57)."""
+    import pyarrow as pa
+
+    base, _ = www
+    f = HttpFetcher(FilterSpec((r".*sub.*",), None))
+    batch = pa.table({
+        "url": [f"{base}/basic/deep.html"],
+        "attempt": pa.array([0], pa.int32()),
+        "depth": pa.array([0], pa.int32()),
+    })
+    out = f(batch)
+    assert out.column("links").to_pylist()[0] == [
+        f"{base}/basic/index.html"]
+
+
+def test_http_robots_fetcher_paths(www):
+    """404 body compiles as robots (reqwest parity: HTTP status is not
+    an error); IP-literal hosts skip robots (url.domain() None)."""
+    from doonop_ray.robots import (RobotsCache, RobotsFetchError,
+                                   make_http_robots_fetcher)
+
+    base, root = www
+    port = int(base.rsplit(":", 1)[1])
+    fetch = make_http_robots_fetcher(port=port)
+    assert fetch("127.0.0.1") == ""  # IP host: robots skipped
+    # no robots.txt on the server → 404 body returned, compiles to
+    # allow-all
+    body_404 = fetch("localhost")
+    cache = RobotsCache(lambda h: body_404)
+    assert cache.is_allowed("DoonopRobot", "localhost", "/basic/x") is True
+    # now serve a real robots.txt denying /basic/sub/
+    (root / "robots.txt").write_text(
+        "User-agent: *\nDisallow: /basic/sub/\n")
+    cache2 = RobotsCache(make_http_robots_fetcher(port=port))
+    assert cache2.is_allowed("DoonopRobot", "localhost",
+                             "/basic/sub/page.html") is False
+    assert cache2.is_allowed("DoonopRobot", "localhost",
+                             "/basic/index.html") is True
+    # transport error (unresolvable host) → RobotsFetchError → cached
+    # None (drop); must be a NAME — IP literals skip robots entirely
+    bad = make_http_robots_fetcher(timeout=0.2, port=9)
+    with pytest.raises(RobotsFetchError):
+        bad("doonop-nonexistent.invalid")
+
+
+def test_cli_stats_line_over_socket(www):
+    """The CLI stats contract (crawling.rs:13-23) over a real socket:
+    ``--http --conformance`` prints the exact reference stats line."""
+    base, _ = www
+    proc = subprocess.run(
+        [sys.executable, "-m", "doonop_ray", "--http", "--conformance",
+         "--json", f"{base}/basic/index.html"],
+        capture_output=True, text=True, timeout=120,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stderr.rstrip().endswith(
+        "Statistics: visited 2, collected 2, errors 0, retries 0")
+    # default UDF output: one JSON line per collected page (main.rs:36-38)
+    lines = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    assert lines == [f"{base}/basic/index.html", f"{base}/basic/about.html"]
