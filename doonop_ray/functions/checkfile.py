@@ -12,9 +12,10 @@ is no browser in the sandbox, so the JS flavor is a small recognized
 subset evaluated against a page context (``window.location.*`` from the
 URL, ``document.body`` from the page's data payload, JSON literals) and
 the Side flavor interprets the store/echo/open/executeScript commands
-that operate on variables — DOM-dependent commands raise
-``NotImplementedError`` with the command name, the same honesty contract
-as the HTTP transport stub.
+that operate on variables, plus the click-free storeText/assert/
+assertText subset against the page payload as document body —
+DOM-interaction commands raise ``NotImplementedError`` with the command
+name, the same honesty contract as the HTTP transport stub.
 
 Extractor contract (``config.py`` ``CrawlConfig.extractor``):
 ``fn(page_rows: pa.Table) -> pa.Array[string]`` over the OK rows, where
@@ -90,15 +91,42 @@ class JsCheck:
         return pa.array(out, pa.string())
 
 
+class SideAssertError(CheckFileError):
+    """A .side ``assert``/``assertText`` failed for a page — the analog
+    of a Selenium-IDE test failure, surfaced per page rather than
+    silently emitting a wrong extraction."""
+
+
+# DOM-free locator subset: the synthetic page payload IS the document
+# body, so only whole-body locators are resolvable without a browser.
+_BODY_LOCATORS = {"css=body", "xpath=//body", "tag=body"}
+
+
 class SideCheck:
     """M3 analog: minimal Selenium-IDE (.side) interpreter.
 
     Runs every test's command list in order against per-page variables;
     the extraction result is the ``RESULT`` variable, JSON ``null`` when
-    no command set it (backend.rs:173-183)."""
+    no command set it (backend.rs:173-183).
+
+    Click-free command subset beyond store/executeScript:
+
+    - ``storeText`` — element text into a variable; only the whole-body
+      locators (``css=body`` et al) resolve, since the synthetic page
+      payload is the document body (no DOM in this environment);
+    - ``assert`` — stored variable equals the (interpolated) expected
+      value, else ``SideAssertError`` for that page;
+    - ``assertText`` — element text equals the expected value.
+
+    DOM-interaction commands (click, waitFor*, type, ...) still raise
+    ``NotImplementedError`` at load time — the honesty contract."""
 
     SUPPORTED = {"store", "echo", "open", "executeScript",
-                 "execute script", "pause", "//store"}
+                 "execute script", "pause", "//store",
+                 "storeText", "store text",
+                 "assert", "assertText", "assert text"}
+
+    _TEXT_CMDS = {"storeText", "store text", "assertText", "assert text"}
 
     def __init__(self, source: str):
         try:
@@ -119,9 +147,26 @@ class SideCheck:
                     f".side command {cmd!r} needs a browser; this "
                     f"environment supports {sorted(self.SUPPORTED)}"
                 )
+            if cmd in self._TEXT_CMDS:
+                loc = (c.get("target", "") or "").strip()
+                if loc not in _BODY_LOCATORS:
+                    raise NotImplementedError(
+                        f".side locator {loc!r} needs a DOM; this "
+                        f"environment resolves {sorted(_BODY_LOCATORS)}"
+                    )
+
+    @staticmethod
+    def _body_text(page: dict) -> str:
+        d = page.get("data")
+        return d if isinstance(d, str) else json.dumps(d)
 
     def _run_one(self, page: dict):
         variables: dict = {}
+
+        def interp(s: str) -> str:
+            return _VAR_RE.sub(
+                lambda m: str(variables.get(m.group(1), "")), s)
+
         for c in self.commands:
             cmd = c.get("command", "")
             target = c.get("target", "") or ""
@@ -129,8 +174,24 @@ class SideCheck:
             if cmd.startswith("//") or cmd in ("pause", "echo", "open"):
                 continue
             if cmd == "store":
-                variables[value] = _VAR_RE.sub(
-                    lambda m: str(variables.get(m.group(1), "")), target)
+                variables[value] = interp(target)
+            elif cmd in ("storeText", "store text"):
+                variables[value] = self._body_text(page)
+            elif cmd == "assert":
+                got = variables.get(target)
+                want = interp(value)
+                if str(got) != want:
+                    raise SideAssertError(
+                        f"assert failed on {page['url']}: "
+                        f"variable {target!r} is {got!r}, expected "
+                        f"{want!r}")
+            elif cmd in ("assertText", "assert text"):
+                got = self._body_text(page)
+                want = interp(value)
+                if got != want:
+                    raise SideAssertError(
+                        f"assertText failed on {page['url']}: body is "
+                        f"{got!r}, expected {want!r}")
             elif cmd in ("executeScript", "execute script"):
                 res = _eval_js(target, page, variables)
                 if value:

@@ -1821,7 +1821,9 @@ def _per_image_gate_violations(sf_dir: str, query_fn, val_cols: list[str],
       recompute — raw ``codec.decode_image`` over table-sliced blobs +
       the op's shared feature arithmetic via
       ``recompute_fn(world_row) -> tuple`` — must reproduce every r4
-      ``val_cols`` value bit-for-bit (SCORE). The query's path goes
+      ``val_cols`` value bit-for-bit (RECOMPUTE_<col>, one row per
+      mismatching column so triage names the gate that drifted; a NaN
+      on either side flags, since NaN != NaN). The query's path goes
       through the per-worker cached blob-view machinery and broadcast
       state; the feature arithmetic is shared by contract, the decode
       path, metadata sourcing and coverage accounting are independent.
@@ -1870,8 +1872,10 @@ def _per_image_gate_violations(sf_dir: str, query_fn, val_cols: list[str],
         have.setdefault(tup[0], tuple(float(v) for v in tup[1:]))
     for iid in picked:
         if iid in have and have[iid] != want[iid]:
-            bad_i.append(iid)
-            bad_k.append("score")
+            for col, h, wv in zip(val_cols, have[iid], want[iid]):
+                if h != wv:
+                    bad_i.append(iid)
+                    bad_k.append(f"recompute_{col}")
     return finish(pd.DataFrame({
         "image_id": pd.Series(bad_i, dtype="str"),
         "kind": pd.Series(bad_k, dtype="str")}), ["image_id", "kind"])

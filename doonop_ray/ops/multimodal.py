@@ -372,9 +372,16 @@ class ImageCurator:
     def stats_of(cls, pix) -> tuple[float, float, float, int, bool]:
         """Shared feature arithmetic (query + violation check both call
         this on their own decodes; the CHECK's independence is in the
-        decode path and the reduction, not the feature formula)."""
-        b = float(pix.mean()) / 255.0
-        c = float(pix.std()) / 255.0
+        decode path and the reduction, not the feature formula).
+
+        brightness/contrast are r4-ROUNDED before the gate so the keep
+        decision is defined on the same values everywhere — here, in
+        the emitted columns, and in the fused pair-curation stage
+        (which rounds its columns the same way; r4 is idempotent)."""
+        from .common import r4
+
+        b = float(r4(float(pix.mean()) / 255.0))
+        c = float(r4(float(pix.std()) / 255.0))
         aspect = pix.shape[1] / pix.shape[0]
         min_side = int(min(pix.shape[0], pix.shape[1]))
         keep = (cls.BRIGHT_LO <= b <= cls.BRIGHT_HI
@@ -1209,11 +1216,10 @@ class PairCurationStage(_PerImageFeatureStage):
     ``ImageModelScorer.score_of``,
     ``CaptionAlignmentScorer.alignment_of``), so the fused columns
     match the individual queries' r4 outputs bit-for-bit. keep = ALL
-    gates pass, thresholds applied to the ROUNDED columns — which makes
-    the fused decision reproducible from the emitted frame but can
-    differ from ``curate_images``' UNROUNDED photometric gate for raw
-    values within 5e-5 of a threshold (a measure-zero boundary; zero
-    divergence on the test worlds)."""
+    gates pass, thresholds applied to the ROUNDED columns —
+    ``ImageCurator.stats_of`` rounds brightness/contrast the same way
+    before its gate, so the photometric keep decision is defined
+    identically here and in ``curate_images``."""
 
     EXTRA_COLS = ("caption",)
     FEATURES = (("brightness", True), ("contrast", True),

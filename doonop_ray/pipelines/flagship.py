@@ -38,6 +38,12 @@ _CACHE: dict[str, World] = {}
 # the alias keeps the mutable list poke-able for the stale-session test)
 from ..ops.common import _SPUT_SESSION as _REF_SESSION  # noqa: E402
 
+_REF_TOKENS = iter(range(1, 1 << 62))
+
+
+def _next_ref_token() -> int:
+    return next(_REF_TOKENS)
+
 
 def _ref_for(tier: str, w, table: str):
     """Session-cached ``ray.put`` ref of ONE (pre-combined) world table.
@@ -45,10 +51,19 @@ def _ref_for(tier: str, w, table: str):
     Lazy per table — an image-only session must not pay object-store
     residency for the pages table (GBs at the scale tiers). Session
     validity / dangling-ref invalidation lives in the shared
-    ``ops.common.session_put`` state machine."""
+    ``ops.common.session_put`` state machine. The key carries the
+    World's build token (a process-monotonic counter stamped by
+    ``world_for``) so a World REBUILT for the same tier within one Ray
+    session (e.g. a cleared ``_CACHE`` in tests) mints a fresh ref
+    instead of serving the stale broadcast."""
     from ..ops.common import session_put
 
-    return session_put(("world", tier, table), lambda: getattr(w, table))
+    tok = getattr(w, "_ref_token", None)
+    if tok is None:
+        tok = _next_ref_token()
+        w._ref_token = tok
+    return session_put(("world", tier, table, tok),
+                       lambda: getattr(w, table))
 
 
 def _refs_for(tier: str, w):

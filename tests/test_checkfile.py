@@ -102,3 +102,53 @@ def test_format_sniffing(tmp_path):
     assert isinstance(load_check_file(str(jsn), fmt="side"), SideCheck)
     with pytest.raises(CheckFileError):
         load_check_file(str(other))
+
+
+def test_side_store_text_and_assert_text():
+    c = SideCheck(side_doc([
+        {"command": "storeText", "target": "css=body", "value": "RESULT"},
+    ]))
+    assert one(c) == '{"x": 1}'
+    # passing assertText: body equals the literal payload
+    c2 = SideCheck(side_doc([
+        {"command": "assertText", "target": "css=body",
+         "value": '{"x": 1}'},
+        {"command": "store", "target": "ok", "value": "RESULT"},
+    ]))
+    assert one(c2) == "ok"
+
+
+def test_side_assert_variable():
+    from doonop_ray.functions.checkfile import SideAssertError
+
+    c = SideCheck(side_doc([
+        {"command": "store", "target": "42", "value": "N"},
+        {"command": "assert", "target": "N", "value": "42"},
+        {"command": "store", "target": "passed ${N}", "value": "RESULT"},
+    ]))
+    assert one(c) == "passed 42"
+    bad = SideCheck(side_doc([
+        {"command": "store", "target": "42", "value": "N"},
+        {"command": "assert", "target": "N", "value": "41"},
+    ]))
+    with pytest.raises(SideAssertError):
+        one(bad)
+    badtext = SideCheck(side_doc([
+        {"command": "assertText", "target": "tag=body",
+         "value": "not the body"},
+    ]))
+    with pytest.raises(SideAssertError):
+        one(badtext)
+
+
+def test_side_text_commands_need_body_locator():
+    # a real-DOM locator cannot resolve without a browser: load-time
+    # NotImplementedError, same honesty contract as the click commands
+    with pytest.raises(NotImplementedError):
+        SideCheck(side_doc([
+            {"command": "storeText", "target": "css=.item", "value": "T"},
+        ]))
+    with pytest.raises(NotImplementedError):
+        SideCheck(side_doc([
+            {"command": "assertText", "target": "id=main", "value": "x"},
+        ]))
