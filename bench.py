@@ -238,6 +238,46 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_skew(num_cpus: int) -> dict:
+    """Skew-adversarial crawl: the "skew" world (host 0 holds 50% of
+    all pages; same total page count + payload sizes as the "0.1"
+    bench tier) vs the uniform-Zipf bench world, same bulk-seeded
+    flagship crawl, best-of-2 each after a warm-up. The claim under
+    test (SURVEY §4): salted groupby(host) expansion + per-host
+    politeness bound the hot reducer, so the skewed world's wall time
+    stays within ~1.5x of the uniform world at equal page count."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray = _init_ray(num_cpus)
+
+    from doonop_ray.pipelines.flagship import flagship_crawl, world_for
+
+    def timed(tier: str) -> tuple[float, int, int]:
+        w = world_for(tier)
+        flagship_crawl(tier, bulk_seed=True)  # untimed warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = flagship_crawl(tier, bulk_seed=True)
+            best = min(best, time.monotonic() - t0)
+        hot = int(df["url"].str.contains("//h000.", regex=False).sum())
+        return best, len(df), hot
+
+    uni_sec, uni_pages, _ = timed("sf0.1")
+    skew_sec, skew_pages, skew_hot = timed("skew")
+    ray.shutdown()
+    return {
+        "metric": "skew_adversarial_crawl (hot-host 50% vs uniform world)",
+        "value": round(skew_sec / uni_sec, 3),
+        "unit": "ratio (skew/uniform wall-time; claim: <= 1.5)",
+        "uniform_sec": round(uni_sec, 3),
+        "skew_sec": round(skew_sec, 3),
+        "uniform_pages": uni_pages,
+        "skew_pages": skew_pages,
+        "skew_hot_host_pages": skew_hot,
+        "num_cpus": num_cpus,
+    }
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -252,6 +292,8 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew(num_cpus)))
     else:
         include_ops = os.environ.get("GRAFT_SKIP_OPS") != "1"
         print(json.dumps(run_bench(sf_dir, num_cpus, include_ops)))

@@ -279,8 +279,7 @@ class ImageResizer:
 def _tier_n(sf_dir: str) -> int:
     from ..pipelines.flagship import tier_of
 
-    return {"0.001": 60, "0.01": 200, "0.1": 500,
-            "scale": 500, "scaleh": 500}[tier_of(sf_dir)]
+    return {"0.001": 60, "0.01": 200, "0.1": 500}.get(tier_of(sf_dir), 500)
 
 
 def audio_features(sf_dir: str) -> pd.DataFrame:

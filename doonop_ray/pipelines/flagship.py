@@ -31,6 +31,12 @@ _TIERS = {
     # coordination floor, so the two-parallelism comparison measures the
     # pipeline rather than the scheduler
     "scaleh": dict(n_hosts=80, pages_per_host=1200, img=(96, 128)),
+    # skew-adversarial twin of the bench tier: SAME total page count
+    # and payload sizes as "0.1", but host 0 holds 50% of all pages
+    # (and, via intra-host links, ~40%+ of all link targets) — the
+    # measured evidence that salted host expansion + politeness bound
+    # the hot reducer (bench.py --skew reports skew/uniform wall-time)
+    "skew": dict(n_hosts=40, pages_per_host=600, img=(56, 72), hot=0.5),
 }
 _WORLD_CACHE_VERSION = 6  # v6: cheap-truth expected_pixels/_caption rewrite
 _CACHE: dict[str, World] = {}
@@ -73,7 +79,7 @@ def _refs_for(tier: str, w):
 
 def tier_of(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
-    if name in ("scale", "scaleh"):
+    if name in ("scale", "scaleh", "skew"):
         return name
     sf = name.replace("sf", "") if name.startswith("sf") else "0.001"
     return sf if sf in _TIERS else "0.001"
@@ -92,6 +98,7 @@ def world_params(tier: str) -> WorldParams:
         n_seeds=t["n_hosts"],
         img_min=t["img"][0],
         img_max=t["img"][1],
+        hot_host_frac=t.get("hot"),
     )
 
 
@@ -120,7 +127,7 @@ def world_for(sf_dir: str, cache_root: str = "/tmp/doonop_worlds") -> World:
 def _crawl_cfg(w: World, tier: str, **kw) -> CrawlConfig:
     scale = {"0.001": (4, 64, 16), "0.01": (8, 512, 64),
              "0.1": (32, 8192, 512), "scale": (32, 16384, 512),
-             "scaleh": (32, 16384, 512)}[tier]
+             "scaleh": (32, 16384, 512), "skew": (32, 8192, 512)}[tier]
     engines, wave, batch = scale
     base = dict(
         seeds=w.seeds.column("url").to_pylist(),

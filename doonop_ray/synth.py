@@ -43,6 +43,10 @@ class WorldParams:
     n_hosts: int = 4
     pages_per_host: int = 8          # mean; per-host sizes are Zipf-skewed
     zipf_s: float = 1.2
+    # skew-adversarial worlds: host 0 takes this fraction of ALL pages
+    # (None = pure Zipf). Exercises the salted groupby(host) expansion
+    # and per-host politeness under a single dominating host.
+    hot_host_frac: float | None = None
     fanout: int = 3
     p_relative: float = 0.35
     p_cross: float = 0.2
@@ -168,7 +172,13 @@ class World:
 
 def _host_sizes(p: WorldParams, rng: np.random.Generator) -> list[int]:
     w = 1.0 / np.arange(1, p.n_hosts + 1) ** p.zipf_s
-    w /= w.sum()
+    if p.hot_host_frac is not None and p.n_hosts > 1:
+        # host 0 pinned to the requested share; the rest split the
+        # remainder Zipf-style
+        rest = w[1:] / w[1:].sum() * (1.0 - p.hot_host_frac)
+        w = np.concatenate(([p.hot_host_frac], rest))
+    else:
+        w /= w.sum()
     total = p.n_hosts * p.pages_per_host
     sizes = np.maximum(1, np.round(w * total)).astype(int)
     return sizes.tolist()

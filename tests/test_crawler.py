@@ -349,3 +349,21 @@ def test_streaming_warns_on_per_wave_cap(ray_session, tmp_path):
         warnings.simplefilter("always")
         c.run()
     assert any("PER-POLL cap" in str(r.message) for r in rec)
+
+
+def test_hot_host_world_conformance():
+    """Skew-adversarial world (hot_host_frac): host 0 holds the pinned
+    share of pages, and the engine still matches the oracle exactly —
+    the correctness side of the bench.py --skew evidence."""
+    p = WorldParams(seed=31, n_hosts=6, pages_per_host=20, fanout=4,
+                    p_cross=0.4, hot_host_frac=0.6)
+    w = build_world(p)
+    hosts = w.pages.column("host").to_pylist()
+    frac = hosts.count("h000.example.com") / len(hosts)
+    assert 0.55 <= frac <= 0.65
+    cfg = _cfg(w, use_robots=True)
+    oracle = run_oracle(cfg, w.pages_by_url(), w.robots_map())
+    engine = run_conformance(cfg, w.pages, w.images, w.robots_map(), p.seed)
+    assert engine["order"] == oracle.order
+    assert engine["seen"] == oracle.seen
+    assert engine["stats"] == oracle.stats()

@@ -177,17 +177,21 @@ def test_proxy_parse_reference_cases():
         parse_proxy("sock;address=h:1;version=9")
 
 
-def test_http_fetcher_is_explicit_stub():
-    import pyarrow as _pa
+def test_http_fetcher_proxy_support():
     import pytest as _pytest
 
     from doonop_ray.filters import FilterSpec
     from doonop_ray.stages.http_fetch import HttpFetcher
 
-    f = HttpFetcher(FilterSpec(), proxy="sock;address=h:1;version=4")
-    assert f.proxy.version == 4
+    # SOCKS needs a client library the environment doesn't ship: loud
+    # NotImplementedError at session construction, not a silent direct
+    # connection
     with _pytest.raises(NotImplementedError):
-        f(_pa.table({"url": ["https://x/"]}))
+        HttpFetcher(FilterSpec(), proxy="sock;address=h:1;version=4")
+    # http proxies are applied to the opener (engine_builder.rs:113-120)
+    f = HttpFetcher(FilterSpec(), proxy="http;address=h:1")
+    assert f.proxy.kind == "http"
+    assert any("Proxy" in type(h).__name__ for h in f.opener.handlers)
 
 
 def test_graceful_stop_checkpoints_and_resumes(ray_session, tmp_path):
