@@ -252,7 +252,7 @@ def run_skew(num_cpus: int) -> dict:
     from doonop_ray.pipelines.flagship import flagship_crawl, world_for
 
     def timed(tier: str) -> tuple[float, int, int]:
-        w = world_for(tier)
+        world_for(tier)  # untimed cache warm (build on first run)
         flagship_crawl(tier, bulk_seed=True)  # untimed warm-up
         best = float("inf")
         for _ in range(2):

@@ -171,7 +171,26 @@ def main(argv: list[str] | None = None) -> int:
 
     def _world_args():
         if args.http:
-            robots = "http" if not args.no_robots else {}
+            if args.no_robots:
+                return None, None, {}, 42, (16, 40)
+            # robots-backend factory carrying the crawl's scheme/port
+            # (inferred from the first seed — robots.txt must be
+            # fetched from the same authority the pages live on, or a
+            # non-default-port crawl gets a connection-refused robots
+            # fetch and silently drops every URL). The robots cache
+            # keys by hostname, so one scheme/port per crawl — the
+            # documented single-authority simplification.
+            from functools import partial
+            from urllib.parse import urlsplit
+
+            from .robots import make_http_robots_fetcher
+
+            sp = urlsplit(seeds[0]) if seeds else None
+            robots = partial(
+                make_http_robots_fetcher,
+                scheme=(sp.scheme or "http") if sp else "http",
+                port=sp.port if sp else None,
+            )
             return None, None, robots, 42, (16, 40)
         return (w.pages, w.images, w.robots_map(), w.params.seed,
                 (w.params.img_min, w.params.img_max))

@@ -247,10 +247,14 @@ def events_rolling_avg(sf_dir: str, window: int = 3) -> pd.DataFrame:
         v = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
         n = len(v)
         # window sum accumulated earliest-term-first (same order a
-        # sequential engine adds the window), then / count
+        # sequential engine adds the window), then / count. j is
+        # clamped to n-1: for j >= n the target slice acc[j:] is empty,
+        # and v[:n-j] would wrap to a NON-empty slice via negative
+        # indexing — a broadcast ValueError for groups smaller than
+        # window-1 (any window >= 4)
         acc = np.zeros(n, np.float64)
         cnt = np.zeros(n, np.float64)
-        for j in range(window - 1, -1, -1):
+        for j in range(min(window, n) - 1, -1, -1):
             acc[j:] += v[: n - j]
             cnt[j:] += 1.0
         return pa.table({

@@ -343,7 +343,7 @@ class RayCrawler:
 
     def __init__(self, cfg: CrawlConfig, pages: pa.Table | None,
                  images: pa.Table | None,
-                 robots_map: dict[str, str], out_dir: str, world_seed: int = 42,
+                 robots_map, out_dir: str, world_seed: int = 42,
                  img_bounds: tuple[int, int] = (16, 40),
                  pages_ref=None, images_ref=None, seeds_ds=None,
                  fetch_backend=None):
@@ -667,10 +667,12 @@ class RayCrawler:
                 del inflight[fut]
                 # seen-set memory telemetry per wave (three ints per
                 # shard; a nonzero stash means the cuckoo capacity is
-                # undersized for this crawl)
-                occ = ray.get([s.occupancy.remote() for s in self.seen])
-                c["seen_count"] = sum(o["count"] for o in occ)
-                c["seen_stash"] = sum(o["stash"] for o in occ)
+                # undersized for this crawl). Fire-and-forget: the
+                # actor computes occupancy NOW (per-wave semantics),
+                # but the driver resolves the futures at metrics-write
+                # time instead of paying a per-wave ray.get barrier on
+                # every seen shard in the wave loop
+                c["_occ_futs"] = [s.occupancy.remote() for s in self.seen]
                 self.wave_metrics.append(c)
                 self.stats.visited += c["visited"]
                 self.stats.collected += c["ok"]
@@ -1303,6 +1305,16 @@ class RayCrawler:
         if not self.wave_metrics:
             return
         rows = sorted(self.wave_metrics, key=lambda r: r["wave"])
+        # resolve the deferred per-wave occupancy futures (values were
+        # computed on the actors at each wave's absorb time)
+        import ray
+
+        for r in rows:
+            futs = r.pop("_occ_futs", None)
+            if futs is not None:
+                occ = ray.get(futs)
+                r["seen_count"] = sum(o["count"] for o in occ)
+                r["seen_stash"] = sum(o["stash"] for o in occ)
         t = pa.table(
             {
                 "wave": pa.array([r["wave"] for r in rows], pa.int32()),
@@ -1408,7 +1420,7 @@ class RayCrawler:
 
 def run_conformance(cfg: CrawlConfig, pages: pa.Table | None,
                     images: pa.Table | None,
-                    robots_map: dict[str, str], world_seed: int = 42,
+                    robots_map, world_seed: int = 42,
                     img_bounds: tuple[int, int] = (16, 40),
                     fetch_backend=None):
     """Single-in-flight crawl using the engine's own operator classes
@@ -1432,10 +1444,9 @@ def run_conformance(cfg: CrawlConfig, pages: pa.Table | None,
     seen = SeenCore("exact" if cfg.seen_mode != "cuckoo" else "cuckoo")
     if not cfg.use_robots:
         robots = None
-    elif robots_map == "http":
-        from ..robots import make_http_robots_fetcher
-
-        robots = RobotsCache(make_http_robots_fetcher())
+    elif callable(robots_map):
+        # robots-backend factory — see FrontierShard.__init__
+        robots = RobotsCache(robots_map())
     else:
         robots = RobotsCache(make_table_fetcher(robots_map))
 

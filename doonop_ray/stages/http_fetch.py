@@ -142,12 +142,15 @@ class HttpFetcher:
         self.opener.addheaders = [("User-Agent", self.user_agent)]
 
     def _transport(self, url: str) -> tuple[str, list[str]]:
-        """Fetch one page; returns (page_text, raw hrefs in doc order).
-        Raises socket.timeout/URLError upward for status mapping."""
+        """Fetch one page; returns (page_text, raw hrefs in doc order,
+        final post-redirect URL — the base a browser would resolve
+        relative hrefs against). Raises socket.timeout/URLError upward
+        for status mapping."""
         with self.opener.open(url, timeout=self.timeout) as resp:
             body = resp.read()
+            final_url = resp.geturl() or url
         text = body.decode("utf-8", "replace")
-        return text, harvest_links(text)
+        return text, harvest_links(text), final_url
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import socket
@@ -165,7 +168,7 @@ class HttpFetcher:
         for i, url in enumerate(urls):
             t0 = time.monotonic()
             try:
-                text, hrefs = self._transport(url)
+                text, hrefs, base_url = self._transport(url)
             except (socket.timeout, TimeoutError):
                 statuses[i] = "timeout"  # retryable (backend.rs:60-65)
                 continue
@@ -185,8 +188,11 @@ class HttpFetcher:
             statuses[i] = "ok"
             datas[i] = text
             # absolutize + filter (engine.rs:44-68): drop unparseable,
-            # drop if any filter ignores
-            absd = [a for a in (make_absolute(url, h) for h in hrefs)
+            # drop if any filter ignores. The base is the POST-redirect
+            # URL — urllib followed redirects, and a browser (the
+            # reference's WebDriver backend) resolves relative hrefs
+            # against the final location, not the requested one
+            absd = [a for a in (make_absolute(base_url, h) for h in hrefs)
                     if a is not None]
             if absd:
                 keep = ~self.filters.ignored_mask(absd)

@@ -250,7 +250,7 @@ class FrontierShard:
         retry_threshold_ms: float,
         retry_count: int,
         key_mode: str,
-        robots_map: dict[str, str] | None,
+        robots_map,  # dict[str, str] | zero-arg robots-backend factory | None
         robot: str,
         use_robots: bool,
         host_rate_per_sec: float | None = None,
@@ -265,13 +265,14 @@ class FrontierShard:
         self.n_retry_received = 0
         if not use_robots:
             self.robots = None
-        elif robots_map == "http":
-            # live transport: fetch robots.txt over HTTP once per host
-            # (robots.rs:35-51); sentinel because an actor ctor can't
-            # take a closure without paying pickle for it
-            from ..robots import make_http_robots_fetcher
-
-            self.robots = RobotsCache(make_http_robots_fetcher())
+        elif callable(robots_map):
+            # robots-backend factory (the robots analog of the
+            # fetch_backend seam): a picklable zero-arg callable —
+            # e.g. partial(make_http_robots_fetcher, scheme=...,
+            # port=...) — returning the host -> robots-text fetcher.
+            # Live transport fetches robots.txt over HTTP once per
+            # host (robots.rs:35-51)
+            self.robots = RobotsCache(robots_map())
         else:
             self.robots = RobotsCache(make_table_fetcher(robots_map or {}))
 

@@ -43,6 +43,9 @@ def www(tmp_path_factory):
     sub = basic / "sub"
     sub.mkdir()
     (sub / "page.html").write_text("<p>leaf</p>")
+    # directory index for the redirect-base test (GET /basic/sub is a
+    # 301 to /basic/sub/ under SimpleHTTPRequestHandler)
+    (sub / "index.html").write_text('<a href="page.html">leaf</a>')
 
     handler = partial(SimpleHTTPRequestHandler, directory=str(root))
     srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
@@ -78,6 +81,26 @@ def test_http_fetcher_batch_contract(www):
     assert out.column("latency_ms")[0].as_py() >= 1
 
 
+def test_http_fetcher_redirect_base(www):
+    """Relative hrefs absolutize against the POST-redirect URL — a
+    browser resolves against the final location. GET /basic/sub is a
+    301 to /basic/sub/; its index links 'page.html', which must become
+    /basic/sub/page.html (not /basic/page.html)."""
+    import pyarrow as pa
+
+    base, _ = www
+    f = HttpFetcher(FilterSpec((), None))
+    batch = pa.table({
+        "url": [f"{base}/basic/sub"],
+        "attempt": pa.array([0], pa.int32()),
+        "depth": pa.array([0], pa.int32()),
+    })
+    out = f(batch)
+    assert out.column("status").to_pylist() == ["ok"]
+    assert out.column("links").to_pylist()[0] == [
+        f"{base}/basic/sub/page.html"]
+
+
 def test_http_fetcher_timeout_status():
     """A connect timeout to a non-routable address reports 'timeout'
     (retryable) — reference maps only timeouts to the retry lane."""
@@ -105,8 +128,14 @@ def test_http_fetch_loopback_conformance(www):
     seed = f"{base}/basic/index.html"
     filters = FilterSpec((), None)
     cfg = CrawlConfig(seeds=[seed], use_robots=True, retry_policy="first")
+    from urllib.parse import urlsplit
+
+    from doonop_ray.robots import make_http_robots_fetcher
+
+    robots_backend = partial(make_http_robots_fetcher,
+                             port=urlsplit(base).port)
     res = run_conformance(
-        cfg, None, None, "http",
+        cfg, None, None, robots_backend,
         fetch_backend=partial(HttpFetcher, filters,
                               extractor=default_extractor()),
     )
@@ -130,8 +159,14 @@ def test_http_fetch_loopback_scaled(ray_session, www, tmp_path):
     cfg = CrawlConfig(seeds=[seed], use_robots=True, engines=2,
                       num_seen_shards=2, num_frontier_shards=2,
                       wave_budget=8)
+    from urllib.parse import urlsplit
+
+    from doonop_ray.robots import make_http_robots_fetcher
+
     crawler = RayCrawler(
-        cfg, None, None, "http", str(tmp_path / "out"),
+        cfg, None, None,
+        partial(make_http_robots_fetcher, port=urlsplit(base).port),
+        str(tmp_path / "out"),
         fetch_backend=partial(HttpFetcher, filters),
     )
     stats = crawler.run()
@@ -209,3 +244,22 @@ def test_cli_stats_line_over_socket(www):
     # default UDF output: one JSON line per collected page (main.rs:36-38)
     lines = [json.loads(l) for l in proc.stdout.strip().splitlines()]
     assert lines == [f"{base}/basic/index.html", f"{base}/basic/about.html"]
+
+
+def test_cli_named_host_robots_port(www):
+    """Named-host crawl on a non-default port: the CLI's robots-backend
+    factory carries the seed's port, so robots.txt is fetched from the
+    same authority the pages live on (a portless fetch would hit :80,
+    get connection-refused, and silently drop every URL)."""
+    base, _ = www
+    port = base.rsplit(":", 1)[1]
+    seed = f"http://localhost:{port}/basic/index.html"
+    proc = subprocess.run(
+        [sys.executable, "-m", "doonop_ray", "--http", "--conformance",
+         "--json", seed],
+        capture_output=True, text=True, timeout=120,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stderr.rstrip().endswith(
+        "Statistics: visited 2, collected 2, errors 0, retries 0")

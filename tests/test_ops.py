@@ -1655,3 +1655,38 @@ def test_chunk_documents_semantics(tmp_path, ray_session):
         ch = list(g["chunk"])
         for a, b in zip(ch, ch[1:]):
             assert a[-overlap:] == b[: len(a[-overlap:])] or len(a) < size
+
+
+def test_rolling_avg_window_larger_than_group(ray_session, monkeypatch):
+    """Windows >= 4 with key groups smaller than window-1 used to hit a
+    numpy broadcast ValueError (v[:n-j] wraps negative while acc[j:]
+    is empty); pin vs pandas rolling on groups of size 1..6 with
+    window=5."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from doonop_ray.ops import windows as wmod
+
+    rows = []
+    eid = 0
+    for uid, n in enumerate([1, 2, 3, 4, 5, 6]):
+        for i in range(n):
+            rows.append((eid, uid, i, float((eid * 37) % 101)))
+            eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    monkeypatch.setattr(wmod, "read", lambda *a, **k: rd.from_arrow(tbl))
+    got = wmod.events_rolling_avg("unused", window=5).set_index("event_id")
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = (df.groupby("user_id")["value"]
+              .rolling(5, min_periods=1).mean()
+              .reset_index(level=0, drop=True))
+    df["want"] = want
+    df = df.set_index("event_id")
+    assert np.allclose(got.loc[df.index, "rolling_avg"], df["want"],
+                       atol=5e-5)
