@@ -260,3 +260,31 @@ def test_ray_job_entry_crawl_smoke(tmp_path):
     assert metrics["visited"] > 0 and metrics["validated"] > 0
     assert os.path.isdir(os.path.join(out, "artifacts"))
     assert os.path.exists(os.path.join(out, "metrics.parquet"))
+
+
+def test_cli_side_assert_store_text(world_dir, tmp_path):
+    """Round-4 click-free .side commands through the CLI: storeText
+    reads the page payload as document body, assert gates on a stored
+    variable, and the passing script's RESULT reaches stdout."""
+    d, w = world_dir
+    side = tmp_path / "asserts.side.json"
+    side.write_text(json.dumps({
+        "id": "x", "version": "2.0", "name": "t",
+        "url": "http://localhost/",
+        "tests": [{"id": "t1", "name": "", "commands": [
+            {"id": "c1", "command": "store", "target": "42", "value": "N"},
+            {"id": "c2", "command": "assert", "target": "N", "value": "42"},
+            {"id": "c3", "command": "storeText", "target": "css=body",
+             "value": "BODY"},
+            {"id": "c4", "command": "store", "target": "ok ${N}",
+             "value": "RESULT"},
+        ]}],
+        "suites": [], "urls": [], "plugins": [],
+    }))
+    seeds = [good_seed(w)]
+    r = run_cli(["--world", d, "--conformance", "--json",
+                 "--check-file", str(side), "--check-file-format", "side",
+                 "--retry-threshold-ms", "0", *seeds])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ok 42" in r.stdout
+    assert "Statistics: visited" in r.stderr
