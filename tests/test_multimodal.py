@@ -549,3 +549,30 @@ def test_pair_curation_check_tamper(ray_session, monkeypatch):
     monkeypatch.setattr(mm, "curate_image_text_pairs", bad)
     kinds = set(ck.pair_curation_violations(SF)["kind"])
     assert "range_or_keep" in kinds
+
+
+def test_recompute_kind_names_the_drifted_column(ray_session, monkeypatch):
+    """A doctored feature on a SAMPLED id (keep flipped consistently so
+    range_or_keep stays quiet) is flagged as recompute_<col> — the
+    per-column triage label, not a blanket kind."""
+    from doonop_ray.ops import checks as ck
+    from doonop_ray.ops.multimodal import _retrieval_sample
+    from doonop_ray.pipelines.flagship import world_for
+
+    good = mm.image_sharpness(SF)
+    iid = _retrieval_sample(world_for(SF), 64)[0]
+
+    def bad(sf_dir):
+        out = good.copy()
+        i = out.index[out["image_id"] == iid][0]
+        # nudge sharpness but keep it consistent with the keep rule so
+        # only the recompute stage can catch it
+        out.loc[i, "sharpness"] = out.loc[i, "sharpness"] + 1.0
+        out.loc[i, "keep"] = out.loc[i, "sharpness"] >= mm.SHARP_KEEP_MIN
+        return out
+
+    monkeypatch.setattr(mm, "image_sharpness", bad)
+    v = ck.image_sharpness_violations(SF)
+    kinds = set(v["kind"])
+    assert "recompute_sharpness" in kinds
+    assert "recompute_edge_ratio" not in kinds  # untouched column quiet
