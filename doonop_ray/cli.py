@@ -186,10 +186,18 @@ def main(argv: list[str] | None = None) -> int:
             from .robots import make_http_robots_fetcher
 
             sp = urlsplit(seeds[0]) if seeds else None
+            # a scheme-less seed like "localhost:8080/x" parses with
+            # scheme="localhost" — using it verbatim builds a garbage
+            # robots URL and every robots fetch then errors, silently
+            # dropping all URLs; only http/https are real authorities
+            scheme = sp.scheme if sp and sp.scheme in ("http", "https") \
+                else "http"
+            try:
+                port = sp.port if sp else None
+            except ValueError:  # invalid port in a malformed seed
+                port = None
             robots = partial(
-                make_http_robots_fetcher,
-                scheme=(sp.scheme or "http") if sp else "http",
-                port=sp.port if sp else None,
+                make_http_robots_fetcher, scheme=scheme, port=port,
             )
             return None, None, robots, 42, (16, 40)
         return (w.pages, w.images, w.robots_map(), w.params.seed,

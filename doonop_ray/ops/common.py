@@ -360,7 +360,7 @@ _SPUT_CACHE: dict = {}  # key -> ObjectRef, valid for _SPUT_SESSION[0]
 _SPUT_SESSION: list = [""]  # Ray job id the cached refs belong to
 
 
-def session_put(key, build):
+def session_put(key, build, evict_prefix_len: int | None = None):
     """Session-cached ``ray.put``: one broadcast ref per ``key`` per Ray
     session. A fresh put per call would mint a new ref — re-shipping
     the object AND rotating every downstream per-worker ``_cached``
@@ -384,6 +384,15 @@ def session_put(key, build):
         _SPUT_CACHE.clear()
         _SPUT_SESSION[0] = ""
     if key not in _SPUT_CACHE:
+        if evict_prefix_len is not None:
+            # same-kind eviction (mirrors stages.fetch._cached): a caller
+            # whose key carries a rebuild token would otherwise leave the
+            # previous build's broadcast pinned for the session's lifetime
+            # — an object-store residency leak in long-lived sessions
+            pfx = key[:evict_prefix_len]
+            for k in [k for k in _SPUT_CACHE
+                      if k[:evict_prefix_len] == pfx and k != key]:
+                del _SPUT_CACHE[k]
         _SPUT_CACHE[key] = ray.put(build())
         if not _SPUT_SESSION[0]:
             _SPUT_SESSION[0] = ray.get_runtime_context().get_job_id()

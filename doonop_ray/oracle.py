@@ -193,7 +193,37 @@ def run_oracle(cfg: CrawlConfig, pages_by_url: dict[str, dict],
             res.errors += 1
             continue
 
-        res.collected.append(page["data"])
+        # link validation (engine.rs:46-57) before the UDF so the
+        # extractor context carries validated links, mirroring Fetcher
+        new_urls = []
+        for href in page["links"]:
+            a = make_absolute(url, href)
+            if a is not None and not filters.is_ignored(a):
+                new_urls.append(a)
+
+        data = page["data"]
+        if cfg.extractor is not None:
+            # per-URL error lane (workload.rs:145-148): a failed script
+            # run errors the page — nothing collected, no links kept
+            import pyarrow as pa
+
+            from .functions.checkfile import CheckFileError
+
+            row = pa.table({
+                "url": pa.array([url], pa.string()),
+                "data": pa.array([data], pa.string()),
+                "links": pa.array([new_urls], pa.list_(pa.string())),
+                "image_id": pa.array([page.get("image_id")], pa.string()),
+            })
+            try:
+                out = cfg.extractor(row)
+                data = (out.to_pylist() if hasattr(out, "to_pylist")
+                        else list(out))[0]
+            except CheckFileError:
+                res.errors += 1
+                continue
+
+        res.collected.append(data)
         res.collected_images.append(page.get("image_id"))
         res.collected_n += 1
         # limit check AFTER the push (workload.rs:127-131,213-222)
@@ -205,12 +235,7 @@ def run_oracle(cfg: CrawlConfig, pages_by_url: dict[str, dict],
                 if limit_left == 0:
                     is_closed = True
 
-        # link validation (engine.rs:46-57) then discovery-time dedup
-        new_urls = []
-        for href in page["links"]:
-            a = make_absolute(url, href)
-            if a is not None and not filters.is_ignored(a):
-                new_urls.append(a)
+        # discovery-time dedup
         keep_urls(new_urls)
 
     return res

@@ -660,19 +660,33 @@ class RayCrawler:
 
         routed = self._routed = {"links": 0, "retries": 0}
         self.wave_metrics: list[dict] = getattr(self, "wave_metrics", [])
+        self._occ_pending: list[dict] = getattr(self, "_occ_pending", [])
 
         def absorb(futs):
+            # resolve occupancy futures minted by EARLIER absorb calls
+            # first (one-absorb lag: they are long since done, so this
+            # ray.get is a local fetch, not a barrier) — bounds how many
+            # unresolved futures a raising run can leak
+            for r in self._occ_pending:
+                of = r.pop("_occ_futs", None)
+                if of is not None:
+                    occ = ray.get(of)
+                    r["seen_count"] = sum(o["count"] for o in occ)
+                    r["seen_stash"] = sum(o["stash"] for o in occ)
+            self._occ_pending = []
             for fut in futs:
                 c = fut.result()
                 del inflight[fut]
                 # seen-set memory telemetry per wave (three ints per
                 # shard; a nonzero stash means the cuckoo capacity is
-                # undersized for this crawl). Fire-and-forget: the
-                # actor computes occupancy NOW (per-wave semantics),
-                # but the driver resolves the futures at metrics-write
-                # time instead of paying a per-wave ray.get barrier on
-                # every seen shard in the wave loop
+                # undersized for this crawl). Fire-and-forget — Ray
+                # gives no cross-caller actor-task ordering, so under a
+                # busy seen shard the value is an APPROXIMATE per-wave
+                # snapshot (it may include a later wave's adds); exact
+                # ordering would need a per-wave ray.get barrier on
+                # every shard, which telemetry does not justify
                 c["_occ_futs"] = [s.occupancy.remote() for s in self.seen]
+                self._occ_pending.append(c)
                 self.wave_metrics.append(c)
                 self.stats.visited += c["visited"]
                 self.stats.collected += c["ok"]

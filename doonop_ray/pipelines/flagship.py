@@ -68,8 +68,10 @@ def _ref_for(tier: str, w, table: str):
     if tok is None:
         tok = _next_ref_token()
         w._ref_token = tok
+    # evict_prefix_len=3: a rebuilt World (fresh token) for the same
+    # (tier, table) evicts the previous build's broadcast ref
     return session_put(("world", tier, table, tok),
-                       lambda: getattr(w, table))
+                       lambda: getattr(w, table), evict_prefix_len=3)
 
 
 def _refs_for(tier: str, w):

@@ -27,7 +27,37 @@ import numpy as np
 import pyarrow as pa
 
 from ..filters import FilterSpec
+from ..functions.checkfile import CheckFileError
 from ..url import make_absolute
+
+
+def apply_extractor(extractor, page_rows: pa.Table):
+    """Run the per-page extraction UDF with the reference's per-URL
+    error lane (workload.rs:145-148: a failed script run counts that
+    page as an error and the crawl continues).
+
+    Returns ``(values, failed)``: one extraction result (or None) per
+    row, plus the row positions whose UDF raised ``CheckFileError``
+    (incl. ``SideAssertError``). The whole-batch call is the fast path;
+    only a failing batch pays the per-row replay. Non-CheckFileError
+    exceptions (a buggy custom extractor) still propagate — silently
+    erroring every page would mask the bug."""
+    try:
+        out = extractor(page_rows)
+        vals = out.to_pylist() if hasattr(out, "to_pylist") else list(out)
+        return vals, []
+    except CheckFileError:
+        pass
+    vals, failed = [], []
+    for k in range(len(page_rows)):
+        try:
+            one = extractor(page_rows.slice(k, 1))
+            vals.append((one.to_pylist() if hasattr(one, "to_pylist")
+                         else list(one))[0])
+        except CheckFileError:
+            vals.append(None)
+            failed.append(k)
+    return vals, failed
 
 
 def _combined_view(t: pa.Table) -> pa.Table:
@@ -149,11 +179,18 @@ class Fetcher:
                     "image_id": pc.take(image_ids, pa.array(ok_idx)),
                 }
             )
-            extracted = self.extractor(page_rows)
+            ex_list, failed = apply_extractor(self.extractor, page_rows)
             new_datas = datas.to_pylist() if hasattr(datas, "to_pylist") else list(datas)
-            ex_list = extracted.to_pylist() if hasattr(extracted, "to_pylist") else list(extracted)
             for k, i in enumerate(ok_idx):
                 new_datas[i] = ex_list[k]
+            for k in failed:
+                # failed script ⇒ that page is an error result: no data,
+                # no links (the reference's whole EngineResult is Err —
+                # engine.rs:29-44 / workload.rs:145-148)
+                i = ok_idx[k]
+                status_np[i] = "error"
+                new_datas[i] = None
+                links_out[i] = []
             datas = pa.array(new_datas, pa.string())
 
         return pa.table(

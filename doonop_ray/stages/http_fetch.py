@@ -209,11 +209,18 @@ class HttpFetcher:
                                       pa.list_(pa.string())),
                     "image_id": pa.nulls(len(ok_idx), pa.string()),
                 })
-                extracted = self.extractor(page_rows)
-                ex = (extracted.to_pylist()
-                      if hasattr(extracted, "to_pylist") else list(extracted))
+                from .fetch import apply_extractor
+
+                ex, failed = apply_extractor(self.extractor, page_rows)
                 for k, i in enumerate(ok_idx):
                     datas[i] = ex[k]
+                for k in failed:
+                    # per-URL error lane (workload.rs:145-148): a failed
+                    # script run errors THAT page, the crawl continues
+                    i = ok_idx[k]
+                    statuses[i] = "error"
+                    datas[i] = None
+                    links_out[i] = []
 
         return pa.table({
             "url": batch.column("url"),

@@ -161,6 +161,59 @@ def test_wave_metrics_lineage_written(ray_session, tmp_path):
     assert sum(m.column("collected").to_pylist()) == stats.collected
 
 
+def _failing_side_extractor(w):
+    """A .side script whose assertText passes on exactly ONE page (page
+    data embeds the URL, so it is unique per page): every other OK page
+    must land in the per-URL error lane (workload.rs:145-148), not abort
+    the crawl. The passing page is the first OK-fetched one — frontier
+    evolution is identical up to it, since earlier fetch-errors/timeouts
+    contribute no links in either run."""
+    import json as _json
+
+    from doonop_ray.functions.checkfile import SideCheck
+
+    base = run_oracle(_cfg(w), w.pages_by_url(), w.robots_map())
+    keep_data = base.collected[0]
+    side = _json.dumps({"tests": [{"commands": [
+        {"command": "assertText", "target": "css=body", "value": keep_data},
+        {"command": "executeScript",
+         "target": "return document.body.innerText", "value": "RESULT"},
+    ]}]})
+    return SideCheck(side)
+
+
+def test_side_assert_failure_is_per_page_error_lane():
+    """ADVICE r4 (medium): a SideAssertError must error THAT page and
+    continue crawling — reference stats.count_errors semantics — with
+    engine and oracle in exact agreement (order, stats, collected)."""
+    w = build_world(WORLDS[0])
+    cfg = _cfg(w, extractor=_failing_side_extractor(w))
+    oracle = run_oracle(cfg, w.pages_by_url(), w.robots_map())
+    engine = run_conformance(cfg, w.pages, w.images, w.robots_map(),
+                             WORLDS[0].seed)
+    assert engine["order"] == oracle.order
+    assert engine["seen"] == oracle.seen
+    assert engine["stats"] == oracle.stats()
+    assert [c["data"] for c in engine["collected"]] == oracle.collected
+    st = oracle.stats()
+    assert st["collected"] >= 1      # the passing page was collected
+    assert st["errors"] >= 1         # failing pages errored, crawl went on
+
+
+def test_side_assert_failure_scaled_engine(ray_session, tmp_path):
+    """Same per-page error lane through the scaled Ray engine: a batch
+    containing a failing page must not abort its map_batches task."""
+    w = build_world(WORLDS[0])
+    cfg = _cfg(w, extractor=_failing_side_extractor(w), engines=2,
+               wave_budget=16, fetch_batch_size=8)
+    oracle = run_oracle(cfg, w.pages_by_url(), w.robots_map())
+    crawler = RayCrawler(cfg, w.pages, w.images, w.robots_map(),
+                         str(tmp_path / "out"), world_seed=WORLDS[0].seed)
+    stats = crawler.run()
+    assert stats.as_dict() == oracle.stats()
+    assert crawler.seen_sets() == oracle.seen
+
+
 # ---------------------------------------------------------------------------
 # streaming mode (round-2): one long-lived chunk-task loop, no per-wave
 # dataset startup — must preserve the wave loop's set/stats guarantees
