@@ -47,7 +47,7 @@ from ..stages.fetch import (Fetcher, Validator, identity_validate_fn,
                             make_backend_fetch_fn, make_fetch_fn,
                             make_validate_fn)
 from ..state.frontier import FrontierCore, FrontierShard
-from ..state.seen import SeenCore, host_shard_of, shard_of
+from ..state.seen import SeenCore, host_shard_of, shards_of_batch
 
 def _stub_fsspec_http_once():
     """aiohttp is absent here, so ``fsspec.implementations.http`` can
@@ -161,7 +161,6 @@ def make_link_router(seen_handles, frontier_handles, retry_policy: str,
 
     def route(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        from zlib import crc32
 
         batch_now = now_ms if now_ms is not None else time.monotonic() * 1000.0
         st = batch.column("status")
@@ -176,36 +175,33 @@ def make_link_router(seen_handles, frontier_handles, retry_policy: str,
         n_links = np.where(okb, lens, 0).astype(np.int32)
 
         # ---- candidate links → seen/router shards (first discovery wins;
-        # vectorized: flatten the Arrow list column once, hash every link
-        # with crc32, stable-argsort into shard runs, ONE batched ingest
-        # message per shard — no per-link Python tuples)
+        # vectorized: flatten the Arrow list column once, hash it batch-
+        # wise straight off the offsets+data buffers (round-5: no
+        # to_pylist + per-URL crc32 in the hash step), stable-argsort
+        # into shard runs, ONE batched ingest message per shard — the
+        # only remaining Python-object work is materializing each
+        # shard's payload strings for the actor message)
         if n_links.sum():
             ok_tb = batch.filter(ok_mask)
-            flat_urls = pc.list_flatten(ok_tb.column("links")).to_pylist()
+            flat = pc.list_flatten(ok_tb.column("links")).combine_chunks()
             ok_lens = lens[okb]
             depths_rep = np.repeat(
                 ok_tb.column("depth").to_numpy(zero_copy_only=False).astype(np.int64)
                 + 1,
                 ok_lens,
             )
-            shard = (
-                np.fromiter(
-                    (crc32(u.encode("utf-8", "surrogatepass")) for u in flat_urls),
-                    dtype=np.int64,
-                    count=len(flat_urls),
-                )
-                % num_seen
-            )
+            shard = shards_of_batch(flat, num_seen)
             order = np.argsort(shard, kind="stable")  # stable ⇒ within-shard
             ss = shard[order]                         # page order preserved
             bounds = np.searchsorted(ss, np.arange(num_seen + 1))
-            urls_sorted = np.asarray(flat_urls, dtype=object)[order]
+            take_idx = pa.array(order)
             depths_sorted = depths_rep[order]
             for s in range(num_seen):
                 a, b = int(bounds[s]), int(bounds[s + 1])
                 if b > a:
                     seen_handles[s].ingest.remote(
-                        urls_sorted[a:b].tolist(), depths_sorted[a:b].tolist()
+                        flat.take(take_idx.slice(a, b - a)).to_pylist(),
+                        depths_sorted[a:b].tolist(),
                     )
 
         # ---- timeouts → retry lanes (retry.rs:24-36 accounting); the
@@ -424,8 +420,8 @@ class RayCrawler:
     def _seed_frontier(self, ray, seeds: list[str]):
         cfg = self.cfg
         per_seen = [[] for _ in range(cfg.num_seen_shards)]
-        for u in seeds:
-            per_seen[shard_of(u, cfg.num_seen_shards)].append(u)
+        for u, s in zip(seeds, shards_of_batch(seeds, cfg.num_seen_shards)):
+            per_seen[s].append(u)
         masks = ray.get(
             [self.seen[s].check_and_add.remote(us) for s, us in enumerate(per_seen)]
         )
@@ -470,8 +466,8 @@ class RayCrawler:
             if clean_needed:
                 urls = clean_seeds(urls, filters)
             per_seen: list[list[str]] = [[] for _ in range(ns)]
-            for u in urls:
-                per_seen[shard_of(u, ns)].append(u)
+            for u, s in zip(urls, shards_of_batch(urls, ns)):
+                per_seen[s].append(u)
             masks = _ray.get([seen[s].check_and_add.remote(us)
                               for s, us in enumerate(per_seen)])
             per_frontier: list[list] = [[] for _ in range(nf)]
@@ -1388,11 +1384,17 @@ class RayCrawler:
         for i, b in enumerate(s_blobs):
             with open(os.path.join(ckpt, f"seen_{i:03d}.pkl"), "wb") as fh:
                 fh.write(b)
+        from ..state.seen import HASH_IMPL
+
         manifest = {
             "wave_done": wave_done,
             "stats": self.stats.as_dict(),
             "num_frontier_shards": self.cfg.num_frontier_shards,
             "num_seen_shards": self.cfg.num_seen_shards,
+            # shard-routing hash of the writing process: a resume under
+            # an environment with a different impl would silently route
+            # URLs to the wrong seen shard — fail loudly instead
+            "hash_impl": HASH_IMPL,
         }
         tmp = os.path.join(ckpt, "manifest.json.tmp")
         with open(tmp, "w") as fh:
@@ -1411,6 +1413,14 @@ class RayCrawler:
         ckpt = os.path.join(root, waves[-1])
         with open(os.path.join(ckpt, "manifest.json")) as fh:
             manifest = json.load(fh)
+        from ..state.seen import HASH_IMPL
+
+        ckpt_impl = manifest.get("hash_impl", HASH_IMPL)
+        if ckpt_impl != HASH_IMPL:
+            raise RuntimeError(
+                f"checkpoint was written with shard-routing hash "
+                f"{ckpt_impl!r} but this environment uses {HASH_IMPL!r}; "
+                "resuming would mis-route URLs across seen shards")
         futs = []
         for i, f in enumerate(self.frontier):
             with open(os.path.join(ckpt, f"frontier_{i:03d}.pkl"), "rb") as fh:

@@ -34,7 +34,8 @@ def url_hash64(url: str) -> int:
     """Stable 64-bit hash of a canonical URL (blake2b; no PYTHONHASHSEED).
 
     Used by the cuckoo filter (needs 64 fingerprint+index bits); shard
-    routing uses the cheaper crc32 (``shard_of``)."""
+    routing uses the vectorizable polynomial hash (``shard_of`` /
+    ``shards_of_batch``)."""
     import hashlib
 
     return int.from_bytes(
@@ -43,11 +44,84 @@ def url_hash64(url: str) -> int:
     )
 
 
-def shard_of(url: str, num_shards: int) -> int:
-    """Stable shard routing — crc32 is C-speed and process-stable."""
-    import zlib
+_POLY = 0x100000001B3  # FNV-1a 64-bit prime (odd ⇒ full-period mod 2^64)
+_MASK64 = (1 << 64) - 1
 
-    return zlib.crc32(url.encode("utf-8", "surrogatepass")) % num_shards
+try:  # Rust-vectorized string hash (20-40x the crc32-genexp it replaced)
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars ships in this environment
+    _pl = None
+
+# which batch-hash implementation this process routes with; recorded in
+# crawl checkpoints so a resume under a different environment fails
+# loudly instead of silently routing URLs to the wrong seen shard
+HASH_IMPL = "polars-ahash" if _pl is not None else "fnv-poly64"
+
+
+def _hash64_poly(arr) -> np.ndarray:
+    """Fallback: 64-bit polynomial hash computed with numpy segmented
+    ops over the Arrow offsets+data buffers (``h = sum(byte_i *
+    P^(len-1-i)) mod 2^64``). Only used when polars is absent."""
+    import pyarrow as pa
+
+    n = len(arr)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    buf_off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)
+    offs = buf_off[arr.offset: arr.offset + n + 1].astype(np.int64)
+    start, end = int(offs[0]), int(offs[-1])
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[start:end]
+    lens = np.diff(offs)
+    total = end - start
+    if total == 0:
+        return np.zeros(n, dtype=np.uint64)
+    maxlen = int(lens.max())
+    pows = np.full(maxlen, np.uint64(_POLY))
+    pows[0] = 1
+    np.cumprod(pows, out=pows)  # uint64 overflow wraps mod 2^64 — wanted
+    seg_end = np.repeat(offs[1:] - start, lens)
+    pos_from_end = seg_end - 1 - np.arange(total, dtype=np.int64)
+    terms = data.astype(np.uint64) * pows[pos_from_end]
+    # reduceat quirks: an empty segment returns terms[idx] instead of 0,
+    # and a trailing empty segment would index past the end — clip then
+    # zero the empties explicitly
+    idx = np.minimum(offs[:-1] - start, total - 1)
+    out = np.add.reduceat(terms, idx)
+    out[lens == 0] = 0
+    return out
+
+
+def hash64_batch(arr) -> np.ndarray:
+    """Vectorized 64-bit hash of a UTF-8 string column — the seen-shard
+    routing hash (router hot path: no ``to_pylist``, no per-string
+    Python). Accepts ``pa.Array``/``ChunkedArray`` of string or
+    large_string, or a plain list of str.
+
+    Deterministic across processes within one environment (polars'
+    ahash uses fixed seeds; the numpy fallback is a fixed polynomial),
+    but NOT across environments that disagree on ``HASH_IMPL`` — the
+    checkpoint manifest pins it for resume safety."""
+    import pyarrow as pa
+
+    if isinstance(arr, (list, tuple)):
+        arr = pa.array(arr, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if _pl is not None:
+        return _pl.from_arrow(arr).hash(seed=0).to_numpy()
+    return _hash64_poly(arr)
+
+
+def shards_of_batch(arr, num_shards: int) -> np.ndarray:
+    """Batch seen-shard routing (the router's hot path)."""
+    return (hash64_batch(arr) % np.uint64(num_shards)).astype(np.int64)
+
+
+def shard_of(url: str, num_shards: int) -> int:
+    """Scalar twin of ``shards_of_batch`` — delegates to the batch path
+    so the two can never diverge. Only for low-volume call sites."""
+    return int(shards_of_batch([url], num_shards)[0])
 
 
 def host_shard_of(url: str, num_shards: int) -> int:

@@ -11,6 +11,56 @@ def test_url_hash_stable_across_runs():
     assert 0 <= shard_of("https://a.com/", 8) < 8
 
 
+def test_batch_hash_matches_scalar_shard_routing():
+    """Every input form of the routing hash must agree — a divergence
+    would route the same URL to two seen shards and crawl it twice."""
+    import pyarrow as pa
+
+    from doonop_ray.state.seen import hash64_batch, shards_of_batch
+
+    urls = (
+        [f"https://h{i % 13}.example.com/p/{i}?q={i * 7}" for i in range(500)]
+        + ["", "a", "https://ünï.example.com/päth/ß", "x" * 300]
+    )
+    batch = hash64_batch(urls)
+    # same answers through Arrow string, large_string, and a sliced view
+    arr = pa.array(urls, pa.string())
+    assert hash64_batch(arr).tolist() == batch.tolist()
+    assert hash64_batch(arr.cast(pa.large_string())).tolist() == batch.tolist()
+    assert hash64_batch(arr.slice(3, 100)).tolist() == batch[3:103].tolist()
+    assert (shards_of_batch(arr, 7)
+            == np.asarray([shard_of(u, 7) for u in urls])).all()
+
+
+def test_fallback_poly_hash_matches_pure_python_horner():
+    """The no-polars fallback must equal the documented polynomial
+    (sum byte_i * P^(len-1-i) mod 2^64) so it is reproducible anywhere."""
+    import pyarrow as pa
+
+    from doonop_ray.state.seen import _MASK64, _POLY, _hash64_poly
+
+    def horner(s: str) -> int:
+        h = 0
+        for b in s.encode("utf-8"):
+            h = (h * _POLY + b) & _MASK64
+        return h
+
+    urls = ["", "a", "https://h.example.com/p/1", "ünï/ß", "x" * 300]
+    arr = pa.array(urls, pa.string())
+    assert _hash64_poly(arr).tolist() == [horner(u) for u in urls]
+    assert _hash64_poly(arr.slice(1, 3)).tolist() == [
+        horner(u) for u in urls[1:4]]
+
+
+def test_batch_hash_shard_balance():
+    from doonop_ray.state.seen import shards_of_batch
+
+    urls = [f"https://h{i % 40}.example.com/p/{i}" for i in range(20_000)]
+    counts = np.bincount(shards_of_batch(urls, 8), minlength=8)
+    # a uniform split is 2500/shard; accept generous skew bounds
+    assert counts.min() > 1500 and counts.max() < 3500
+
+
 def test_cuckoo_membership_no_false_negatives():
     cf = CuckooFilter(capacity=5000, seed=1)
     urls = [f"https://h{i % 7}.com/p/{i}" for i in range(4000)]
