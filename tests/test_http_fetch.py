@@ -228,6 +228,215 @@ def test_http_robots_fetcher_paths(www):
         bad("doonop-nonexistent.invalid")
 
 
+def test_http_fetcher_concurrent_batch_wall_time(www):
+    """Intra-actor fan-out: a batch's wall time ≈ the slowest page, not
+    the sum — one slow host must not stall a whole batch for
+    batch_size × timeout (round-5 VERDICT #3)."""
+    import time
+
+    import pyarrow as pa
+
+    base, root = www
+    delay = 0.4
+
+    class SlowHandler(SimpleHTTPRequestHandler):
+        def do_GET(self):
+            if "slowpage" in self.path:
+                time.sleep(delay)
+            super().do_GET()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    basic = root / "basic"
+    for i in range(6):
+        (basic / f"slowpage{i}.html").write_text(f"<p>slow {i}</p>")
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), partial(SlowHandler, directory=str(root)))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        sbase = f"http://127.0.0.1:{srv.server_address[1]}"
+        f = HttpFetcher(FilterSpec((), None), max_concurrency=8)
+        batch = pa.table({
+            "url": [f"{sbase}/basic/slowpage{i}.html" for i in range(6)],
+            "attempt": pa.array([0] * 6, pa.int32()),
+            "depth": pa.array([0] * 6, pa.int32()),
+        })
+        t0 = time.monotonic()
+        out = f(batch)
+        wall = time.monotonic() - t0
+        assert out.column("status").to_pylist() == ["ok"] * 6
+        # sequential would be ≥ 6 × 0.4 = 2.4 s; concurrent ≈ 0.4 s
+        assert wall < 3 * delay, f"batch wall {wall:.2f}s — not concurrent"
+        # per-row mapping survives out-of-order completion
+        assert [f"slow {i}" in d for i, d in
+                enumerate(out.column("data").to_pylist())] == [True] * 6
+    finally:
+        srv.shutdown()
+
+
+def test_http_politeness_budget(ray_session, tmp_path):
+    """Per-host politeness on the REAL transport: one host's releases
+    are rate-limited by its token bucket while the other host proceeds
+    in the same window (round-5 VERDICT #4). localhost and 127.0.0.1
+    are distinct hosts to the engine but one loopback server."""
+    import time
+    from urllib.parse import urlsplit
+
+    from doonop_ray.config import CrawlConfig
+    from doonop_ray.pipelines.crawler import RayCrawler
+
+    root = tmp_path / "polwww"
+    pol = root / "pol"
+    pol.mkdir(parents=True)
+    # star shape per host: the root links every leaf, so after one fetch
+    # all 5 leaves are frontier-ready — only politeness spaces them
+    # (a chain would space requests by dependency and prove nothing)
+    for h in ("a", "b"):
+        (pol / f"{h}0.html").write_text(
+            "".join(f'<a href="{h}{i}.html">x</a>' for i in range(1, 6)))
+        for i in range(1, 6):
+            (pol / f"{h}{i}.html").write_text(f"<p>{h}{i}</p>")
+
+    requests: list[tuple[float, str, str]] = []  # (t, host_header, path)
+
+    class RecordingHandler(SimpleHTTPRequestHandler):
+        def do_GET(self):
+            requests.append((time.monotonic(),
+                             (self.headers.get("Host") or "").split(":")[0],
+                             self.path))
+            super().do_GET()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), partial(RecordingHandler, directory=str(root)))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        rate = 10.0  # tokens/sec/host → 5 leaves need ≥ ~0.4 s per host
+        seeds = [f"http://localhost:{port}/pol/a0.html",
+                 f"http://127.0.0.1:{port}/pol/b0.html"]
+        cfg = CrawlConfig(seeds=seeds, use_robots=False, engines=2,
+                          num_seen_shards=2, num_frontier_shards=2,
+                          wave_budget=16, host_rate_per_sec=rate,
+                          host_burst=1.0)
+        crawler = RayCrawler(
+            cfg, None, None, {}, str(tmp_path / "out"),
+            fetch_backend=partial(HttpFetcher, FilterSpec((), None)),
+        )
+        stats = crawler.run()
+        assert stats.visited == 12 and stats.errors == 0
+
+        by_host: dict[str, list[float]] = {}
+        for t0, host, _ in requests:
+            by_host.setdefault(host, []).append(t0)
+        assert set(by_host) == {"localhost", "127.0.0.1"}
+        spans = {}
+        for host, ts in by_host.items():
+            ts.sort()
+            assert len(ts) == 6
+            spans[host] = (ts[0], ts[-1])
+            # 6 requests, burst 1 → 5 token refills ≥ 5/rate nominal;
+            # allow generous slop for drain-poll timing
+            assert ts[-1] - ts[0] >= 0.6 * 5 / rate, (
+                f"{host} span {ts[-1] - ts[0]:.3f}s — bucket not applied")
+        # the two hosts' windows overlap: one host's budget never
+        # serializes the other (politeness is per-host, not global)
+        (a0, a1), (b0, b1) = spans.values()
+        assert max(a0, b0) < min(a1, b1), f"no overlap: {spans}"
+    finally:
+        srv.shutdown()
+
+
+def test_socks5_proxy_loopback(www):
+    """SOCKS5 transport (RFC 1928 CONNECT, pure stdlib): the fetch goes
+    through a loopback SOCKS5 stub — the stub records the CONNECT
+    target, proving the page bytes actually traversed the tunnel."""
+    import socket
+    import struct
+
+    import pyarrow as pa
+
+    base, _ = www
+    http_port = int(base.rsplit(":", 1)[1])
+    connects: list[tuple[str, int]] = []
+
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(4)
+    socks_port = lsock.getsockname()[1]
+    stop = threading.Event()
+
+    def pump(a, b):
+        try:
+            while True:
+                d = a.recv(65536)
+                if not d:
+                    break
+                b.sendall(d)
+        except OSError:
+            pass
+        finally:
+            for s in (a, b):
+                try:
+                    s.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
+
+    def serve():
+        while not stop.is_set():
+            try:
+                conn, _addr = lsock.accept()
+            except OSError:
+                return
+            # greeting: VER NMETHODS METHODS...
+            hdr = conn.recv(2)
+            conn.recv(hdr[1])
+            conn.sendall(b"\x05\x00")  # no-auth
+            req = conn.recv(4)
+            assert req[:2] == b"\x05\x01" and req[3] == 3  # CONNECT, domain
+            n = conn.recv(1)[0]
+            host = conn.recv(n).decode()
+            port = struct.unpack(">H", conn.recv(2))[0]
+            connects.append((host, port))
+            upstream = socket.create_connection((host, port), 5)
+            conn.sendall(b"\x05\x00\x00\x01" + b"\x00" * 4
+                         + struct.pack(">H", 0))
+            threading.Thread(target=pump, args=(conn, upstream),
+                             daemon=True).start()
+            threading.Thread(target=pump, args=(upstream, conn),
+                             daemon=True).start()
+
+    threading.Thread(target=serve, daemon=True).start()
+    try:
+        f = HttpFetcher(
+            FilterSpec((), None),
+            proxy=f"sock;address=127.0.0.1:{socks_port};version=5")
+        batch = pa.table({
+            "url": [f"http://localhost:{http_port}/basic/index.html"],
+            "attempt": pa.array([0], pa.int32()),
+            "depth": pa.array([0], pa.int32()),
+        })
+        out = f(batch)
+        assert out.column("status").to_pylist() == ["ok"]
+        assert "About" in out.column("data")[0].as_py()
+        assert ("localhost", http_port) in connects  # tunnel was used
+        # https through the SOCKS handler refuses loudly (no TLS wrap),
+        # it must NOT silently bypass the proxy
+        batch2 = pa.table({
+            "url": [f"https://localhost:{http_port}/basic/index.html"],
+            "attempt": pa.array([0], pa.int32()),
+            "depth": pa.array([0], pa.int32()),
+        })
+        assert f(batch2).column("status").to_pylist() == ["error"]
+    finally:
+        stop.set()
+        lsock.close()
+
+
 def test_cli_stats_line_over_socket(www):
     """The CLI stats contract (crawling.rs:13-23) over a real socket:
     ``--http --conformance`` prints the exact reference stats line."""

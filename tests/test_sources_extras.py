@@ -183,11 +183,14 @@ def test_http_fetcher_proxy_support():
     from doonop_ray.filters import FilterSpec
     from doonop_ray.stages.http_fetch import HttpFetcher
 
-    # SOCKS needs a client library the environment doesn't ship: loud
-    # NotImplementedError at session construction, not a silent direct
-    # connection
+    # SOCKS5 is implemented (RFC 1928 CONNECT, see
+    # test_http_fetch.test_socks5_proxy_loopback); SOCKS4's different
+    # handshake is not: loud NotImplementedError at session
+    # construction, not a silent direct connection
     with _pytest.raises(NotImplementedError):
         HttpFetcher(FilterSpec(), proxy="sock;address=h:1;version=4")
+    f5 = HttpFetcher(FilterSpec(), proxy="sock;address=h:1;version=5")
+    assert any("Socks5" in type(h).__name__ for h in f5.opener.handlers)
     # http proxies are applied to the opener (engine_builder.rs:113-120)
     f = HttpFetcher(FilterSpec(), proxy="http;address=h:1")
     assert f.proxy.kind == "http"
