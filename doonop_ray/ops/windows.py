@@ -51,32 +51,91 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Sessionization: events of a user belong to one session while
     consecutive gaps are <= gap. Returns (user_id, n_sessions, n_events).
 
-    Partitioning assumption: one user's events fit in one group (holds
-    by construction of the events table; at larger scale pre-partition
-    by user_id hash and sessionize within partitions).
-    """
-
-    from .common import grouped_apply
-
+    Fully vectorized mergeable-partials plan (round-5, replacing a
+    per-group apply whose sort machinery dominated at small group
+    counts): one distributed sort by (user_id, ts), then a map_batches
+    pass that computes per-user-per-block partials (first/last ts,
+    session count, event count) with numpy segmented ops — no per-group
+    Python calls — and a driver-side vectorized merge of the
+    O(users + blocks) partial rows. Two partials of one user merge by
+    subtracting 1 session when the block boundary falls inside a
+    session (next.first_ts - prev.last_ts <= gap); sorted blocks are
+    disjoint key ranges, so a user's partials arrive time-contiguous.
+    Scales: the shuffle is the sort; the driver only ever sees
+    result-sized data."""
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sess(g: pa.Table) -> pa.Table:
-        ts = np.sort(
-            pc.cast(g["ts"], pa.timestamp("us")).cast(pa.int64()).to_numpy(
-                zero_copy_only=False))
-        n_sessions = int((np.diff(ts) > gap_us).sum()) + 1
+    def partials(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "first_ts": pa.array([], pa.int64()),
+                "last_ts": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            })
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        ts = (pc.cast(t["ts"], pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        sess_start = np.empty(n, dtype=bool)
+        sess_start[0] = True
+        np.greater(ts[1:] - ts[:-1], gap_us, out=sess_start[1:])
+        sess_start |= new_user
+        starts = np.flatnonzero(new_user)
+        ends = np.append(starts[1:], n)
         return pa.table({
-            "user_id": pc.cast(g["user_id"].slice(0, 1), pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
-            "n_events": pa.array([len(g)], pa.int64()),
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "first_ts": pa.array(ts[starts], pa.int64()),
+            "last_ts": pa.array(ts[ends - 1], pa.int64()),
+            "n_sessions": pa.array(
+                np.add.reduceat(sess_start.astype(np.int64), starts)),
+            "n_events": pa.array(ends - starts, pa.int64()),
         })
 
-    empty = pa.table({"user_id": pa.array([], pa.int64()),
-                      "n_sessions": pa.array([], pa.int64()),
-                      "n_events": pa.array([], pa.int64())})
-    out = grouped_apply(
-        read(sf_dir, "events", ["user_id", "ts"]),
-        "user_id", sess, empty).to_pandas()
+    empty = pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "first_ts": pd.Series([], dtype="int64"),
+        "last_ts": pd.Series([], dtype="int64"),
+        "n_sessions": pd.Series([], dtype="int64"),
+        "n_events": pd.Series([], dtype="int64"),
+    })
+    ds = read(sf_dir, "events", ["user_id", "ts"]).sort(["user_id", "ts"])
+    parts = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=None).to_pandas()
+    if not len(parts.columns):
+        parts = empty
+    parts = parts.sort_values(["user_id", "first_ts"],
+                              kind="mergesort", ignore_index=True)
+    uid = parts["user_id"].to_numpy()
+    n = len(parts)
+    if n == 0:
+        return finish(pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_sessions": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64")}), ["user_id"])
+    # a same-user adjacent partial pair whose boundary gap is <= gap
+    # shares one session across the block split
+    bridged = np.zeros(n, dtype=np.int64)
+    bridged[1:] = (
+        (uid[1:] == uid[:-1])
+        & ((parts["first_ts"].to_numpy()[1:]
+            - parts["last_ts"].to_numpy()[:-1]) <= gap_us)
+    ).astype(np.int64)
+    ustart = np.empty(n, dtype=bool)
+    ustart[0] = True
+    np.not_equal(uid[1:], uid[:-1], out=ustart[1:])
+    us = np.flatnonzero(ustart)
+    out = pd.DataFrame({
+        "user_id": uid[us],
+        "n_sessions": (
+            np.add.reduceat(parts["n_sessions"].to_numpy(), us)
+            - np.add.reduceat(bridged, us)),
+        "n_events": np.add.reduceat(parts["n_events"].to_numpy(), us),
+    })
     out = _ensure_cols(out, {"user_id": "int64", "n_sessions": "int64",
                              "n_events": "int64"})
     return finish(out, ["user_id"])
