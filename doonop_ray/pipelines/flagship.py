@@ -31,6 +31,11 @@ _TIERS = {
     # coordination floor, so the two-parallelism comparison measures the
     # pipeline rather than the scheduler
     "scaleh": dict(n_hosts=80, pages_per_host=1200, img=(96, 128)),
+    # quarter-size heavy world for the BURST scaling protocol (round-5):
+    # small enough that a full 8-way + 32-way timed pair fits inside one
+    # of this host's sub-minute calm windows, heavy enough to stay
+    # compute-dominated (see tools/burst_scaling.py)
+    "scalehq": dict(n_hosts=40, pages_per_host=600, img=(96, 128)),
     # skew-adversarial twin of the bench tier: SAME total page count
     # and payload sizes as "0.1", but host 0 holds 50% of all pages
     # (and, via intra-host links, ~40%+ of all link targets) — the
@@ -81,7 +86,7 @@ def _refs_for(tier: str, w):
 
 def tier_of(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
-    if name in ("scale", "scaleh", "skew"):
+    if name in ("scale", "scaleh", "scalehq", "skew"):
         return name
     sf = name.replace("sf", "") if name.startswith("sf") else "0.001"
     return sf if sf in _TIERS else "0.001"
@@ -129,7 +134,8 @@ def world_for(sf_dir: str, cache_root: str = "/tmp/doonop_worlds") -> World:
 def _crawl_cfg(w: World, tier: str, **kw) -> CrawlConfig:
     scale = {"0.001": (4, 64, 16), "0.01": (8, 512, 64),
              "0.1": (32, 8192, 512), "scale": (32, 16384, 512),
-             "scaleh": (32, 16384, 512), "skew": (32, 8192, 512)}[tier]
+             "scaleh": (32, 16384, 512), "scalehq": (32, 8192, 512),
+             "skew": (32, 8192, 512)}[tier]
     engines, wave, batch = scale
     base = dict(
         seeds=w.seeds.column("url").to_pylist(),
